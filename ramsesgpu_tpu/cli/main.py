@@ -1,0 +1,70 @@
+"""Command-line entry point.
+
+Equivalent of the reference's ``euler_main.cpp`` (reference:
+src/euler_main.cpp:76-195): parse CLI, read the INI parameter file, build the
+run object, and start the time integration. One binary covers what the
+reference splits into euler_main / euler_mpi_main / euler_zslab_main — the
+device count and mesh shape select the distribution strategy.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..config.configmap import ConfigMap
+from ..config.params import params_from_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="ramses-tpu",
+        description="TPU-native finite-volume hydro/MHD solver "
+        "(capabilities of RamsesGPU).",
+    )
+    parser.add_argument("--param", "-i", required=True, help="INI parameter file")
+    parser.add_argument(
+        "--scheme",
+        default=None,
+        choices=["godunov", "kurganov", "relaxingTVD"],
+        help="numerical scheme (overrides hydro/scheme heritage flag)",
+    )
+    parser.add_argument(
+        "--dump-param-file",
+        action="store_true",
+        help="print the effective parameter file and exit",
+    )
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--no-output", action="store_true")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    config = ConfigMap(args.param)
+    if args.dump_param_file:
+        print(config.dump())
+        return 0
+
+    params = params_from_config(config)
+
+    scheme = args.scheme or "godunov"
+    if scheme != "godunov":
+        from ..solvers.run2d_alt import AltSchemeRun
+
+        run = AltSchemeRun(config, scheme=scheme)
+    else:
+        from ..solvers.run import Run
+
+        run = Run(config, params)
+
+    print(f"problem        : {params.problem}")
+    print(f"mesh           : {params.nx} x {params.ny} x {params.nz} (dim {params.dim})")
+    print(f"mhd            : {params.mhd}")
+    print(f"riemann solver : {params.riemann_solver.name}")
+    run.start(max_steps=args.max_steps, do_output=not args.no_output)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,124 @@
+"""VTK ImageData (.vti / .pvti) writer.
+
+Pure-Python re-implementation of the reference's hand-written VTI output
+(reference: src/hydro/HydroRunBase.cpp:2520-2681 outputVtk, and the per-rank
+piece + .pvti master of HydroRunBaseMpi.cpp:4167-4227). Supports ascii and
+appended-raw-binary encodings; cell data, one array per conserved variable.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ..config.params import RunParams
+from ..core.constants import var_names
+
+
+def write_vti(
+    filename: str | Path,
+    fields: dict[str, np.ndarray],
+    origin=(0.0, 0.0, 0.0),
+    spacing=(1.0, 1.0, 1.0),
+    binary: bool = True,
+    extent_offset=(0, 0, 0),
+) -> None:
+    """Write cell-centered fields to a VTK ImageData file.
+
+    Each field must be a 2D [ny, nx] or 3D [nz, ny, nx] array; VTK expects
+    x-fastest ordering, which matches our memory layout directly.
+    ``extent_offset`` shifts the WholeExtent (used for .pvti pieces).
+    """
+    fields = {k: np.asarray(v) for k, v in fields.items()}
+    first = next(iter(fields.values()))
+    if first.ndim == 2:
+        ny, nx = first.shape
+        nz = 1
+    else:
+        nz, ny, nx = first.shape
+
+    ox, oy, oz = extent_offset
+    extent = f"{ox} {ox+nx} {oy} {oy+ny} {oz} {oz+nz}"
+    lines = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="ImageData" version="0.1" byte_order="LittleEndian">',
+        f'  <ImageData WholeExtent="{extent}" '
+        f'Origin="{origin[0]} {origin[1]} {origin[2]}" '
+        f'Spacing="{spacing[0]} {spacing[1]} {spacing[2]}">',
+        f'    <Piece Extent="{extent}">',
+        "      <PointData>",
+        "      </PointData>",
+        "      <CellData>",
+    ]
+
+    def vtk_type(a: np.ndarray) -> str:
+        return {"float32": "Float32", "float64": "Float64",
+                "int32": "Int32", "int64": "Int64"}[a.dtype.name]
+
+    if binary:
+        offset = 0
+        blobs = []
+        for name, a in fields.items():
+            raw = np.ascontiguousarray(a).tobytes()
+            lines.append(
+                f'        <DataArray type="{vtk_type(a)}" Name="{name}" '
+                f'format="appended" offset="{offset}" />'
+            )
+            header = np.array([len(raw)], dtype=np.uint32).tobytes()
+            blobs.append(header + raw)
+            offset += len(header) + len(raw)
+        lines += [
+            "      </CellData>",
+            "    </Piece>",
+            "  </ImageData>",
+            '  <AppendedData encoding="raw">',
+        ]
+        body = "\n".join(lines).encode() + b"\n    _"
+        body += b"".join(blobs)
+        body += b"\n  </AppendedData>\n</VTKFile>\n"
+        Path(filename).write_bytes(body)
+    else:
+        for name, a in fields.items():
+            flat = " ".join(repr(float(x)) for x in np.asarray(a).ravel())
+            lines.append(
+                f'        <DataArray type="{vtk_type(a)}" Name="{name}" format="ascii">'
+            )
+            lines.append(f"          {flat}")
+            lines.append("        </DataArray>")
+        lines += [
+            "      </CellData>",
+            "    </Piece>",
+            "  </ImageData>",
+            "</VTKFile>",
+        ]
+        Path(filename).write_text("\n".join(lines) + "\n")
+
+
+def output_vtk(
+    params: RunParams,
+    U: np.ndarray,
+    n_step: int,
+    output_dir: str = ".",
+    prefix: str = "output",
+    ghost_included: bool = False,
+    binary: bool = True,
+) -> Path:
+    """Write the conserved state with the reference's naming scheme
+    ``<prefix>_<step:07d>.vti`` (HydroRunBase.cpp:2520)."""
+    g = params.ghost_width
+    U = np.asarray(U)
+    if not ghost_included:
+        U = U[(slice(None),) + (slice(g, -g),) * params.dim]
+    names = var_names(params.nb_var)
+    fields = {name: U[i] for i, name in enumerate(names)}
+    os.makedirs(output_dir, exist_ok=True)
+    path = Path(output_dir) / f"{prefix}_{n_step:07d}.vti"
+    write_vti(
+        path,
+        fields,
+        origin=(params.xmin, params.ymin, params.zmin),
+        spacing=(params.dx, params.dy, params.dz if params.dim == 3 else 1.0),
+        binary=binary,
+    )
+    return path

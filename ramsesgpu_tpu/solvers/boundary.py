@@ -1,0 +1,107 @@
+"""Ghost-cell boundary fill.
+
+Functional re-design of the reference's templated boundary kernels
+(reference: src/hydro/make_boundary_base.h:709-1332, make_boundary2).
+Ghost layers live inside the state array (width 2 for hydro, 3 for MHD);
+this module fills them from the interior according to the per-face BC type:
+
+  BC_DIRICHLET: mirror copy, normal velocity sign-flipped
+                (ghost g_i <- interior at 2*gw-1-i for the MIN side)
+  BC_NEUMANN:   copy of the first/last interior layer
+  BC_PERIODIC:  wrap copy from the opposite interior
+  BC_COPY:      no-op here — filled by the halo exchange in parallel/halo.py
+
+All BC types are static config, so the fill compiles to a handful of fused
+dynamic-update-slices; no branching at runtime.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config.params import RunParams
+from ..core.constants import IA, IB, IC, IU, IV, IW, BoundaryConditionType as BCT
+
+# axis (relative to trailing spatial dims) and normal-velocity component per side
+_X, _Y, _Z = -1, -2, -3
+_NORMAL_VEL = {_X: IU, _Y: IV, _Z: IW}
+_NORMAL_B = {_X: IA, _Y: IB, _Z: IC}
+
+
+def _take(U: jnp.ndarray, axis: int, idx) -> jnp.ndarray:
+    sl = [slice(None)] * U.ndim
+    sl[axis] = idx
+    return U[tuple(sl)]
+
+
+def _put(U: jnp.ndarray, axis: int, idx, value) -> jnp.ndarray:
+    sl = [slice(None)] * U.ndim
+    sl[axis] = idx
+    return U.at[tuple(sl)].set(value)
+
+
+def _fill_side(params: RunParams, U: jnp.ndarray, axis: int, is_max: bool,
+               bc: BCT) -> jnp.ndarray:
+    """Fill the ghost layers on one side of one axis."""
+    gw = params.ghost_width
+    n = U.shape[axis] - 2 * gw  # interior cell count along this axis
+
+    if bc in (BCT.BC_COPY, BCT.BC_UNDEFINED, BCT.BC_SHEARINGBOX, BCT.BC_Z_STRATIFIED):
+        # COPY: halo exchange fills it. SHEARINGBOX/Z_STRATIFIED handled by
+        # dedicated routines (solvers/shear.py); treated as no-op here.
+        return U
+
+    if bc == BCT.BC_PERIODIC:
+        if is_max:
+            src = _take(U, axis, slice(gw, 2 * gw))
+            return _put(U, axis, slice(n + gw, n + 2 * gw), src)
+        src = _take(U, axis, slice(n, n + gw))
+        return _put(U, axis, slice(0, gw), src)
+
+    if bc == BCT.BC_NEUMANN:
+        if is_max:
+            src = _take(U, axis, n + gw - 1)
+            for i in range(gw):
+                U = _put(U, axis, n + gw + i, src)
+            return U
+        src = _take(U, axis, gw)
+        for i in range(gw):
+            U = _put(U, axis, i, src)
+        return U
+
+    if bc == BCT.BC_DIRICHLET:
+        # mirror with sign flip on the normal velocity component
+        # (make_boundary_base.h:741 i0 = 2*nGhosts-1-iGhost for the MIN side,
+        #  :771 i0 = 2*nx+2*nGhosts-1-iGhost for the MAX side)
+        nvel = _NORMAL_VEL[axis]
+        sign = jnp.ones((U.shape[0],) + (1,) * (U.ndim - 1), dtype=U.dtype)
+        sign = sign.at[nvel].set(-1.0)
+        if params.mhd:
+            # the reference also sign-flips the normal face-centered B at
+            # reflecting walls (make_boundary, make_boundary_base.h:549-679)
+            sign = sign.at[_NORMAL_B[axis]].set(-1.0)
+        if is_max:
+            # ghost index i (absolute n+gw .. n+2gw-1) <- 2n+2gw-1-i
+            src = _take(U, axis, slice(n + gw - 1, n - 1, -1))
+            return _put(U, axis, slice(n + gw, n + 2 * gw), sign * src)
+        src = _take(U, axis, slice(2 * gw - 1, gw - 1, -1))
+        return _put(U, axis, slice(0, gw), sign * src)
+
+    raise ValueError(f"unhandled boundary type {bc!r}")
+
+
+def make_boundaries(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
+    """Fill all ghost layers.
+
+    Directions are processed X then Y then Z so corner ghosts pick up the
+    already-filled transverse ghosts, matching the reference's sequencing
+    (HydroRunBase.cpp:2223-2331 / HydroRunGodunovMpi.cpp:664).
+    """
+    bts = params.boundary_types
+    U = _fill_side(params, U, _X, False, bts[0])
+    U = _fill_side(params, U, _X, True, bts[1])
+    U = _fill_side(params, U, _Y, False, bts[2])
+    U = _fill_side(params, U, _Y, True, bts[3])
+    if params.dim == 3:
+        U = _fill_side(params, U, _Z, False, bts[4])
+        U = _fill_side(params, U, _Z, True, bts[5])
+    return U

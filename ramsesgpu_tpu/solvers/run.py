@@ -1,0 +1,145 @@
+"""Simulation driver: time loop, outputs, history.
+
+Equivalent of the reference's ``HydroRunGodunov::start()`` time loop
+(reference: src/hydro/HydroRunGodunov.cpp:3857-4079), redesigned so the hot
+loop is a single jitted device program per output interval; the host only
+orchestrates I/O and logging.
+"""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.configmap import ConfigMap
+from ..config.params import RunParams, params_from_config
+from ..problems import init_problem
+from ..utils.timer import PhaseTimers, Timer, perf_report
+from .boundary import make_boundaries
+from .step import make_advance_n
+
+
+class Run:
+    """Owns config, state, and the output machinery for one simulation."""
+
+    def __init__(self, config: ConfigMap, params: RunParams | None = None):
+        self.config = config
+        self.params = params or params_from_config(config)
+
+        if self.params.dtype == "float64":
+            jax.config.update("jax_enable_x64", True)
+
+        # output settings ([output] section, HydroParameters.h:455-489)
+        self.output_dir = config.get_string("output", "outputDir", "./")
+        self.output_prefix = config.get_string("output", "outputPrefix", "output")
+        self.output_vtk = config.get_bool("output", "outputVtk", True)
+        self.output_hdf5 = config.get_bool("output", "outputHdf5", False)
+        self.ghost_included = config.get_bool("output", "ghostIncluded", False)
+        self.n_log = config.get_integer("run", "nlog", 0)
+
+        # history ([history] section, HydroRunBase.cpp:7235+)
+        self.history_enabled = config.get_bool("history", "enabled", False)
+        self.dt_hist = config.get_float("history", "dtHist", 0.0)
+
+        self.t = 0.0
+        self.n_step = 0
+        self.io_timer = Timer()
+        self.phases = PhaseTimers()
+
+        restart = config.get_bool("run", "restart", False)
+        if restart:
+            from ..io.restart import load_restart
+
+            self.U, self.t, self.n_step = load_restart(self.params, config)
+        else:
+            self.U = jnp.asarray(init_problem(self.params, config))
+        # initial ghost fill (reference start(): make_all_boundaries first,
+        # HydroRunGodunov.cpp:3884)
+        self.U = jax.jit(lambda u: make_boundaries(self.params, u))(self.U)
+
+        self._advance_n = make_advance_n(self.params)
+
+    # ------------------------------------------------------------------ #
+    def output(self) -> None:
+        with self.io_timer:
+            U_host = np.asarray(jax.device_get(self.U))
+            if self.output_vtk:
+                from ..io.vtk import output_vtk
+
+                output_vtk(
+                    self.params,
+                    U_host,
+                    self.n_step,
+                    output_dir=self.output_dir,
+                    prefix=self.output_prefix,
+                    ghost_included=self.ghost_included,
+                )
+            if self.output_hdf5:
+                from ..io.hdf5 import output_hdf5
+
+                output_hdf5(
+                    self.params,
+                    U_host,
+                    self.n_step,
+                    total_time=self.t,
+                    output_dir=self.output_dir,
+                    prefix=self.output_prefix,
+                    ghost_included=self.ghost_included,
+                )
+
+    # ------------------------------------------------------------------ #
+    def start(self, max_steps: int | None = None, do_output: bool = True) -> None:
+        """Run to t_end / n_stepmax, writing output every n_output steps."""
+        p = self.params
+        n_stepmax = p.n_stepmax if max_steps is None else min(p.n_stepmax, max_steps)
+        n_output = p.n_output
+
+        t_device = jnp.asarray(self.t, self.U.dtype)
+        wall = Timer()
+        wall.start()
+
+        while self.n_step < n_stepmax and (p.t_end <= 0 or self.t < p.t_end):
+            if do_output and n_output > 0 and self.n_step % n_output == 0:
+                self.output()
+
+            # advance one output interval (or to the step cap) on device
+            if n_output > 0:
+                chunk = min(n_output - (self.n_step % n_output), n_stepmax - self.n_step)
+            else:
+                chunk = n_stepmax - self.n_step
+            self.U, t_device, k = self._advance_n(
+                self.U, t_device, jnp.array(chunk, jnp.int32)
+            )
+            k = int(k)
+            self.t = float(t_device)
+            self.n_step += k
+            if k == 0:
+                break  # t_end reached exactly
+
+            if self.n_log > 0 and self.n_step % self.n_log == 0:
+                print(f"step {self.n_step:7d}  t={self.t:.6f}", file=sys.stderr)
+
+        self.U.block_until_ready()
+        wall.stop()
+
+        if do_output:
+            self.output()
+
+        n_cells = p.nx * p.ny * (p.nz if p.dim == 3 else 1)
+        print(
+            perf_report(
+                self.n_step, n_cells, wall.total, io_time=self.io_timer.total,
+                phases=self.phases if self.phases.timers else None,
+            )
+        )
+
+    # ------------------------------------------------------------------ #
+    def interior(self) -> np.ndarray:
+        """Ghost-stripped conserved state on host."""
+        g = self.params.ghost_width
+        U = np.asarray(jax.device_get(self.U))
+        return U[(slice(None),) + (slice(g, -g),) * self.params.dim]

@@ -1,0 +1,94 @@
+"""Single-step advance functions: the pure functional heart of the framework.
+
+Where the reference composes ``oneStepIntegration`` out of class methods and
+kernel launches (reference: src/hydro/HydroRunGodunov.cpp:4082-4113,
+MHDRunGodunov.cpp:4077+), we expose pure functions of (U, t) that jit into
+one XLA program per configuration:
+
+    step(U)            -> (U', dt)      one time step (dt from CFL)
+    advance_n(U, t, n) -> (U', t', k)   up to n steps, stopping at t_end
+
+Everything stays on device; ``advance_n`` wraps the step in a
+``lax.while_loop`` so a whole output interval runs without host sync.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config.params import RunParams
+from .boundary import make_boundaries
+from .godunov import godunov_unsplit_hydro
+from .timestep import compute_dt
+
+
+def make_gravity_field(params: RunParams):
+    """Static uniform gravity field, if configured (gravity.cuh heritage)."""
+    if params.gravity_x == 0.0 and params.gravity_y == 0.0 and params.gravity_z == 0.0:
+        return None
+    import numpy as np
+
+    shape = params.shape[1:]
+    gvec = [params.gravity_x, params.gravity_y, params.gravity_z][: params.dim]
+    dtype = np.float64 if params.dtype == "float64" else np.float32
+    return jnp.asarray(
+        np.stack([np.full(shape, g, dtype=dtype) for g in gvec])
+    )
+
+
+def make_step_fn(params: RunParams) -> Callable:
+    """Build ``step(U) -> (U_new, dt)`` for this configuration."""
+    gravity = make_gravity_field(params)
+
+    if params.mhd:
+        from .godunov_mhd import godunov_unsplit_mhd
+
+        def step(U):
+            dt = compute_dt(params, U)
+            U_b = make_boundaries(params, U)
+            U_new = godunov_unsplit_mhd(params, U_b, dt)
+            return U_new, dt
+
+    else:
+
+        def step(U):
+            dt = compute_dt(params, U)
+            U_b = make_boundaries(params, U)
+            U_new = godunov_unsplit_hydro(params, U_b, dt, gravity=gravity)
+            return U_new, dt
+
+    return step
+
+
+def make_advance_n(params: RunParams) -> Callable:
+    """Build jitted ``advance_n(U, t, n_steps) -> (U, t, steps_done)`` that
+    runs up to ``n_steps`` steps, stopping early when t reaches t_end.
+    The loop carry stays on device for the whole chunk."""
+    step = make_step_fn(params)
+    t_end = params.t_end
+
+    @jax.jit
+    def advance_n(U, t, n_steps):
+        def cond(carry):
+            _, t_c, k = carry
+            in_time = (t_c < t_end) if t_end > 0 else True
+            return jnp.logical_and(k < n_steps, in_time)
+
+        def body(carry):
+            U_c, t_c, k = carry
+            U_n, dt = step(U_c)
+            return (U_n, t_c + dt, k + 1)
+
+        U_f, t_f, k_f = jax.lax.while_loop(cond, body, (U, t, jnp.array(0, jnp.int32)))
+        return U_f, t_f, k_f
+
+    return advance_n
+
+
+@functools.lru_cache(maxsize=32)
+def cached_advance_n(params: RunParams) -> Callable:
+    """Per-configuration cache so repeated Run objects share compilations."""
+    return make_advance_n(params)

@@ -1,0 +1,60 @@
+"""CFL time-step computation.
+
+Re-design of the reference's block-reduction kernels
+(reference: src/hydro/cmpdt.cuh:43-230, cmpdt_mhd.cuh, HydroRunBase.cpp:314-426).
+On TPU the shared-memory tree reduction collapses to a single fused
+``jnp.max`` that XLA lowers to an optimal on-chip reduction; distributed runs
+wrap this in ``lax.pmax`` (see parallel/).
+
+dt = cfl / max over interior cells of sum_d (c_d + |v_d|)/dx_d, where c is
+the sound speed (hydro) or fast magnetosonic speed per direction (MHD).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config.params import RunParams
+from ..core.constants import ID, IP, IU, IV, IW
+from ..ops.eos import constoprim_hydro
+from ..ops.mhd_utils import fast_magnetosonic_speeds
+
+
+def _interior(params: RunParams, a: jnp.ndarray) -> jnp.ndarray:
+    g = params.ghost_width
+    if params.dim == 2:
+        return a[..., g:-g, g:-g]
+    return a[..., g:-g, g:-g, g:-g]
+
+
+def compute_inv_dt_hydro(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
+    """Max inverse time step over the local interior (cmpdt.cuh:84-86,179-182)."""
+    Q, c = constoprim_hydro(params, U)
+    inv = (c + jnp.abs(Q[IU])) / params.dx + (c + jnp.abs(Q[IV])) / params.dy
+    if params.dim == 3:
+        inv = inv + (c + jnp.abs(Q[IW])) / params.dz
+    return jnp.max(_interior(params, inv))
+
+
+def compute_inv_dt_mhd(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
+    """MHD version using the fast magnetosonic speed per direction, with the
+    shearing-box correction vy += 1.5*Omega0*dx/2 (cmpdt_mhd.cuh:188-213)."""
+    from ..ops.eos import constoprim_mhd
+
+    Q, _ = constoprim_mhd(params, U, jnp.asarray(0.0, U.dtype))
+    cfx, cfy, cfz = fast_magnetosonic_speeds(params, Q)
+    vy = Q[IV]
+    if params.omega0 > 0:
+        vy = vy + 1.5 * params.omega0 * params.dx / 2.0
+    inv = (cfx + jnp.abs(Q[IU])) / params.dx + (cfy + jnp.abs(vy)) / params.dy
+    if params.dim == 3:
+        inv = inv + (cfz + jnp.abs(Q[IW])) / params.dz
+    return jnp.max(_interior(params, inv))
+
+
+def compute_dt(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
+    """cfl / max(invDt), as in HydroRunBase::compute_dt (HydroRunBase.cpp:314-426)."""
+    if params.mhd:
+        inv_dt = compute_inv_dt_mhd(params, U)
+    else:
+        inv_dt = compute_inv_dt_hydro(params, U)
+    return params.cfl / inv_dt

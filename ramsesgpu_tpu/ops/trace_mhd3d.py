@@ -1,0 +1,221 @@
+"""MUSCL-Hancock trace for 3D MHD with constrained transport.
+
+Whole-array JAX re-design of the reference's per-cell routine
+(reference: src/hydro/trace_mhd.h:806-1418 trace_unsplit_mhd_3d, from
+DUMSES trace3d). Produces, for every cell:
+
+  qm[d], qp[d]       : face states for the 1D Riemann problems (d = x,y,z)
+  qedge_z/y/x        : 4 corner states per edge family feeding the 2D EMF
+                       solvers (Z: xy-plane, Y: xz-plane, X: yz-plane)
+
+Face-field indexing: bfx/bfy/bfz hold B at each cell's LEFT x/y/z face
+(= U[IA]/U[IB]/U[IC]); shift_p(bf, axis) is therefore this cell's right face.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config.params import RunParams
+from ..core.constants import IA, IB, IC, ID, IP, IU, IV, IW
+from .slopes import slope_1d
+from .stencil import shift_m, shift_p
+
+_X, _Y, _Z = -1, -2, -3
+
+
+def trace_unsplit_mhd_3d(
+    params: RunParams,
+    Q: jnp.ndarray,
+    bfx: jnp.ndarray,
+    bfy: jnp.ndarray,
+    bfz: jnp.ndarray,
+    dt,
+    xpos: jnp.ndarray,
+):
+    smallr, smallp, gamma = params.smallr, params.smallp, params.gamma0
+    omega0 = params.omega0
+    dtdx, dtdy, dtdz = dt / params.dx, dt / params.dy, dt / params.dz
+
+    def corner_avg4(f, ax1, ax2):
+        return 0.25 * (f + shift_m(f, ax1) + shift_m(f, ax2) + shift_m(shift_m(f, ax1), ax2))
+
+    # ---- edge-centered electric fields (trace_mhd.h:850-940) ----
+    # Ex at (i, j-1/2, k-1/2)
+    v4 = corner_avg4(Q[IV], _Y, _Z)
+    w4 = corner_avg4(Q[IW], _Y, _Z)
+    B_e = 0.5 * (bfy + shift_m(bfy, _Z))
+    C_e = 0.5 * (bfz + shift_m(bfz, _Y))
+    ExC = v4 * C_e - w4 * B_e
+    if omega0 > 0:
+        ExC = ExC + (-1.5 * omega0 * xpos) * C_e
+
+    # Ey at (i-1/2, j, k-1/2)
+    u4 = corner_avg4(Q[IU], _X, _Z)
+    w4b = corner_avg4(Q[IW], _X, _Z)
+    A_e = 0.5 * (bfx + shift_m(bfx, _Z))
+    C_e2 = 0.5 * (bfz + shift_m(bfz, _X))
+    EyC = w4b * A_e - u4 * C_e2
+
+    # Ez at (i-1/2, j-1/2, k)
+    u4c = corner_avg4(Q[IU], _X, _Y)
+    v4c = corner_avg4(Q[IV], _X, _Y)
+    A_e2 = 0.5 * (bfx + shift_m(bfx, _Y))
+    B_e2 = 0.5 * (bfy + shift_m(bfy, _X))
+    EzC = u4c * B_e2 - v4c * A_e2
+    if omega0 > 0:
+        EzC = EzC - (-1.5 * omega0 * (xpos - params.dx / 2)) * A_e2
+
+    # the 2x2 stencils around the current cell (E**: L=this, R=next)
+    ELL, ELR = ExC, shift_p(ExC, _Z)
+    ERL, ERR = shift_p(ExC, _Y), shift_p(shift_p(ExC, _Y), _Z)
+    FLL, FLR = EyC, shift_p(EyC, _Z)
+    FRL, FRR = shift_p(EyC, _X), shift_p(shift_p(EyC, _X), _Z)
+    GLL, GLR = EzC, shift_p(EzC, _Y)
+    GRL, GRR = shift_p(EzC, _X), shift_p(shift_p(EzC, _X), _Y)
+
+    # ---- cell-centered values, face values, half-slopes ----
+    r, p = Q[ID], Q[IP]
+    u, v, w = Q[IU], Q[IV], Q[IW]
+    A, B, C = Q[IA], Q[IB], Q[IC]
+
+    AL, AR = bfx, shift_p(bfx, _X)
+    BL, BR = bfy, shift_p(bfy, _Y)
+    CL, CR = bfz, shift_p(bfz, _Z)
+
+    hx = 0.5 * slope_1d(params, Q, _X)
+    hy = 0.5 * slope_1d(params, Q, _Y)
+    hz = 0.5 * slope_1d(params, Q, _Z)
+    drx, dpx, dux, dvx, dwx = hx[ID], hx[IP], hx[IU], hx[IV], hx[IW]
+    dBx, dCx = hx[IB], hx[IC]
+    dry, dpy, duy, dvy, dwy = hy[ID], hy[IP], hy[IU], hy[IV], hy[IW]
+    dAy, dCy = hy[IA], hy[IC]
+    drz, dpz, duz, dvz, dwz = hz[ID], hz[IP], hz[IU], hz[IV], hz[IW]
+    dAz, dBz = hz[IA], hz[IB]
+
+    # transverse TVD slopes of the face-centered fields (slope_mhd.h:598-704)
+    s_bx_y = slope_1d(params, bfx, _Y)
+    s_bx_z = slope_1d(params, bfx, _Z)
+    s_by_x = slope_1d(params, bfy, _X)
+    s_by_z = slope_1d(params, bfy, _Z)
+    s_bz_x = slope_1d(params, bfz, _X)
+    s_bz_y = slope_1d(params, bfz, _Y)
+
+    dALy, dALz = 0.5 * s_bx_y, 0.5 * s_bx_z
+    dARy, dARz = 0.5 * shift_p(s_bx_y, _X), 0.5 * shift_p(s_bx_z, _X)
+    dBLx, dBLz = 0.5 * s_by_x, 0.5 * s_by_z
+    dBRx, dBRz = 0.5 * shift_p(s_by_x, _Y), 0.5 * shift_p(s_by_z, _Y)
+    dCLx, dCLy = 0.5 * s_bz_x, 0.5 * s_bz_y
+    dCRx, dCRy = 0.5 * shift_p(s_bz_x, _Z), 0.5 * shift_p(s_bz_y, _Z)
+
+    dAx = 0.5 * (AR - AL)
+    dBy = 0.5 * (BR - BL)
+    dCz = 0.5 * (CR - CL)
+
+    # ---- source terms (trace_mhd.h:1127-1155) ----
+    sr0 = (-u * drx - dux * r) * dtdx + (-v * dry - dvy * r) * dtdy + (-w * drz - dwz * r) * dtdz
+    su0 = (
+        (-u * dux - (dpx + B * dBx + C * dCx) / r) * dtdx
+        + (-v * duy + B * dAy / r) * dtdy
+        + (-w * duz + C * dAz / r) * dtdz
+    )
+    sv0 = (
+        (-u * dvx + A * dBx / r) * dtdx
+        + (-v * dvy - (dpy + A * dAy + C * dCy) / r) * dtdy
+        + (-w * dvz + C * dBz / r) * dtdz
+    )
+    sw0 = (
+        (-u * dwx + A * dCx / r) * dtdx
+        + (-v * dwy + B * dCy / r) * dtdy
+        + (-w * dwz - (dpz + A * dAz + B * dBz) / r) * dtdz
+    )
+    sp0 = (
+        (-u * dpx - dux * gamma * p) * dtdx
+        + (-v * dpy - dvy * gamma * p) * dtdy
+        + (-w * dpz - dwz * gamma * p) * dtdz
+    )
+    sA0 = (u * dBy + B * duy - v * dAy - A * dvy) * dtdy + (
+        u * dCz + C * duz - w * dAz - A * dwz
+    ) * dtdz
+    sB0 = (v * dAx + A * dvx - u * dBx - B * dux) * dtdx + (
+        v * dCz + C * dvz - w * dBz - B * dwz
+    ) * dtdz
+    sC0 = (w * dAx + A * dwx - u * dCx - C * dux) * dtdx + (
+        w * dBy + B * dwy - v * dCy - C * dvy
+    ) * dtdy
+
+    if omega0 > 0:
+        shear = -1.5 * omega0 * xpos
+        sr0 = sr0 - shear * dry * dtdy
+        su0 = su0 - shear * duy * dtdy
+        sv0 = sv0 - shear * dvy * dtdy
+        sw0 = sw0 - shear * dwy * dtdy
+        sp0 = sp0 - shear * dpy * dtdy
+        sA0 = sA0 - shear * dAy * dtdy
+        sB0 = sB0 + (shear * dAx - 1.5 * omega0 * A * params.dx) * dtdx + shear * dBz * dtdz
+        sC0 = sC0 - shear * dCy * dtdy
+
+    # face-centered field half-step (induction; trace_mhd.h:1152-1158)
+    sAL0 = +(GLR - GLL) * dtdy * 0.5 - (FLR - FLL) * dtdz * 0.5
+    sAR0 = +(GRR - GRL) * dtdy * 0.5 - (FRR - FRL) * dtdz * 0.5
+    sBL0 = -(GRL - GLL) * dtdx * 0.5 + (ELR - ELL) * dtdz * 0.5
+    sBR0 = -(GRR - GLR) * dtdx * 0.5 + (ERR - ERL) * dtdz * 0.5
+    sCL0 = +(FRL - FLL) * dtdx * 0.5 - (ERL - ELL) * dtdy * 0.5
+    sCR0 = +(FRR - FLR) * dtdx * 0.5 - (ERR - ELR) * dtdy * 0.5
+
+    r2, u2, v2, w2, p2 = r + sr0, u + su0, v + sv0, w + sw0, p + sp0
+    A2, B2, C2 = A + sA0, B + sB0, C + sC0
+    AL2, AR2 = AL + sAL0, AR + sAR0
+    BL2, BR2 = BL + sBL0, BR + sBR0
+    CL2, CR2 = CL + sCL0, CR + sCR0
+
+    def state(rho, pres, uu, vv, ww, a_, b_, c_):
+        rho = jnp.maximum(smallr, rho)
+        # note: the reference's 3D trace clamps pressure with smallp alone
+        # (not smallp*rho), trace_mhd.h:1190 — matched here
+        pres = jnp.maximum(smallp, pres)
+        return jnp.stack([rho, pres, uu, vv, ww, a_, b_, c_])
+
+    # ---- face states ----
+    qp_x = state(r2 - drx, p2 - dpx, u2 - dux, v2 - dvx, w2 - dwx, AL2, B2 - dBx, C2 - dCx)
+    qm_x = state(r2 + drx, p2 + dpx, u2 + dux, v2 + dvx, w2 + dwx, AR2, B2 + dBx, C2 + dCx)
+    qp_y = state(r2 - dry, p2 - dpy, u2 - duy, v2 - dvy, w2 - dwy, A2 - dAy, BL2, C2 - dCy)
+    qm_y = state(r2 + dry, p2 + dpy, u2 + duy, v2 + dvy, w2 + dwy, A2 + dAy, BR2, C2 + dCy)
+    qp_z = state(r2 - drz, p2 - dpz, u2 - duz, v2 - dvz, w2 - dwz, A2 - dAz, B2 - dBz, CL2)
+    qm_z = state(r2 + drz, p2 + dpz, u2 + duz, v2 + dvz, w2 + dwz, A2 + dAz, B2 + dBz, CR2)
+
+    # ---- edge (corner) states, X family: varies in (y, z) ----
+    qRT_x = state(r2 + dry + drz, p2 + dpy + dpz, u2 + duy + duz, v2 + dvy + dvz,
+                  w2 + dwy + dwz, A2 + dAy + dAz, BR2 + dBRz, CR2 + dCRy)
+    qRB_x = state(r2 + dry - drz, p2 + dpy - dpz, u2 + duy - duz, v2 + dvy - dvz,
+                  w2 + dwy - dwz, A2 + dAy - dAz, BR2 - dBRz, CL2 + dCLy)
+    qLT_x = state(r2 - dry + drz, p2 - dpy + dpz, u2 - duy + duz, v2 - dvy + dvz,
+                  w2 - dwy + dwz, A2 - dAy + dAz, BL2 + dBLz, CR2 - dCRy)
+    qLB_x = state(r2 - dry - drz, p2 - dpy - dpz, u2 - duy - duz, v2 - dvy - dvz,
+                  w2 - dwy - dwz, A2 - dAy - dAz, BL2 - dBLz, CL2 - dCLy)
+
+    # ---- Y family: varies in (x, z) ----
+    qRT_y = state(r2 + drx + drz, p2 + dpx + dpz, u2 + dux + duz, v2 + dvx + dvz,
+                  w2 + dwx + dwz, AR2 + dARz, B2 + dBx + dBz, CR2 + dCRx)
+    qRB_y = state(r2 + drx - drz, p2 + dpx - dpz, u2 + dux - duz, v2 + dvx - dvz,
+                  w2 + dwx - dwz, AR2 - dARz, B2 + dBx - dBz, CL2 + dCLx)
+    qLT_y = state(r2 - drx + drz, p2 - dpx + dpz, u2 - dux + duz, v2 - dvx + dvz,
+                  w2 - dwx + dwz, AL2 + dALz, B2 - dBx + dBz, CR2 - dCRx)
+    qLB_y = state(r2 - drx - drz, p2 - dpx - dpz, u2 - dux - duz, v2 - dvx - dvz,
+                  w2 - dwx - dwz, AL2 - dALz, B2 - dBx - dBz, CL2 - dCLx)
+
+    # ---- Z family: varies in (x, y) ----
+    qRT_z = state(r2 + drx + dry, p2 + dpx + dpy, u2 + dux + duy, v2 + dvx + dvy,
+                  w2 + dwx + dwy, AR2 + dARy, BR2 + dBRx, C2 + dCx + dCy)
+    qRB_z = state(r2 + drx - dry, p2 + dpx - dpy, u2 + dux - duy, v2 + dvx - dvy,
+                  w2 + dwx - dwy, AR2 - dARy, BL2 + dBLx, C2 + dCx - dCy)
+    qLT_z = state(r2 - drx + dry, p2 - dpx + dpy, u2 - dux + duy, v2 - dvx + dvy,
+                  w2 - dwx + dwy, AL2 + dALy, BR2 - dBRx, C2 - dCx + dCy)
+    qLB_z = state(r2 - drx - dry, p2 - dpx - dpy, u2 - dux - duy, v2 - dvx - dvy,
+                  w2 - dwx - dwy, AL2 - dALy, BL2 - dBLx, C2 - dCx - dCy)
+
+    qm = (qm_x, qm_y, qm_z)
+    qp = (qp_x, qp_y, qp_z)
+    qedge_z = (qRT_z, qRB_z, qLT_z, qLB_z)
+    qedge_y = (qRT_y, qRB_y, qLT_y, qLB_y)
+    qedge_x = (qRT_x, qRB_x, qLT_x, qLB_x)
+    return qm, qp, qedge_z, qedge_y, qedge_x

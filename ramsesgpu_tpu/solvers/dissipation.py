@@ -1,0 +1,257 @@
+"""Explicit dissipative terms: viscosity and resistivity.
+
+Whole-array JAX re-design of the reference's dissipation kernels
+(reference: src/hydro/viscosity.cuh:51-1141, resistivity.cuh:44-471).
+Face-centered stress/energy fluxes are accumulated with the same
+flux-difference convention as the hyperbolic update, and the resistive EMF
+feeds the same CT curl so divB stays exact.
+
+All fluxes here are pre-scaled by dt/dh exactly like the reference's
+kernels, so the update is U[c] += flux[c] - flux[c+1] per direction.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config.params import RunParams
+from ..core.constants import IA, IB, IC, ID, IP, IU, IV, IW
+from ..ops.stencil import shift_m, shift_p
+
+_X, _Y, _Z = -1, -2, -3
+
+
+def _favg(f, axis):
+    """Average to the left face along axis: 0.5*(f[i] + f[i-1])."""
+    return 0.5 * (f + shift_m(f, axis))
+
+
+def _bdiff(f, axis, d):
+    """Backward difference at the left face along axis: (f[i]-f[i-1])/d."""
+    return (f - shift_m(f, axis)) / d
+
+
+def _tavg4(f, face_axis, t_axis, dt_, ):
+    """Transverse derivative at a face: centered difference along t_axis of
+    the face-averaged field, i.e. ((f[i]+f[i-1])[t+1] - (..)[t-1]) / (4*dt)
+    (viscosity.cuh:128-141 pattern)."""
+    g = f + shift_m(f, face_axis)
+    return (shift_p(g, t_axis) - shift_m(g, t_axis)) / (4.0 * dt_)
+
+
+def _apply_flux_update(params: RunParams, U, fluxes, var_slots):
+    """U[c] += flux[c] - flux[c+1] on the interior, for the given components.
+    ``fluxes`` is a dict axis -> {slot: flux_array}."""
+    g = params.ghost_width
+    interior = (slice(g, -g),) * params.dim
+    for axis, comp in fluxes.items():
+        for slot, flx in comp.items():
+            dF = (flx - shift_p(flx, axis))[interior]
+            U = U.at[(slot,) + interior].add(dF)
+    return U
+
+
+# --------------------------------------------------------------------------- #
+# viscosity
+# --------------------------------------------------------------------------- #
+def compute_viscosity_fluxes(params: RunParams, U: jnp.ndarray, dt):
+    """Navier-Stokes stress fluxes (viscosity.cuh:51-400 2D, :412+ 3D)."""
+    nu = params.nu
+    dx, dy, dz = params.dx, params.dy, params.dz
+    two3rd = 2.0 / 3.0
+
+    rho = U[ID]
+    u = U[IU] / rho
+    v = U[IV] / rho
+    with_energy = params.c_iso <= 0
+
+    fluxes: dict = {}
+    if params.dim == 2:
+        # x-face flux
+        rho_f = _favg(rho, _X)
+        dudx_x = _bdiff(u, _X, dx)
+        dvdx_x = _bdiff(v, _X, dx)
+        dudy_x = _tavg4(u, _X, _Y, dy)
+        dvdy_x = _tavg4(v, _X, _Y, dy)
+        txx = -two3rd * nu * rho_f * (2.0 * dudx_x - dvdy_x)
+        txy = -nu * rho_f * (dudy_x + dvdx_x)
+        fx = {IU: txx * dt / dx, IV: txy * dt / dx}
+        if with_energy:
+            fx[IP] = (_favg(u, _X) * txx + _favg(v, _X) * txy) * dt / dx
+        fluxes[_X] = fx
+
+        # y-face flux
+        rho_f = _favg(rho, _Y)
+        dudy_y = _bdiff(u, _Y, dy)
+        dvdy_y = _bdiff(v, _Y, dy)
+        dudx_y = _tavg4(u, _Y, _X, dx)
+        dvdx_y = _tavg4(v, _Y, _X, dx)
+        tyy = -two3rd * nu * rho_f * (2.0 * dvdy_y - dudx_y)
+        txy = -nu * rho_f * (dudy_y + dvdx_y)
+        fy = {IU: txy * dt / dy, IV: tyy * dt / dy}
+        if with_energy:
+            fy[IP] = (_favg(u, _Y) * txy + _favg(v, _Y) * tyy) * dt / dy
+        fluxes[_Y] = fy
+        return fluxes
+
+    # --- 3D ---
+    w = U[IW] / rho
+    for axis, dh, nvel in ((_X, dx, 0), (_Y, dy, 1), (_Z, dz, 2)):
+        rho_f = _favg(rho, axis)
+        vels = (u, v, w)
+        dhs = (dx, dy, dz)
+        axes = (_X, _Y, _Z)
+        # normal derivative of each velocity component at the face
+        dnorm = [_bdiff(q, axis, dh) for q in vels]
+        # transverse derivatives of each velocity at the face
+        dtrans = {}
+        for t_i, (t_axis, t_dh) in enumerate(zip(axes, dhs)):
+            if t_axis == axis:
+                continue
+            dtrans[t_i] = [_tavg4(q, axis, t_axis, t_dh) for q in vels]
+
+        # divergence-complement term: sum of the two transverse normal
+        # derivatives dq_t/dt
+        div_t = sum(dtrans[t_i][t_i] for t_i in dtrans)
+        t_norm = -two3rd * nu * rho_f * (2.0 * dnorm[nvel] - div_t)
+
+        comp = {}
+        vel_slots = (IU, IV, IW)
+        comp[vel_slots[nvel]] = t_norm * dt / dh
+        shear_stresses = {nvel: t_norm}
+        for t_i in dtrans:
+            t_shear = -nu * rho_f * (dtrans[t_i][nvel] + dnorm[t_i])
+            comp[vel_slots[t_i]] = t_shear * dt / dh
+            shear_stresses[t_i] = t_shear
+        if with_energy:
+            e_flux = sum(_favg(vels[k], axis) * s for k, s in shear_stresses.items())
+            comp[IP] = e_flux * dt / dh
+        fluxes[axis] = comp
+    return fluxes
+
+
+def apply_viscosity(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
+    fluxes = compute_viscosity_fluxes(params, U, dt)
+    return _apply_flux_update(params, U, fluxes, None)
+
+
+# --------------------------------------------------------------------------- #
+# resistivity
+# --------------------------------------------------------------------------- #
+def compute_resistivity_emf(params: RunParams, U: jnp.ndarray):
+    """Resistive EMF at edges: -eta * J (resistivity.cuh:44-115, 233-330).
+    Returns (emf_z, emf_y, emf_x); in 2D only emf_z (others None)."""
+    eta = params.eta
+    dx, dy, dz = params.dx, params.dy, params.dz
+    bx, by, bz = U[IA], U[IB], U[IC]
+
+    if params.dim == 2:
+        jz = _bdiff(by, _X, dx) - _bdiff(bx, _Y, dy)
+        return -eta * jz, None, None
+
+    jx = _bdiff(bz, _Y, dy) - _bdiff(by, _Z, dz)
+    jy = _bdiff(bx, _Z, dz) - _bdiff(bz, _X, dx)
+    jz = _bdiff(by, _X, dx) - _bdiff(bx, _Y, dy)
+    return -eta * jz, -eta * jy, -eta * jx
+
+
+def apply_resistivity_ct(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
+    """CT update with the resistive EMF (compute_ct_update path)."""
+    g = params.ghost_width
+    dtdx, dtdy = dt / params.dx, dt / params.dy
+    emf_z, emf_y, emf_x = compute_resistivity_emf(params, U)
+
+    if params.dim == 2:
+        ct = (slice(g, U.shape[_Y] - g + 1), slice(g, U.shape[_X] - g + 1))
+        U = U.at[(IA,) + ct].add((shift_p(emf_z, _Y) - emf_z)[ct] * dtdy)
+        U = U.at[(IB,) + ct].add(-(shift_p(emf_z, _X) - emf_z)[ct] * dtdx)
+        return U
+
+    dtdz = dt / params.dz
+    ct = (
+        slice(g, U.shape[_Z] - g + 1),
+        slice(g, U.shape[_Y] - g + 1),
+        slice(g, U.shape[_X] - g + 1),
+    )
+    dbx = (shift_p(emf_z, _Y) - emf_z)[ct] * dtdy - (shift_p(emf_y, _Z) - emf_y)[ct] * dtdz
+    dby = (shift_p(emf_x, _Z) - emf_x)[ct] * dtdz - (shift_p(emf_z, _X) - emf_z)[ct] * dtdx
+    dbz = (shift_p(emf_y, _X) - emf_y)[ct] * dtdx - (shift_p(emf_x, _Y) - emf_x)[ct] * dtdy
+    U = U.at[(IA,) + ct].add(dbx)
+    U = U.at[(IB,) + ct].add(dby)
+    U = U.at[(IC,) + ct].add(dbz)
+    return U
+
+
+def compute_resistivity_energy_fluxes(params: RunParams, U: jnp.ndarray, dt):
+    """Resistive Poynting energy fluxes at faces
+    (resistivity.cuh:124-212 2D, and the 3D twin)."""
+    eta = params.eta
+    dx, dy, dz = params.dx, params.dy, params.dz
+    bx, by, bz = U[IA], U[IB], U[IC]
+
+    def edge_avg_pair(j_edge, axis):
+        """Average an edge-centered current to the face: (j + j[axis+1])/2."""
+        return 0.5 * (j_edge + shift_p(j_edge, axis))
+
+    if params.dim == 2:
+        jz_edge = _bdiff(by, _X, dx) - _bdiff(bx, _Y, dy)  # at (i-1/2, j-1/2)
+
+        # x-face
+        By_f = 0.25 * (by + shift_m(by, _X) + shift_p(by, _Y) + shift_p(shift_m(by, _X), _Y))
+        Bz_f = _favg(bz, _X)
+        jy_f = -_bdiff(bz, _X, dx)
+        jz_f = edge_avg_pair(jz_edge, _Y)
+        fx = {IP: -eta * (jy_f * Bz_f - jz_f * By_f) * dt / dx}
+
+        # y-face
+        Bx_f = 0.25 * (bx + shift_m(bx, _Y) + shift_p(bx, _X) + shift_p(shift_m(bx, _Y), _X))
+        Bz_f2 = _favg(bz, _Y)
+        jx_f = _bdiff(bz, _Y, dy)
+        jz_f2 = edge_avg_pair(jz_edge, _X)
+        fy = {IP: -eta * (jz_f2 * Bx_f - jx_f * Bz_f2) * dt / dy}
+        return {_X: fx, _Y: fy}
+
+    # --- 3D (resistivity.cuh kernel_resistivity_energy_flux_3d) ---
+    jx_edge = _bdiff(bz, _Y, dy) - _bdiff(by, _Z, dz)  # at (i, j-1/2, k-1/2)
+    jy_edge = _bdiff(bx, _Z, dz) - _bdiff(bz, _X, dx)  # at (i-1/2, j, k-1/2)
+    jz_edge = _bdiff(by, _X, dx) - _bdiff(bx, _Y, dy)  # at (i-1/2, j-1/2, k)
+
+    def quad_avg(f, face_axis, t_axis):
+        return 0.25 * (
+            f + shift_m(f, face_axis) + shift_p(f, t_axis) + shift_p(shift_m(f, face_axis), t_axis)
+        )
+
+    # x-face
+    By_f = quad_avg(by, _X, _Y)
+    Bz_f = quad_avg(bz, _X, _Z)
+    jy_f = edge_avg_pair(jy_edge, _Z)
+    jz_f = edge_avg_pair(jz_edge, _Y)
+    fx = {IP: -eta * (jy_f * Bz_f - jz_f * By_f) * dt / dx}
+
+    # y-face
+    Bx_f = quad_avg(bx, _Y, _X)
+    Bz_f2 = quad_avg(bz, _Y, _Z)
+    jx_f = edge_avg_pair(jx_edge, _Z)
+    jz_f2 = edge_avg_pair(jz_edge, _X)
+    fy = {IP: -eta * (jz_f2 * Bx_f - jx_f * Bz_f2) * dt / dy}
+
+    # z-face
+    Bx_f2 = quad_avg(bx, _Z, _X)
+    By_f2 = quad_avg(by, _Z, _Y)
+    jx_f2 = edge_avg_pair(jx_edge, _Y)
+    jy_f2 = edge_avg_pair(jy_edge, _X)
+    fz = {IP: -eta * (jx_f2 * By_f2 - jy_f2 * Bx_f2) * dt / dz}
+    return {_X: fx, _Y: fy, _Z: fz}
+
+
+def apply_dissipation_mhd(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
+    """Dissipative step for MHD, mirroring the sequencing of
+    mhd_godunov_unsplit_cpu_v1.cpp:300-345: resistive EMF + CT, resistive
+    energy flux (non-isothermal), then viscous fluxes."""
+    if params.eta > 0:
+        U = apply_resistivity_ct(params, U, dt)
+        if params.c_iso <= 0:
+            fluxes = compute_resistivity_energy_fluxes(params, U, dt)
+            U = _apply_flux_update(params, U, fluxes, None)
+    if params.nu > 0:
+        U = apply_viscosity(params, U, dt)
+    return U

@@ -58,6 +58,11 @@ def make_step_fn(params: RunParams) -> Callable:
             dt = compute_dt(params, U)
             U_b = make_boundaries(params, U)
             U_new = godunov_unsplit_hydro(params, U_b, dt, gravity=gravity)
+            if params.nu > 0:
+                from .dissipation import apply_viscosity
+
+                U_new = make_boundaries(params, U_new)
+                U_new = apply_viscosity(params, U_new, dt)
             return U_new, dt
 
     return step

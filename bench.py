@@ -1,0 +1,116 @@
+"""Flagship benchmark: 3D MHD+CT cell-updates/s per chip.
+
+Mirrors the reference's built-in throughput metric ("cell updates per
+seconds (based on wall time)", MHDRunGodunov.cpp:4063-4068) on the
+north-star workload (BASELINE.md): 3D MHD+CT at 256^3 per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 1e9 (the >=1 Gcell-update/s/chip target).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ramsesgpu_tpu.config.configmap import ConfigMap
+from ramsesgpu_tpu.config.params import params_from_config
+from ramsesgpu_tpu.problems import init_problem
+from ramsesgpu_tpu.solvers.boundary import make_boundaries
+from ramsesgpu_tpu.solvers.step import make_step_fn
+
+_INI = """
+[run]
+tend=100.0
+[mesh]
+nx={n}
+ny={n}
+nz={n}
+xmin=-0.5
+xmax=0.5
+ymin=-0.5
+ymax=0.5
+zmin=-0.5
+zmax=0.5
+boundary_xmin=3
+boundary_xmax=3
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=3
+boundary_zmax=3
+[hydro]
+problem=Orszag-Tang
+cfl=0.4
+gamma0=1.666
+slope_type=2.0
+riemannSolver=hlld
+smallr=1e-7
+smallc=1e-7
+[MHD]
+enable=true
+magRiemannSolver=hlld
+"""
+
+
+def bench_size(n: int, n_warmup: int = 2, n_iter: int = 10):
+    config = ConfigMap(text=_INI.format(n=n))
+    params = params_from_config(config)
+    U = jnp.asarray(init_problem(params, config))
+    U = jax.jit(lambda u: make_boundaries(params, u))(U)
+
+    step = jax.jit(make_step_fn(params), donate_argnums=0)
+
+    # warmup / compile
+    for _ in range(n_warmup):
+        U, dt = step(U)
+    U.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        U, dt = step(U)
+    U.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    if not bool(jnp.isfinite(dt)):
+        raise RuntimeError("non-finite dt during benchmark")
+
+    cells = n**3
+    return n_iter * cells / elapsed
+
+
+def main() -> int:
+    value = None
+    used_n = None
+    for n in (256, 192, 128, 64):
+        try:
+            value = bench_size(n)
+            used_n = n
+            break
+        except Exception as exc:  # OOM fallback to smaller grids
+            print(f"bench at {n}^3 failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            continue
+    if value is None:
+        print(json.dumps({"metric": "error", "value": 0, "unit": "", "vs_baseline": 0}))
+        return 1
+
+    print(
+        json.dumps(
+            {
+                "metric": f"cell-updates/s/chip (3D MHD+CT HLLD, {used_n}^3, float32)",
+                "value": round(value, 1),
+                "unit": "cells/s",
+                "vs_baseline": round(value / 1e9, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

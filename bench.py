@@ -54,11 +54,13 @@ smallc=1e-7
 [MHD]
 enable=true
 magRiemannSolver=hlld
+[implementation]
+zSlabNb={slabs}
 """
 
 
-def bench_size(n: int, n_warmup: int = 2, n_iter: int = 10):
-    config = ConfigMap(text=_INI.format(n=n))
+def bench_size(n: int, slabs: int, n_warmup: int = 2, n_iter: int = 10):
+    config = ConfigMap(text=_INI.format(n=n, slabs=slabs))
     params = params_from_config(config)
     U = jnp.asarray(init_problem(params, config))
     U = jax.jit(lambda u: make_boundaries(params, u))(U)
@@ -86,9 +88,11 @@ def bench_size(n: int, n_warmup: int = 2, n_iter: int = 10):
 def main() -> int:
     value = None
     used_n = None
-    for n in (256, 192, 128, 64):
+    # z-slab count bounds the live scratch of the whole-array pipeline
+    # (solvers/zslab.py) so 256^3 fits one chip's HBM
+    for n, slabs in ((256, 16), (192, 8), (128, 4), (64, 1)):
         try:
-            value = bench_size(n)
+            value = bench_size(n, slabs)
             used_n = n
             break
         except Exception as exc:  # OOM fallback to smaller grids

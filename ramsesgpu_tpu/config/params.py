@@ -89,6 +89,7 @@ class RunParams:
     trace_version: int = 1
     unsplit_version: int = 1
     implementation_version: int = 1  # MHD pipeline version knob ([MHD] section)
+    z_slab_nb: int = 0  # >1: z-slab pipelining for 3D memory capacity
 
     # source terms
     omega0: float = 0.0           # rotating frame / shearing box angular velocity
@@ -252,6 +253,7 @@ def params_from_config(config: ConfigMap, **overrides) -> RunParams:
         mag_riemann_solver=mag_riemann,
         trace_version=config.get_integer("hydro", "traceVersion", 1),
         unsplit_version=config.get_integer("implementation", "unsplitVersion", 1),
+        z_slab_nb=config.get_integer("implementation", "zSlabNb", 0),
         implementation_version=config.get_integer("MHD", "implementationVersion", 1),
         omega0=config.get_float("MHD", "omega0", 0.0),
         nu=config.get_float("hydro", "nu", 0.0),

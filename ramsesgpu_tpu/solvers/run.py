@@ -44,6 +44,14 @@ class Run:
         # history ([history] section, HydroRunBase.cpp:7235+)
         self.history_enabled = config.get_bool("history", "enabled", False)
         self.dt_hist = config.get_float("history", "dtHist", 0.0)
+        self._history_writer = None
+        self._next_hist_time = 0.0
+        if self.history_enabled:
+            from ..io.history import HistoryWriter
+
+            self._history_writer = HistoryWriter(
+                self.params, self.output_dir, self.output_prefix
+            )
 
         self.t = 0.0
         self.n_step = 0
@@ -122,6 +130,18 @@ class Run:
 
             if self.n_log > 0 and self.n_step % self.n_log == 0:
                 print(f"step {self.n_step:7d}  t={self.t:.6f}", file=sys.stderr)
+
+            if self._history_writer is not None and (
+                self.dt_hist <= 0 or self.t >= self._next_hist_time
+            ):
+                from ..io.history import compute_history
+
+                sample = compute_history(p, self.U, self.t, 0.0)
+                with self.io_timer:
+                    self._history_writer.append(sample)
+                if self.dt_hist > 0:
+                    while self._next_hist_time <= self.t:
+                        self._next_hist_time += self.dt_hist
 
         self.U.block_until_ready()
         wall.stop()

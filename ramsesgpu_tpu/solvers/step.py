@@ -43,13 +43,24 @@ def make_step_fn(params: RunParams) -> Callable:
     """Build ``step(U) -> (U_new, dt)`` for this configuration."""
     gravity = make_gravity_field(params)
 
+    use_zslab = params.dim == 3 and params.z_slab_nb > 1
+
     if params.mhd:
         from .godunov_mhd import godunov_unsplit_mhd
 
         def step(U):
             dt = compute_dt(params, U)
             U_b = make_boundaries(params, U)
-            U_new = godunov_unsplit_mhd(params, U_b, dt)
+            if use_zslab:
+                from .zslab import zslab_apply
+
+                U_new = zslab_apply(
+                    params, U_b,
+                    lambda w: godunov_unsplit_mhd(params, w, dt),
+                    params.z_slab_nb,
+                )
+            else:
+                U_new = godunov_unsplit_mhd(params, U_b, dt)
             return U_new, dt
 
     else:
@@ -57,7 +68,18 @@ def make_step_fn(params: RunParams) -> Callable:
         def step(U):
             dt = compute_dt(params, U)
             U_b = make_boundaries(params, U)
-            U_new = godunov_unsplit_hydro(params, U_b, dt, gravity=gravity)
+            if use_zslab and gravity is None:
+                # (uniform-gravity + zslab would need per-window gravity
+                # slices; fall back to the monolithic update in that case)
+                from .zslab import zslab_apply
+
+                U_new = zslab_apply(
+                    params, U_b,
+                    lambda w: godunov_unsplit_hydro(params, w, dt, gravity=None),
+                    params.z_slab_nb,
+                )
+            else:
+                U_new = godunov_unsplit_hydro(params, U_b, dt, gravity=gravity)
             if params.nu > 0:
                 from .dissipation import apply_viscosity
 

@@ -1,0 +1,151 @@
+"""I/O subsystem tests: HDF5 round trip, XDMF wrapper, restart (+upscale),
+VTK writer, history file."""
+import numpy as np
+import pytest
+
+from ramsesgpu_tpu.config.configmap import ConfigMap
+from ramsesgpu_tpu.config.params import params_from_config
+from ramsesgpu_tpu.core.constants import ID
+from ramsesgpu_tpu.io.hdf5 import input_hdf5, output_hdf5, upscale
+from ramsesgpu_tpu.io.vtk import output_vtk
+from ramsesgpu_tpu.problems import init_problem
+
+SOD_INI = """
+[run]
+tend=0.2
+[mesh]
+nx=32
+ny=16
+boundary_xmin=2
+boundary_xmax=2
+boundary_ymin=3
+boundary_ymax=3
+[hydro]
+problem=sod
+riemannSolver=hllc
+"""
+
+
+@pytest.fixture
+def sod_state():
+    config = ConfigMap(text=SOD_INI)
+    params = params_from_config(config)
+    U = init_problem(params, config)
+    return params, config, U
+
+
+def test_hdf5_roundtrip_ghosted(sod_state, tmp_path):
+    params, config, U = sod_state
+    path = output_hdf5(
+        params, U, 42, total_time=1.25, output_dir=str(tmp_path),
+        prefix="t", ghost_included=True,
+    )
+    assert path.exists()
+    assert path.with_suffix(".xmf").exists()
+    U2, t, step = input_hdf5(params, path)
+    assert t == 1.25
+    assert step == 42
+    np.testing.assert_array_equal(U2, U)
+
+
+def test_hdf5_roundtrip_interior(sod_state, tmp_path):
+    params, config, U = sod_state
+    path = output_hdf5(params, U, 0, output_dir=str(tmp_path), prefix="t")
+    U2, t, step = input_hdf5(params, path)
+    g = params.ghost_width
+    sl = (slice(None), slice(g, -g), slice(g, -g))
+    np.testing.assert_array_equal(U2[sl], U[sl])
+
+
+def test_hdf5_compression(sod_state, tmp_path):
+    import h5py
+
+    params, config, U = sod_state
+    p1 = output_hdf5(
+        params, U, 1, output_dir=str(tmp_path), prefix="gz", compression_level=9
+    )
+    with h5py.File(p1) as f:
+        assert f["density"].compression == "gzip"
+    U2, _, _ = input_hdf5(params, p1)
+    g = params.ghost_width
+    sl = (slice(None), slice(g, -g), slice(g, -g))
+    np.testing.assert_array_equal(U2[sl], U[sl])
+
+
+def test_upscale_doubles_resolution(sod_state):
+    params, config, U = sod_state
+    fine_params = params.replace(nx=params.nx * 2, ny=params.ny * 2)
+    fine = upscale(fine_params, U)
+    assert fine.shape == fine_params.shape
+    g = params.ghost_width
+    # each coarse interior cell value appears in a 2x2 block
+    np.testing.assert_array_equal(
+        fine[ID, g, g : g + 2], np.repeat(U[ID, g, g : g + 1], 2)
+    )
+    # total "mass" scales by 4 in cell count (2D)
+    coarse_sum = U[ID, g:-g, g:-g].sum()
+    fine_sum = fine[ID, g:-g, g:-g].sum()
+    np.testing.assert_allclose(fine_sum, 4 * coarse_sum, rtol=1e-6)
+
+
+def test_restart_resume_matches_straight_run(tmp_path):
+    """Run 20 steps, checkpoint, resume 10 more — must match a straight
+    30-step run exactly (the reference's checkpoint/restart contract)."""
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.solvers.boundary import make_boundaries
+    from ramsesgpu_tpu.solvers.step import make_advance_n
+
+    config = ConfigMap(text=SOD_INI)
+    params = params_from_config(config)
+    U = jnp.asarray(init_problem(params, config))
+    U = make_boundaries(params, U)
+    advance = make_advance_n(params)
+
+    U20, t20, _ = advance(U, jnp.asarray(0.0, U.dtype), jnp.array(20, jnp.int32))
+    path = output_hdf5(
+        params, np.asarray(U20), 20, total_time=float(t20),
+        output_dir=str(tmp_path), prefix="ckpt", ghost_included=True,
+    )
+
+    # resume
+    config.set_bool("run", "restart", True)
+    config.set_string("run", "restart_filename", str(path))
+    config.set_string("output", "outputDir", str(tmp_path))
+    from ramsesgpu_tpu.io.restart import load_restart
+
+    U_r, t_r, step_r = load_restart(params, config)
+    assert step_r == 20
+    np.testing.assert_allclose(float(t_r), float(t20), rtol=1e-7)
+    U30_resumed, _, _ = advance(U_r, jnp.asarray(t_r, U.dtype), jnp.array(10, jnp.int32))
+
+    U30_straight, _, _ = advance(U, jnp.asarray(0.0, U.dtype), jnp.array(30, jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(U30_resumed), np.asarray(U30_straight), atol=1e-6
+    )
+
+
+def test_vtk_ascii_and_binary(sod_state, tmp_path):
+    params, config, U = sod_state
+    p_bin = output_vtk(params, U, 0, output_dir=str(tmp_path), prefix="b")
+    p_asc = output_vtk(
+        params, U, 1, output_dir=str(tmp_path), prefix="a", binary=False
+    )
+    assert b"appended" in p_bin.read_bytes()[:600]
+    assert "ascii" in p_asc.read_text()[:600]
+
+
+def test_history_writer(sod_state, tmp_path):
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.io.history import HistoryWriter, compute_history
+
+    params, config, U = sod_state
+    writer = HistoryWriter(params, str(tmp_path), "hist")
+    sample = compute_history(params, jnp.asarray(U), 0.5, 0.01)
+    writer.append(sample)
+    writer.append(sample)
+    lines = writer.path.read_text().strip().splitlines()
+    assert lines[0].startswith("# totalTime dt mass totalEnergy")
+    assert len(lines) == 3
+    assert sample["mass"] > 0

@@ -1,0 +1,115 @@
+"""Z-slab pipelining must be bit-for-bit equivalent to the monolithic update
+on the interior (ghosts may differ by the CT extra layer; they are refilled
+every step)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ramsesgpu_tpu.config.configmap import ConfigMap
+from ramsesgpu_tpu.config.params import params_from_config
+from ramsesgpu_tpu.problems import init_problem
+from ramsesgpu_tpu.solvers.boundary import make_boundaries
+from ramsesgpu_tpu.solvers.step import make_advance_n
+
+MHD3D_INI = """
+[run]
+tend=10.0
+[mesh]
+nx=16
+ny=16
+nz=32
+xmin=-0.5
+xmax=0.5
+ymin=-0.5
+ymax=0.5
+zmin=-0.5
+zmax=0.5
+boundary_xmin=3
+boundary_xmax=3
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=3
+boundary_zmax=3
+[hydro]
+problem=FieldLoop
+cfl=0.4
+gamma0=1.666
+slope_type=2.0
+riemannSolver=hlld
+smallr=1e-7
+smallc=1e-7
+[MHD]
+enable=true
+magRiemannSolver=hlld
+[FieldLoop]
+radius=0.3
+amplitude=0.001
+vflow=1.0
+amp=0.0
+"""
+
+HYDRO3D_INI = """
+[run]
+tend=10.0
+[mesh]
+nx=16
+ny=16
+nz=32
+boundary_xmin=3
+boundary_xmax=3
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=2
+boundary_zmax=2
+[hydro]
+problem=blast
+riemannSolver=hllc
+cfl=0.4
+[blast]
+radius=0.2
+"""
+
+
+@pytest.mark.parametrize("ini,n_slabs", [(MHD3D_INI, 4), (MHD3D_INI, 8), (HYDRO3D_INI, 4)])
+def test_zslab_interior_parity(ini, n_slabs):
+    config = ConfigMap(text=ini)
+    params = params_from_config(config)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+
+    adv_mono = make_advance_n(params)
+    adv_slab = make_advance_n(params.replace(z_slab_nb=n_slabs))
+    Ua, ta, ka = adv_mono(U, jnp.asarray(0.0, U.dtype), jnp.array(8, jnp.int32))
+    Ub, tb, kb = adv_slab(U, jnp.asarray(0.0, U.dtype), jnp.array(8, jnp.int32))
+    assert int(ka) == int(kb)
+    assert float(ta) == float(tb)
+
+    g = params.ghost_width
+    sl = (slice(None),) + (slice(g, -g),) * 3
+    # distinct XLA programs may differ by ~1 ULP per step in fused fp order;
+    # the single-step bitwise check below pins the actual numerics
+    np.testing.assert_allclose(
+        np.asarray(Ua)[sl], np.asarray(Ub)[sl], rtol=0, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("ini,n_slabs", [(MHD3D_INI, 4), (HYDRO3D_INI, 4)])
+def test_zslab_single_step_bitwise(ini, n_slabs):
+    from ramsesgpu_tpu.solvers.step import make_step_fn
+
+    config = ConfigMap(text=ini)
+    params = params_from_config(config)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    Ua, _ = jax.jit(make_step_fn(params))(U)
+    Ub, _ = jax.jit(make_step_fn(params.replace(z_slab_nb=n_slabs)))(U)
+    g = params.ghost_width
+    sl = (slice(None),) + (slice(g, -g),) * 3
+    np.testing.assert_array_equal(np.asarray(Ua)[sl], np.asarray(Ub)[sl])
+
+
+def test_zslab_invalid_count():
+    config = ConfigMap(text=MHD3D_INI)
+    params = params_from_config(config).replace(z_slab_nb=5)  # 32 % 5 != 0
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    with pytest.raises(ValueError):
+        make_advance_n(params)(U, jnp.asarray(0.0, U.dtype), jnp.array(1, jnp.int32))

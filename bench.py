@@ -70,16 +70,19 @@ def bench_size(n: int, slabs: int, n_warmup: int = 2, n_iter: int = 10):
     # warmup / compile
     for _ in range(n_warmup):
         U, dt = step(U)
-    U.block_until_ready()
+    # value-forcing sync: a device->host scalar cannot complete before the
+    # compute chain has actually run (block_until_ready alone proved
+    # unreliable through the remote-TPU tunnel)
+    float(jnp.sum(dt))
 
     t0 = time.perf_counter()
     for _ in range(n_iter):
         U, dt = step(U)
-    U.block_until_ready()
+    checksum = float(jnp.sum(U[0]))
     elapsed = time.perf_counter() - t0
 
-    if not bool(jnp.isfinite(dt)):
-        raise RuntimeError("non-finite dt during benchmark")
+    if not (checksum == checksum):  # NaN guard
+        raise RuntimeError("non-finite state during benchmark")
 
     cells = n**3
     return n_iter * cells / elapsed

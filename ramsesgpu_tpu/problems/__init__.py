@@ -42,6 +42,7 @@ def register_mhd(name: str, fn: InitFn) -> None:
 def _load_mhd_registry() -> dict[str, InitFn]:
     if not _MHD_REGISTRY:
         from . import mhd_inits  # noqa: F401  (registers on import)
+        from . import turbulence_inits  # noqa: F401
     return _MHD_REGISTRY
 
 

@@ -69,7 +69,32 @@ class Run:
         # HydroRunGodunov.cpp:3884)
         self.U = jax.jit(lambda u: make_boundaries(self.params, u))(self.U)
 
-        self._advance_n = make_advance_n(self.params)
+        self._forced = self.params.problem in (
+            "turbulence",
+            "turbulence-Ornstein-Uhlenbeck",
+        )
+        if self._forced:
+            from .step import make_forced_advance_n
+
+            self._advance_forced, self._fstate = make_forced_advance_n(
+                self.params, config
+            )
+            if config.get_bool("run", "restart", False) and self.params.problem == (
+                "turbulence-Ornstein-Uhlenbeck"
+            ):
+                # reload forcing state checkpoint if present
+                from ..ops.forcing import load_ou_forcing
+
+                fpath = (
+                    f"{self.output_dir}/{self.output_prefix}"
+                    f"_forcing_{self.n_step:07d}.npz"
+                )
+                import os as _os
+
+                if _os.path.exists(fpath):
+                    self._fstate = load_ou_forcing(fpath)
+        else:
+            self._advance_n = make_advance_n(self.params)
 
     # ------------------------------------------------------------------ #
     def output(self) -> None:
@@ -98,6 +123,14 @@ class Run:
                     prefix=self.output_prefix,
                     ghost_included=self.ghost_included,
                 )
+            if self._forced and self.params.problem == "turbulence-Ornstein-Uhlenbeck":
+                from ..ops.forcing import save_ou_forcing
+
+                save_ou_forcing(
+                    self._fstate,
+                    f"{self.output_dir}/{self.output_prefix}"
+                    f"_forcing_{self.n_step:07d}.npz",
+                )
 
     # ------------------------------------------------------------------ #
     def start(self, max_steps: int | None = None, do_output: bool = True) -> None:
@@ -119,9 +152,14 @@ class Run:
                 chunk = min(n_output - (self.n_step % n_output), n_stepmax - self.n_step)
             else:
                 chunk = n_stepmax - self.n_step
-            self.U, t_device, k = self._advance_n(
-                self.U, t_device, jnp.array(chunk, jnp.int32)
-            )
+            if self._forced:
+                self.U, self._fstate, t_device, k = self._advance_forced(
+                    self.U, self._fstate, t_device, jnp.array(chunk, jnp.int32)
+                )
+            else:
+                self.U, t_device, k = self._advance_n(
+                    self.U, t_device, jnp.array(chunk, jnp.int32)
+                )
             k = int(k)
             self.t = float(t_device)
             self.n_step += k

@@ -119,3 +119,77 @@ def make_advance_n(params: RunParams) -> Callable:
 def cached_advance_n(params: RunParams) -> Callable:
     """Per-configuration cache so repeated Run objects share compilations."""
     return make_advance_n(params)
+
+
+# --------------------------------------------------------------------------- #
+# turbulence-forced stepping: the step carries forcing state through the loop
+# (the reference applies forcing at the end of godunov_unsplit,
+# HydroRunGodunov.cpp:984-999)
+# --------------------------------------------------------------------------- #
+def make_forced_step_fn(params: RunParams, config) -> tuple[Callable, dict]:
+    """Build ``step(U, fstate) -> (U, fstate, dt)`` plus the initial forcing
+    state for the turbulence problems."""
+    import jax.numpy as jnp
+
+    from ..ops import forcing as fz
+
+    base_step = make_step_fn(params)
+
+    if params.problem == "turbulence":
+        mach = config.get_float("turbulence", "machNumber", 0.0)
+        edot = fz.default_edot(params, config)
+        F = jnp.asarray(fz.turbulence_init_field(params, mach))
+
+        def step(U, fstate):
+            U, dt = base_step(U)
+            norm = fz.random_forcing_normalization(params, U, F, dt, edot)
+            U = fz.add_random_forcing(params, U, F, norm)
+            return U, fstate, dt
+
+        return step, {}
+
+    if params.problem == "turbulence-Ornstein-Uhlenbeck":
+        fp = fz.OUForcingParams.from_config(config)
+        fstate0 = fz.init_ou_forcing(fp)
+        import numpy as np
+
+        dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+        basis = fz.ou_phase_basis(params, fstate0, np.float32)
+
+        def step(U, fstate):
+            U, dt = base_step(U)
+            fstate = fz.update_forcing_field_mode(params, fp, fstate, dt)
+            U = fz.add_ou_forcing_field(params, U, fstate, basis, dt)
+            return U, fstate, dt
+
+        return step, fstate0
+
+    # no forcing: wrap the plain step
+    def step(U, fstate):
+        U, dt = base_step(U)
+        return U, fstate, dt
+
+    return step, {}
+
+
+def make_forced_advance_n(params: RunParams, config) -> tuple[Callable, dict]:
+    """Jitted chunk advance carrying forcing state:
+    (U, fstate, t, n) -> (U, fstate, t, k)."""
+    step, fstate0 = make_forced_step_fn(params, config)
+    t_end = params.t_end
+
+    @jax.jit
+    def advance_n(U, fstate, t, n_steps):
+        def cond(carry):
+            _, _, t_c, k = carry
+            in_time = (t_c < t_end) if t_end > 0 else True
+            return jnp.logical_and(k < n_steps, in_time)
+
+        def body(carry):
+            U_c, f_c, t_c, k = carry
+            U_n, f_n, dt = step(U_c, f_c)
+            return (U_n, f_n, t_c + dt, k + 1)
+
+        return jax.lax.while_loop(cond, body, (U, fstate, t, jnp.array(0, jnp.int32)))
+
+    return advance_n, fstate0

@@ -65,22 +65,28 @@ def bench_size(n: int, slabs: int, n_warmup: int = 2, n_iter: int = 10):
     U = jnp.asarray(init_problem(params, config))
     U = jax.jit(lambda u: make_boundaries(params, u))(U)
 
-    step = jax.jit(make_step_fn(params), donate_argnums=0)
+    from ramsesgpu_tpu.solvers.step import make_advance_n
+
+    # one device dispatch per measured chunk (the production path): the
+    # while_loop advance amortizes host->TPU dispatch latency exactly like a
+    # real run does
+    advance = make_advance_n(params)
+    t = jnp.asarray(0.0, U.dtype)
 
     # warmup / compile
-    for _ in range(n_warmup):
-        U, dt = step(U)
+    U, t, k = advance(U, t, jnp.array(n_warmup, jnp.int32))
     # value-forcing sync: a device->host scalar cannot complete before the
     # compute chain has actually run (block_until_ready alone proved
     # unreliable through the remote-TPU tunnel)
-    float(jnp.sum(dt))
+    float(jnp.sum(t))
 
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        U, dt = step(U)
+    U, t, k = advance(U, t, jnp.array(n_iter, jnp.int32))
     checksum = float(jnp.sum(U[0]))
     elapsed = time.perf_counter() - t0
 
+    if int(k) != n_iter:
+        raise RuntimeError(f"advance stopped early: {int(k)}/{n_iter}")
     if not (checksum == checksum):  # NaN guard
         raise RuntimeError("non-finite state during benchmark")
 

@@ -61,7 +61,7 @@ def make_local_step(params: RunParams) -> Callable:
 
         inv_dt_fn = compute_inv_dt_hydro
 
-    def local_step(U):
+    def local_step(U, t):
         Ug = attach_halos(params, U)
         inv = inv_dt_fn(params, Ug)
         for name in names:
@@ -89,7 +89,7 @@ def make_sharded_advance_n(params: RunParams, mesh: Mesh) -> Callable:
 
         def body(carry):
             U_c, t_c, k = carry
-            U_n, dt = local_step(U_c)
+            U_n, dt = local_step(U_c, t_c)
             return (U_n, t_c + dt, k + 1)
 
         return lax.while_loop(cond, body, (U, t, jnp.array(0, jnp.int32)))
@@ -111,7 +111,7 @@ def make_sharded_step(params: RunParams, mesh: Mesh) -> Callable:
     sharded = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(spec,),
+        in_specs=(spec, P()),
         out_specs=(spec, P()),
         check_rep=False,
     )

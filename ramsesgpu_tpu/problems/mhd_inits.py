@@ -254,6 +254,81 @@ def init_mhd_jet(params: RunParams, config: ConfigMap) -> np.ndarray:
     return U
 
 
+def init_mhd_mri(params: RunParams, config: ConfigMap) -> np.ndarray:
+    """Magneto-rotational instability in a shearing box
+    (MHDRunBase.cpp:2677-2812). Isothermal EOS expected; field type
+    'noflux' (Bz ~ sin 2pi x), 'fluxZ'/'pyl' (uniform Bz), else zero field.
+    Velocities are deviations from the background shear. With gravity
+    enabled, the stratified variant applies the Gaussian density profile
+    and a toroidal field within |z| < H."""
+    if params.dim != 3:
+        raise ValueError("MRI is 3D only")
+    d0 = config.get_float("MRI", "density", 1.0)
+    beta = config.get_float("MRI", "beta", 400.0)
+    p0 = d0 * params.c_iso * params.c_iso
+    mri_type = config.get_string("MRI", "type", "noflux")
+    if mri_type == "pyl":
+        B0 = 1.5 * np.sqrt(d0 * params.omega0**2 * (params.zmax - params.zmin) ** 2 / beta)
+    else:
+        B0 = 2.0 * np.sqrt(p0 / beta)
+    amp = config.get_float("MRI", "amp", 0.01)
+    seed = config.get_integer("MRI", "seed", 0)
+    d_amp = config.get_float("MRI", "density_fluctuations", 0.0)
+    rng = np.random.RandomState(seed if seed else 12345)
+
+    U = _empty(params)
+    cs = coords(params)
+    X = cs[0]
+    shp = params.shape[1:]
+    U[ID] = d0 * (1.0 + d_amp * 2.0 * (rng.rand(*shp) - 0.5))
+    vamp = amp * np.sqrt(p0)
+    U[IU] = d0 * vamp * (rng.rand(*shp) - 0.5)
+    U[IV] = d0 * vamp * (rng.rand(*shp) - 0.5)
+    U[IW] = d0 * vamp * (rng.rand(*shp) - 0.5)
+    if mri_type == "noflux":
+        U[IC] = B0 * np.sin(2.0 * np.pi * X)
+    elif mri_type in ("pyl", "fluxZ"):
+        U[IC] = B0
+
+    gravity_enabled = config.get_bool("gravity", "enabled", False) or config.has(
+        "gravity", "static"
+    )
+    if gravity_enabled:
+        # stratified MRI (MHDRunBase.cpp:2745-2805): Gaussian density
+        # stratification with a floor, toroidal field confined to |z| < H
+        z = cs[2]
+        z_floor = config.get_float("MRI", "zFloor", 5.0)
+        H = params.c_iso / params.omega0
+        U[ID] = d0 * np.maximum(
+            np.exp(-(z * z) / (2.0 * H * H)), np.exp(-z_floor * z_floor / 2.0)
+        )
+        U[IA] = 0.0
+        U[IC] = 0.0
+        U[IB] = np.where(np.abs(z) < H, B0, 0.0)
+
+    _energy_from_cell_b(params, U, np.maximum(p0, params.smallp))
+    return U
+
+
+def mri_gravity_field(params: RunParams, config: ConfigMap) -> np.ndarray:
+    """Static vertical gravity for stratified MRI: g_z = -Omega0^2 z, with an
+    optional smooth cutoff near the vertical boundaries
+    (MHDRunBase.cpp:3163-3245 init_mhd_mri_grav_field)."""
+    from .grid import cell_centers_1d
+
+    z = cell_centers_1d(params, "z")
+    gz = -params.omega0**2 * z
+    if config.get_bool("MRI", "smoothGravity", False):
+        z_floor = config.get_float("MRI", "zFloor", 5.0)
+        H = params.c_iso / params.omega0
+        gz = gz * np.exp(-((np.abs(z) / (z_floor * H)) ** 8))
+    shape = params.shape[1:]
+    dtype = _np_dtype(params)
+    g = np.zeros((3,) + shape, dtype=dtype)
+    g[2] = gz[:, None, None]
+    return g
+
+
 # aliases follow the reference's dispatch (MHDRunBase.cpp:1286-1340)
 for _name in ("Orszag-Tang", "OrszagTang"):
     register_mhd(_name, init_orszag_tang)
@@ -272,3 +347,5 @@ for _name in ("Rayleigh-Taylor", "rayleigh-taylor"):
     register_mhd(_name, init_mhd_rayleigh_taylor)
 for _name in ("jet", "Jet"):
     register_mhd(_name, init_mhd_jet)
+for _name in ("MRI", "Mri", "mri"):
+    register_mhd(_name, init_mhd_mri)

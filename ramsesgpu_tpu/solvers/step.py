@@ -5,11 +5,13 @@ kernel launches (reference: src/hydro/HydroRunGodunov.cpp:4082-4113,
 MHDRunGodunov.cpp:4077+), we expose pure functions of (U, t) that jit into
 one XLA program per configuration:
 
-    step(U)            -> (U', dt)      one time step (dt from CFL)
+    step(U, t)         -> (U', dt)      one time step (dt from CFL)
     advance_n(U, t, n) -> (U', t', k)   up to n steps, stopping at t_end
 
 Everything stays on device; ``advance_n`` wraps the step in a
 ``lax.while_loop`` so a whole output interval runs without host sync.
+The time argument matters only for shearing-box runs (the boundary remap
+shift is 1.5*Omega0*Lx*t); all other configurations ignore it.
 """
 from __future__ import annotations
 
@@ -20,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config.params import RunParams
+from ..core.constants import BoundaryConditionType as BCT
 from .boundary import make_boundaries
 from .godunov import godunov_unsplit_hydro
 from .timestep import compute_dt
@@ -39,18 +42,35 @@ def make_gravity_field(params: RunParams):
     )
 
 
+def uses_shear(params: RunParams) -> bool:
+    return (
+        params.boundary_xmin == BCT.BC_SHEARINGBOX
+        or params.boundary_xmax == BCT.BC_SHEARINGBOX
+    )
+
+
 def make_step_fn(params: RunParams) -> Callable:
-    """Build ``step(U) -> (U_new, dt)`` for this configuration."""
+    """Build ``step(U, t) -> (U_new, dt)`` for this configuration."""
     gravity = make_gravity_field(params)
 
     use_zslab = params.dim == 3 and params.z_slab_nb > 1
+    shear = uses_shear(params)
+
+    def fill_ghosts(U, dt, t):
+        if shear:
+            from .shear import make_all_boundaries_shear
+
+            # the reference fills shear ghosts for time totalTime+dt
+            # (MHDRunGodunov.cpp:3551)
+            return make_all_boundaries_shear(params, U, t + dt)
+        return make_boundaries(params, U)
 
     if params.mhd:
         from .godunov_mhd import godunov_unsplit_mhd
 
-        def step(U):
+        def step(U, t):
             dt = compute_dt(params, U)
-            U_b = make_boundaries(params, U)
+            U_b = fill_ghosts(U, dt, t)
             if use_zslab:
                 from .zslab import zslab_apply
 
@@ -65,9 +85,9 @@ def make_step_fn(params: RunParams) -> Callable:
 
     else:
 
-        def step(U):
+        def step(U, t):
             dt = compute_dt(params, U)
-            U_b = make_boundaries(params, U)
+            U_b = fill_ghosts(U, dt, t)
             if use_zslab and gravity is None:
                 # (uniform-gravity + zslab would need per-window gravity
                 # slices; fall back to the monolithic update in that case)
@@ -106,7 +126,7 @@ def make_advance_n(params: RunParams) -> Callable:
 
         def body(carry):
             U_c, t_c, k = carry
-            U_n, dt = step(U_c)
+            U_n, dt = step(U_c, t_c)
             return (U_n, t_c + dt, k + 1)
 
         U_f, t_f, k_f = jax.lax.while_loop(cond, body, (U, t, jnp.array(0, jnp.int32)))
@@ -127,10 +147,8 @@ def cached_advance_n(params: RunParams) -> Callable:
 # HydroRunGodunov.cpp:984-999)
 # --------------------------------------------------------------------------- #
 def make_forced_step_fn(params: RunParams, config) -> tuple[Callable, dict]:
-    """Build ``step(U, fstate) -> (U, fstate, dt)`` plus the initial forcing
-    state for the turbulence problems."""
-    import jax.numpy as jnp
-
+    """Build ``step(U, fstate, t) -> (U, fstate, dt)`` plus the initial
+    forcing state for the turbulence problems."""
     from ..ops import forcing as fz
 
     base_step = make_step_fn(params)
@@ -140,8 +158,8 @@ def make_forced_step_fn(params: RunParams, config) -> tuple[Callable, dict]:
         edot = fz.default_edot(params, config)
         F = jnp.asarray(fz.turbulence_init_field(params, mach))
 
-        def step(U, fstate):
-            U, dt = base_step(U)
+        def step(U, fstate, t):
+            U, dt = base_step(U, t)
             norm = fz.random_forcing_normalization(params, U, F, dt, edot)
             U = fz.add_random_forcing(params, U, F, norm)
             return U, fstate, dt
@@ -149,15 +167,14 @@ def make_forced_step_fn(params: RunParams, config) -> tuple[Callable, dict]:
         return step, {}
 
     if params.problem == "turbulence-Ornstein-Uhlenbeck":
-        fp = fz.OUForcingParams.from_config(config)
-        fstate0 = fz.init_ou_forcing(fp)
         import numpy as np
 
-        dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+        fp = fz.OUForcingParams.from_config(config)
+        fstate0 = fz.init_ou_forcing(fp)
         basis = fz.ou_phase_basis(params, fstate0, np.float32)
 
-        def step(U, fstate):
-            U, dt = base_step(U)
+        def step(U, fstate, t):
+            U, dt = base_step(U, t)
             fstate = fz.update_forcing_field_mode(params, fp, fstate, dt)
             U = fz.add_ou_forcing_field(params, U, fstate, basis, dt)
             return U, fstate, dt
@@ -165,8 +182,8 @@ def make_forced_step_fn(params: RunParams, config) -> tuple[Callable, dict]:
         return step, fstate0
 
     # no forcing: wrap the plain step
-    def step(U, fstate):
-        U, dt = base_step(U)
+    def step(U, fstate, t):
+        U, dt = base_step(U, t)
         return U, fstate, dt
 
     return step, {}
@@ -187,7 +204,7 @@ def make_forced_advance_n(params: RunParams, config) -> tuple[Callable, dict]:
 
         def body(carry):
             U_c, f_c, t_c, k = carry
-            U_n, f_n, dt = step(U_c, f_c)
+            U_n, f_n, dt = step(U_c, f_c, t_c)
             return (U_n, f_n, t_c + dt, k + 1)
 
         return jax.lax.while_loop(cond, body, (U, fstate, t, jnp.array(0, jnp.int32)))

@@ -100,8 +100,9 @@ def test_zslab_single_step_bitwise(ini, n_slabs):
     config = ConfigMap(text=ini)
     params = params_from_config(config)
     U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
-    Ua, _ = jax.jit(make_step_fn(params))(U)
-    Ub, _ = jax.jit(make_step_fn(params.replace(z_slab_nb=n_slabs)))(U)
+    t0 = jnp.asarray(0.0, U.dtype)
+    Ua, _ = jax.jit(make_step_fn(params))(U, t0)
+    Ub, _ = jax.jit(make_step_fn(params.replace(z_slab_nb=n_slabs)))(U, t0)
     g = params.ghost_width
     sl = (slice(None),) + (slice(g, -g),) * 3
     np.testing.assert_array_equal(np.asarray(Ua)[sl], np.asarray(Ub)[sl])

@@ -38,8 +38,14 @@ class Run:
         self.output_prefix = config.get_string("output", "outputPrefix", "output")
         self.output_vtk = config.get_bool("output", "outputVtk", True)
         self.output_hdf5 = config.get_bool("output", "outputHdf5", False)
+        self.output_png = config.get_bool("output", "outputPng", False)
+        self.output_nrrd = config.get_bool("output", "outputNrrd", False)
+        self.output_xsm = config.get_bool("output", "outputXsm", False)
+        self.output_bin = config.get_bool("output", "outputBin", False)
+        self.output_faces = config.get_bool("output", "outputFaces", False)
         self.ghost_included = config.get_bool("output", "ghostIncluded", False)
         self.n_log = config.get_integer("run", "nlog", 0)
+        self.sf_enabled = config.get_bool("structureFunctions", "enabled", False)
 
         # history ([history] section, HydroRunBase.cpp:7235+)
         self.history_enabled = config.get_bool("history", "enabled", False)
@@ -131,6 +137,50 @@ class Run:
                     f"{self.output_dir}/{self.output_prefix}"
                     f"_forcing_{self.n_step:07d}.npz",
                 )
+            p = self.params
+            names_prefix = f"{self.output_dir}/{self.output_prefix}"
+            if self.output_png:
+                from ..io.png import output_png
+
+                output_png(p, U_host, self.n_step, self.output_dir,
+                           self.output_prefix)
+            if self.output_nrrd:
+                from ..core.constants import var_names
+                from ..io.misc_formats import write_nrrd
+
+                g = p.ghost_width
+                for i, name in enumerate(var_names(p.nb_var)):
+                    write_nrrd(
+                        f"{names_prefix}_{name}_{self.n_step:07d}.nrrd",
+                        U_host[i][(slice(g, -g),) * p.dim],
+                    )
+            if self.output_xsm and p.dim == 2:
+                from ..core.constants import var_names
+                from ..io.misc_formats import write_xsm
+
+                g = p.ghost_width
+                for i, name in enumerate(var_names(p.nb_var)):
+                    write_xsm(
+                        f"{names_prefix}_{name}_{self.n_step:07d}.xsm",
+                        U_host[i][g:-g, g:-g],
+                    )
+            if self.output_bin:
+                from ..io.misc_formats import write_bin
+
+                g = p.ghost_width
+                write_bin(
+                    f"{names_prefix}_{self.n_step:07d}.bin",
+                    U_host[(slice(None),) + (slice(g, -g),) * p.dim],
+                )
+            if self.output_faces:
+                from ..io.misc_formats import output_faces
+
+                output_faces(p, U_host, self.n_step, self.output_dir,
+                             self.output_prefix)
+            if self.sf_enabled:
+                from ..analysis.structure_functions import structure_functions_online
+
+                structure_functions_online(p, self.config, U_host, self.n_step)
 
     # ------------------------------------------------------------------ #
     def start(self, max_steps: int | None = None, do_output: bool = True) -> None:

@@ -25,8 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--scheme",
         default=None,
-        choices=["godunov", "kurganov", "relaxingTVD"],
-        help="numerical scheme (overrides hydro/scheme heritage flag)",
+        choices=["godunov", "godunov-split", "kurganov", "laxliu", "relaxingTVD"],
+        help="numerical scheme (same switch as the reference's euler_main)",
     )
     parser.add_argument(
         "--dump-param-file",
@@ -49,6 +49,8 @@ def main(argv: list[str] | None = None) -> int:
     params = params_from_config(config)
 
     scheme = args.scheme or "godunov"
+    if scheme == "godunov" and not config.get_bool("hydro", "unsplit", True):
+        scheme = "godunov-split"  # [hydro] unsplit=no (HydroRunGodunov.cpp:70)
     if scheme != "godunov":
         from ..solvers.run2d_alt import AltSchemeRun
 

@@ -99,6 +99,20 @@ class RunParams:
     gravity_y: float = 0.0
     gravity_z: float = 0.0
 
+    # legacy-scheme knobs (HydroParameters.h:314-318)
+    alpha_kt: float = 1.4
+    xlambda: float = 0.25
+    ylambda: float = 0.25
+    alpha_ll: float = 0.9  # Lax-Liu ALPHA
+    beta_ll: float = 0.1   # Lax-Liu BETA
+
+    # jet problem parameters ([jet] section, HydroParameters.h:439-444)
+    ijet: int = 0
+    djet: float = 1.0
+    ujet: float = 0.0
+    pjet: float = 0.0
+    offset_jet: int = 0
+
     # precision: "float32" (reference single) or "float64" (reference USE_DOUBLE)
     dtype: str = "float32"
 
@@ -261,6 +275,16 @@ def params_from_config(config: ConfigMap, **overrides) -> RunParams:
         gravity_x=config.get_float("gravity", "static_field_x", 0.0),
         gravity_y=config.get_float("gravity", "static_field_y", 0.0),
         gravity_z=config.get_float("gravity", "static_field_z", 0.0),
+        alpha_kt=config.get_float("hydro", "ALPHA_KT", 1.4),
+        xlambda=config.get_float("hydro", "XLAMBDA", 0.25),
+        ylambda=config.get_float("hydro", "YLAMBDA", 0.25),
+        alpha_ll=config.get_float("hydro", "ALPHA", 0.9),
+        beta_ll=config.get_float("hydro", "BETA", 0.1),
+        ijet=config.get_integer("jet", "ijet", 0),
+        djet=config.get_float("jet", "djet", 1.0),
+        ujet=config.get_float("jet", "ujet", 0.0),
+        pjet=config.get_float("jet", "pjet", 0.0),
+        offset_jet=config.get_integer("jet", "offsetJet", 0),
         dtype=config.get_string("implementation", "dtype", "float32"),
         t_end=config.get_float("run", "tend", 0.0),
         n_stepmax=config.get_integer("run", "nstepmax", 1000),

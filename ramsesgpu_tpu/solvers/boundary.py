@@ -89,6 +89,33 @@ def _fill_side(params: RunParams, U: jnp.ndarray, axis: int, is_max: bool,
     raise ValueError(f"unhandled boundary type {bc!r}")
 
 
+def make_jet(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
+    """Inflow jet injected into the ghost zone each step
+    (reference: HydroRunBase.cpp make_jet — 2D: YMIN ghost strip of width
+    ijet at x-offset offsetJet, velocity +y; 3D: ZMIN ghost square,
+    velocity +z)."""
+    g = params.ghost_width
+    i0 = g + params.offset_jet
+    i1 = i0 + params.ijet
+    djet, ujet, pjet = params.djet, params.ujet, params.pjet
+    e_jet = pjet / (params.gamma0 - 1.0) + 0.5 * djet * ujet * ujet
+
+    if params.dim == 2:
+        sl = (slice(0, g), slice(i0, i1))
+        U = U.at[(ID,) + sl].set(djet)
+        U = U.at[(IP,) + sl].set(e_jet)
+        U = U.at[(IU,) + sl].set(0.0)
+        U = U.at[(IV,) + sl].set(djet * ujet)
+    else:
+        sl = (slice(0, g), slice(i0, i1), slice(i0, i1))
+        U = U.at[(ID,) + sl].set(djet)
+        U = U.at[(IP,) + sl].set(e_jet)
+        U = U.at[(IU,) + sl].set(0.0)
+        U = U.at[(IV,) + sl].set(0.0)
+        U = U.at[(IW,) + sl].set(djet * ujet)
+    return U
+
+
 def make_boundaries(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
     """Fill all ghost layers.
 
@@ -104,4 +131,6 @@ def make_boundaries(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
     if params.dim == 3:
         U = _fill_side(params, U, _Z, False, bts[4])
         U = _fill_side(params, U, _Z, True, bts[5])
+    if params.problem in ("jet", "Jet") and params.ijet > 0:
+        U = make_jet(params, U)
     return U

@@ -57,4 +57,10 @@ def compute_dt(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
         inv_dt = compute_inv_dt_mhd(params, U)
     else:
         inv_dt = compute_inv_dt_hydro(params, U)
+    if params.problem in ("jet", "Jet") and params.ijet > 0:
+        # account for the inflow jet speed (HydroRunBase.cpp:365-367)
+        import math
+
+        cjet = math.sqrt(params.gamma0 * params.pjet / params.djet)
+        inv_dt = jnp.maximum(inv_dt, (params.ujet + cjet) / params.dx)
     return params.cfl / inv_dt

@@ -113,6 +113,11 @@ class RunParams:
     pjet: float = 0.0
     offset_jet: int = 0
 
+    # compute path: "auto" (fused Pallas kernel where supported, on TPU),
+    # "pallas" (force), or "jnp" (whole-array XLA)
+    kernel: str = "auto"
+    pallas_tiles: tuple[int, int] | None = None  # (bz, by) override
+
     # precision: "float32" (reference single) or "float64" (reference USE_DOUBLE)
     dtype: str = "float32"
 
@@ -285,6 +290,7 @@ def params_from_config(config: ConfigMap, **overrides) -> RunParams:
         ujet=config.get_float("jet", "ujet", 0.0),
         pjet=config.get_float("jet", "pjet", 0.0),
         offset_jet=config.get_integer("jet", "offsetJet", 0),
+        kernel=config.get_string("implementation", "kernel", "auto"),
         dtype=config.get_string("implementation", "dtype", "float32"),
         t_end=config.get_float("run", "tend", 0.0),
         n_stepmax=config.get_integer("run", "nstepmax", 1000),

@@ -17,13 +17,13 @@ def write_png_colormap(
     vmax: float | None = None,
 ) -> None:
     from PIL import Image
-    import matplotlib.cm as cm
+    import matplotlib
 
     a = np.asarray(field2d, dtype=np.float64)
     lo = a.min() if vmin is None else vmin
     hi = a.max() if vmax is None else vmax
     norm = (a - lo) / max(hi - lo, 1e-30)
-    rgba = (cm.get_cmap(cmap)(np.clip(norm, 0, 1)) * 255).astype(np.uint8)
+    rgba = (matplotlib.colormaps[cmap](np.clip(norm, 0, 1)) * 255).astype(np.uint8)
     Image.fromarray(rgba[::-1]).save(filename)  # flip so +y is up
 
 

@@ -19,14 +19,22 @@ from ..config.params import RunParams
 from ..core.constants import IA, IB, IC, ID, IP, IU, IV, IW, MagneticRiemannSolver, RiemannSolver
 
 
+def _fast_speed_components(params: RunParams, d, p, a, b, c, bn=None):
+    """Fast magnetosonic speed from explicit components; ``bn`` defaults to
+    ``a`` (mhd_utils.h:30-52)."""
+    if bn is None:
+        bn = a
+    b2 = a * a + b * b + c * c
+    c2 = params.gamma0 * p / d
+    d2 = 0.5 * (b2 / d + c2)
+    return jnp.sqrt(d2 + jnp.sqrt(jnp.maximum(d2 * d2 - c2 * bn * bn / d, 0.0)))
+
+
 def _fast_speed(params: RunParams, q, bn):
     """Fast magnetosonic speed given normal field bn (mhd_utils.h:30-52)."""
     d = q[ID]
     p = q[ID] * params.c_iso**2 if params.c_iso > 0 else q[IP]
-    b2 = q[IA] ** 2 + q[IB] ** 2 + q[IC] ** 2
-    c2 = params.gamma0 * p / d
-    d2 = 0.5 * (b2 / d + c2)
-    return jnp.sqrt(d2 + jnp.sqrt(jnp.maximum(d2 * d2 - c2 * bn * bn / d, 0.0)))
+    return _fast_speed_components(params, d, p, q[IA], q[IB], q[IC], bn)
 
 
 def _find_mhd_flux(params: RunParams, q):
@@ -110,8 +118,7 @@ def riemann_hlld(params: RunParams, ql, qr):
         etot = p * entho + ecin + emag
         ptot = p + emag
         vdotb = u * a + v * b + w * c
-        q_mean = q.at[IA].set(a)
-        cfast = _fast_speed(params, q_mean, a)
+        cfast = _fast_speed_components(params, r, p, a, b, c)
         return r, p, u, v, w, b, c, etot, ptot, vdotb, cfast
 
     rl, pl, ul, vl, wl, bl, cl, etotl, ptotl, vdotbl, cfastl = prep(ql)

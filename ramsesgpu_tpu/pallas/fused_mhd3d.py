@@ -1,0 +1,194 @@
+"""Fused Pallas stencil kernel for the 3D MHD+CT step.
+
+TPU replacement of the reference's CUDA kernel pipeline
+(reference: godunov_unsplit_mhd.cuh + mhd_ct_update.cuh launched from
+MHDRunGodunov.cpp): instead of materializing trace/edge states and fluxes in
+HBM between kernels (which is also what the naive whole-array XLA pipeline
+does — ~50 full-array round trips per step), ONE Pallas kernel streams
+halo-extended windows of U through VMEM and runs the entire
+primitives -> trace -> HLLD fluxes -> EMF -> CT pipeline per window.
+HBM traffic drops to (read window overlap) + (write interior).
+
+The kernel body *reuses the exact whole-array update function*
+(solvers/godunov_mhd.py) on each VMEM window: the wrap-around rings of its
+jnp.roll stencils fall inside the window halo, which is never written out —
+the same invariant that makes the ghosted whole-array version correct.
+
+Grid: (nz/BZ, ny/BY, nx/BX) over the interior; input windows carry
+ghost_width halos on every side and are fetched by manual async DMA (halo'd
+windows overlap, which BlockSpec tiling can't express).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config.params import RunParams
+
+
+def _pick_tiles(params: RunParams) -> tuple[int, int]:
+    """Pick (bz, by) tiles. x is never tiled: lane-dim DMA slices must be
+    128-aligned, and full rows keep the stencil's x-halo free. by must be a
+    multiple of 8 (output sublane tiling). Preference order measured on
+    v5e at 256^3 (8,16) = 2.6e8 cells/s; smaller fallbacks for small grids
+    or VMEM pressure."""
+    for bz, by in ((8, 32), (8, 16), (8, 8), (4, 8), (2, 8), (1, 8)):
+        if params.nz % bz == 0 and params.ny % by == 0:
+            return bz, by
+    return 1, params.ny
+
+
+def pallas_supported(params: RunParams) -> bool:
+    """Whether the fused kernel covers this configuration."""
+    return (
+        params.dim == 3
+        and params.mhd
+        and params.omega0 == 0.0
+        and params.nu == 0.0
+        and params.eta == 0.0
+        and params.ny % 8 == 0
+    )
+
+
+def make_fused_mhd_update(
+    params: RunParams,
+    tiles: tuple[int, int] | None = None,
+    interpret: bool = False,
+    margin_extra: int = 0,
+) -> Callable:
+    """Build ``update(U_ghosted, dt) -> U_interior_new``.
+
+    Requires omega0 == 0 (the rotating-frame xpos plumbing is not yet wired
+    into the tiled path) and dim == 3.
+    """
+    if params.dim != 3 or not params.mhd:
+        raise ValueError("fused kernel currently covers the 3D MHD step")
+    if params.omega0 > 0:
+        raise ValueError("fused kernel does not support the rotating frame yet")
+
+    from ..solvers.godunov_mhd import mhd_3d_interior_update
+
+    g = params.ghost_width
+    nz, ny, nx = params.nz, params.ny, params.nx
+    bz, by = tiles or _pick_tiles(params)
+    if nz % bz or ny % by:
+        raise ValueError(f"tiles {(bz, by)} must divide {(nz, ny)}")
+
+    # window margin: the stencil chain's roll-wrap corruption reaches up to
+    # 5 cells (see mhd_3d_interior_update docstring); windows need that much
+    # true halo since their wrap is NOT periodic. z/y margins come from the
+    # ghosted array, whose ghost width is only g=3 — so the windows reach
+    # into ghost rows by (m - g) beyond: clamp the DMA at the array edge and
+    # let interior tiles read neighbours' interiors.
+    m = g + margin_extra
+    wz = bz + 2 * m
+    # sublane (dim -2) DMA slices must be 8-aligned in shape: round the
+    # window height up and over-read rows above (never consumed)
+    wy = -(-(by + 2 * m) // 8) * 8
+    # full rows with the x-halo in-row, right-padded so DMA row slices are
+    # 128-lane aligned (pad columns beyond reach are never consumed)
+    wx = -(-(nx + 2 * m) // 128) * 128
+    grid = (nz // bz, ny // by)
+    pad_y = wy - (by + 2 * m)  # extra top rows the last tile over-reads
+
+    # a params view with the tile's extents — adjusting the domain bounds so
+    # the *derived cell sizes dx/dy/dz stay identical* to the global grid
+    tile_params = params.replace(
+        ny=by,
+        nz=bz,
+        ymax=params.ymin + by * params.dy,
+        zmax=params.zmin + bz * params.dz,
+    )
+
+    def kernel(dt_ref, u_hbm, out_ref, win, sem):
+        zi = pl.program_id(0)
+        yi = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds(zi * bz, wz), pl.ds(yi * by, wy), :],
+            win,
+            sem,
+        )
+        copy.start()
+        copy.wait()
+        U = win[...]
+        dt = dt_ref[0, 0]
+        out_ref[...] = mhd_3d_interior_update(tile_params, U, dt, margin=(m, m, m))
+
+    out_shape = jax.ShapeDtypeStruct(
+        (params.nb_var, nz, ny, nx),
+        jnp.float64 if params.dtype == "float64" else jnp.float32,
+    )
+
+    fused = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1,) scalar
+            pl.BlockSpec(memory_space=pltpu.ANY),   # U stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (params.nb_var, bz, by, nx),
+            lambda zi, yi: (0, zi, yi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((params.nb_var, wz, wy, wx), out_shape.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def update(U_ghosted, dt):
+        dt_arr = jnp.reshape(dt, (1, 1)).astype(U_ghosted.dtype)
+        # grow the ghost margin from g to m on every axis: z/y/x-left get
+        # (m - g) wrap rows (periodic-consistent for the corruption depth;
+        # non-periodic BCs only ever consume the inner g of the halo)
+        extra = m - g
+        if extra:
+            U_ghosted = jnp.pad(
+                U_ghosted,
+                ((0, 0), (extra, extra), (extra, extra), (extra, 0)),
+                mode="wrap",
+            )
+        pad = wx - U_ghosted.shape[-1]
+        U_padded = jnp.pad(
+            U_ghosted, ((0, 0), (0, 0), (0, pad_y), (0, pad))
+        )
+        # keep XLA's fusion passes away from the custom call's operands
+        # (address-change fusion around pallas custom-calls crashes the
+        # 2026-08 libtpu fusion pass otherwise)
+        U_padded, dt_arr = jax.lax.optimization_barrier((U_padded, dt_arr))
+        out = fused(dt_arr, U_padded)
+        return jax.lax.optimization_barrier(out)
+
+    return update
+
+
+def make_pallas_step_fn(params: RunParams) -> Callable:
+    """Full step using the fused kernel: dt reduction + ghost fill stay in
+    XLA; the Godunov/CT pipeline runs in Pallas. Same (U, t) -> (U', dt)
+    contract as solvers/step.make_step_fn, on the ghosted state."""
+    from ..solvers.boundary import make_boundaries
+    from ..solvers.timestep import compute_dt
+
+    fused = make_fused_mhd_update(params, tiles=params.pallas_tiles)
+    g = params.ghost_width
+    interior = (slice(None),) + (slice(g, -g),) * 3
+
+    def step(U, t):
+        dt = compute_dt(params, U)
+        U_b = make_boundaries(params, U)
+        new_int = fused(U_b, dt)
+        U_new = U_b.at[interior].set(new_int)
+        return U_new, dt
+
+    return step

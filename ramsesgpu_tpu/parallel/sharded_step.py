@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config.params import RunParams
 from ..solvers.godunov import godunov_unsplit_hydro
@@ -99,7 +99,7 @@ def make_sharded_advance_n(params: RunParams, mesh: Mesh) -> Callable:
         mesh=mesh,
         in_specs=(spec, P(), P()),
         out_specs=(spec, P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -113,7 +113,7 @@ def make_sharded_step(params: RunParams, mesh: Mesh) -> Callable:
         mesh=mesh,
         in_specs=(spec, P()),
         out_specs=(spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 

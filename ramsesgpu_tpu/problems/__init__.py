@@ -40,19 +40,17 @@ def register_mhd(name: str, fn: InitFn) -> None:
 
 
 def _load_mhd_registry() -> dict[str, InitFn]:
-    if not _MHD_REGISTRY:
-        from . import mhd_inits  # noqa: F401  (registers on import)
-        from . import turbulence_inits  # noqa: F401
+    # plain imports: idempotent via the module cache, and robust to the
+    # hydro path having already imported turbulence_inits
+    from . import mhd_inits  # noqa: F401  (registers on import)
+    from . import turbulence_inits  # noqa: F401
     return _MHD_REGISTRY
 
 
 def _load_extra_hydro() -> None:
     # riemann2d & turbulence live in their own modules; import registers them
     from . import riemann2d  # noqa: F401
-    try:
-        from . import turbulence_inits  # noqa: F401
-    except ImportError:
-        pass
+    from . import turbulence_inits  # noqa: F401
 
 
 def init_problem(params: RunParams, config: ConfigMap) -> np.ndarray:

@@ -33,13 +33,21 @@ _PERM_Y = (ID, IP, IV, IU, IW, IB, IA, IC)
 _PERM_Z = (ID, IP, IW, IV, IU, IC, IB, IA)
 
 
+def _permute(q, perm):
+    """Component permutation via stack (not fancy indexing, which would
+    capture an index-array constant — unsupported inside Pallas kernels)."""
+    return jnp.stack([q[i] for i in perm])
+
+
 def xpos_array(params: RunParams, dtype) -> jnp.ndarray:
-    """Cell-center x coordinates, broadcastable over [(z,) y, x]."""
+    """Cell-center x coordinates, broadcastable over [(z,) y, x].
+    Uses broadcasted_iota (plain 1D iota does not lower on TPU Pallas)."""
+    import jax
+
     g = params.ghost_width
-    i = jnp.arange(params.isize, dtype=dtype)
-    x = params.xmin + params.dx / 2 + (i - g) * params.dx
     shape = (1,) * (params.dim - 1) + (params.isize,)
-    return x.reshape(shape)
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, params.dim - 1).astype(dtype)
+    return params.xmin + params.dx / 2 + (i - g) * params.dx
 
 
 def godunov_unsplit_mhd(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
@@ -61,9 +69,14 @@ def _godunov_unsplit_mhd_2d(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarra
 
     # --- 1D Riemann fluxes at faces ---
     flux_x = riemann_mhd(params, shift_m(qm_x, _X), qp_x)
-    perm = list(_PERM_Y)
-    flux_y_rot = riemann_mhd(params, shift_m(qm_y, _Y)[perm, ...], qp_y[perm, ...])
-    flux_y = flux_y_rot[perm, ...]
+    flux_y = _permute(
+        riemann_mhd(
+            params,
+            _permute(shift_m(qm_y, _Y), _PERM_Y),
+            _permute(qp_y, _PERM_Y),
+        ),
+        _PERM_Y,
+    )
 
     # --- conservative update (hydro vars + out-of-plane B only;
     #     in-plane B is evolved by CT below) ---
@@ -103,6 +116,127 @@ def _godunov_unsplit_mhd_2d(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarra
     return U_new
 
 
+def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt):
+    """The compute core of the 3D step: face fluxes and edge EMFs.
+    Shared by the XLA whole-array update and the fused Pallas kernel."""
+    from ..ops.trace_mhd3d import trace_unsplit_mhd_3d
+
+    xpos = xpos_array(params, U.dtype)
+
+    Q, _c = constoprim_mhd(params, U, dt)
+    (qm, qp, qedge_z, qedge_y, qedge_x) = trace_unsplit_mhd_3d(
+        params, Q, U[IA], U[IB], U[IC], dt, xpos
+    )
+
+    flux_x = riemann_mhd(params, shift_m(qm[0], _X), qp[0])
+    flux_y = _permute(
+        riemann_mhd(
+            params,
+            _permute(shift_m(qm[1], _Y), _PERM_Y),
+            _permute(qp[1], _PERM_Y),
+        ),
+        _PERM_Y,
+    )
+    flux_z = _permute(
+        riemann_mhd(
+            params,
+            _permute(shift_m(qm[2], _Z), _PERM_Z),
+            _permute(qp[2], _PERM_Z),
+        ),
+        _PERM_Z,
+    )
+
+    # EMF_Z at edge (i-1/2, j-1/2, k)
+    qRT_z, qRB_z, qLT_z, qLB_z = qedge_z
+    emf_z = compute_emf(
+        params,
+        shift_m(shift_m(qRT_z, _X), _Y),
+        shift_m(qRB_z, _X),
+        shift_m(qLT_z, _Y),
+        qLB_z,
+        "z",
+        xpos,
+    )
+    # EMF_Y at edge (i-1/2, j, k-1/2); note the reference's RB/LT role swap
+    # (mhd_godunov_unsplit_cpu_v1.cpp:519-522)
+    qRT_y, qRB_y, qLT_y, qLB_y = qedge_y
+    emf_y = compute_emf(
+        params,
+        shift_m(shift_m(qRT_y, _X), _Z),
+        shift_m(qLT_y, _Z),
+        shift_m(qRB_y, _X),
+        qLB_y,
+        "y",
+        xpos,
+    )
+    # EMF_X at edge (i, j-1/2, k-1/2)
+    qRT_x, qRB_x, qLT_x, qLB_x = qedge_x
+    emf_x = compute_emf(
+        params,
+        shift_m(shift_m(qRT_x, _Y), _Z),
+        shift_m(qRB_x, _Y),
+        shift_m(qLT_x, _Z),
+        qLB_x,
+        "x",
+        xpos,
+    )
+    return (flux_x, flux_y, flux_z), (emf_z, emf_y, emf_x)
+
+
+def mhd_3d_interior_update(
+    params: RunParams, U: jnp.ndarray, dt, margin: tuple[int, int, int] | None = None
+) -> jnp.ndarray:
+    """Scatter-free variant returning ONLY the updated interior
+    [8, nz, ny, nx] — the form consumed by the fused Pallas kernel
+    (no .at[] indexed updates, which don't lower on TPU Pallas).
+
+    ``margin`` = (mz, my, mx) offsets of the interior inside U. Tiled windows
+    need margins *wider* than ghost_width: the roll-wrap corruption of the
+    stencil chain reaches up to 5 cells (cell-centered B +1, trace slopes +2,
+    flux/EMF shifts +2), which the ghosted whole-array form absorbs only
+    because its wrap coincides with the periodic copies.
+    """
+    g = params.ghost_width
+    mz, my, mx = margin if margin is not None else (g, g, g)
+    dtdx, dtdy, dtdz = dt / params.dx, dt / params.dy, dt / params.dz
+    (flux_x, flux_y, flux_z), (emf_z, emf_y, emf_x) = _mhd_3d_fluxes_emfs(
+        params, U, dt
+    )
+    interior = (
+        slice(mz, mz + params.nz),
+        slice(my, my + params.ny),
+        slice(mx, mx + params.nx),
+    )
+    full_int = (slice(None),) + interior
+    dU = (
+        dtdx * (flux_x - shift_p(flux_x, _X))[full_int]
+        + dtdy * (flux_y - shift_p(flux_y, _Y))[full_int]
+        + dtdz * (flux_z - shift_p(flux_z, _Z))[full_int]
+    )
+    dbx = (shift_p(emf_z, _Y) - emf_z)[interior] * dtdy - (
+        shift_p(emf_y, _Z) - emf_y
+    )[interior] * dtdz
+    dby = (shift_p(emf_x, _Z) - emf_x)[interior] * dtdz - (
+        shift_p(emf_z, _X) - emf_z
+    )[interior] * dtdx
+    dbz = (shift_p(emf_y, _X) - emf_y)[interior] * dtdx - (
+        shift_p(emf_x, _Y) - emf_x
+    )[interior] * dtdy
+    Ui = U[full_int]
+    return jnp.stack(
+        [
+            Ui[ID] + dU[ID],
+            Ui[IP] + dU[IP],
+            Ui[IU] + dU[IU],
+            Ui[IV] + dU[IV],
+            Ui[IW] + dU[IW],
+            Ui[IA] + dbx,
+            Ui[IB] + dby,
+            Ui[IC] + dbz,
+        ]
+    )
+
+
 def _godunov_unsplit_mhd_3d(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
     from ..ops.trace_mhd3d import trace_unsplit_mhd_3d
 
@@ -118,14 +252,22 @@ def _godunov_unsplit_mhd_3d(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarra
     )
 
     flux_x = riemann_mhd(params, shift_m(qm[0], _X), qp[0])
-    perm_y = list(_PERM_Y)
-    flux_y = riemann_mhd(
-        params, shift_m(qm[1], _Y)[perm_y, ...], qp[1][perm_y, ...]
-    )[perm_y, ...]
-    perm_z = list(_PERM_Z)
-    flux_z = riemann_mhd(
-        params, shift_m(qm[2], _Z)[perm_z, ...], qp[2][perm_z, ...]
-    )[perm_z, ...]
+    flux_y = _permute(
+        riemann_mhd(
+            params,
+            _permute(shift_m(qm[1], _Y), _PERM_Y),
+            _permute(qp[1], _PERM_Y),
+        ),
+        _PERM_Y,
+    )
+    flux_z = _permute(
+        riemann_mhd(
+            params,
+            _permute(shift_m(qm[2], _Z), _PERM_Z),
+            _permute(qp[2], _PERM_Z),
+        ),
+        _PERM_Z,
+    )
 
     interior = (slice(g, -g),) * 3
     dU = (

@@ -68,6 +68,22 @@ def make_step_fn(params: RunParams) -> Callable:
     if params.mhd:
         from .godunov_mhd import godunov_unsplit_mhd
 
+        use_pallas = False
+        if params.kernel in ("auto", "pallas") and params.dim == 3:
+            from ..pallas.fused_mhd3d import pallas_supported
+
+            backend_ok = True
+            if params.kernel == "auto":
+                import jax as _jax
+
+                backend_ok = _jax.default_backend() == "tpu"
+            use_pallas = backend_ok and pallas_supported(params)
+
+        if use_pallas:
+            from ..pallas.fused_mhd3d import make_pallas_step_fn
+
+            return make_pallas_step_fn(params)
+
         def step(U, t):
             dt = compute_dt(params, U)
             U_b = fill_ghosts(U, dt, t)

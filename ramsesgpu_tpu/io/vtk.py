@@ -57,17 +57,17 @@ def write_vti(
                 "int32": "Int32", "int64": "Int64"}[a.dtype.name]
 
     if binary:
+        from .native import vti_appended_blob
+
         offset = 0
-        blobs = []
+        arrays = []
         for name, a in fields.items():
-            raw = np.ascontiguousarray(a).tobytes()
             lines.append(
                 f'        <DataArray type="{vtk_type(a)}" Name="{name}" '
                 f'format="appended" offset="{offset}" />'
             )
-            header = np.array([len(raw)], dtype=np.uint32).tobytes()
-            blobs.append(header + raw)
-            offset += len(header) + len(raw)
+            arrays.append(np.ascontiguousarray(a))
+            offset += 4 + arrays[-1].nbytes
         lines += [
             "      </CellData>",
             "    </Piece>",
@@ -75,7 +75,7 @@ def write_vti(
             '  <AppendedData encoding="raw">',
         ]
         body = "\n".join(lines).encode() + b"\n    _"
-        body += b"".join(blobs)
+        body += vti_appended_blob(arrays)  # native io_core when built
         body += b"\n  </AppendedData>\n</VTKFile>\n"
         Path(filename).write_bytes(body)
     else:

@@ -73,12 +73,15 @@ def bench_size(n: int, slabs: int, n_warmup: int = 2, n_iter: int = 10):
     advance = make_advance_n(params)
     t = jnp.asarray(0.0, U.dtype)
 
-    # warmup / compile
-    U, t, k = advance(U, t, jnp.array(n_warmup, jnp.int32))
-    # value-forcing sync: a device->host scalar cannot complete before the
-    # compute chain has actually run (block_until_ready alone proved
-    # unreliable through the remote-TPU tunnel)
-    float(jnp.sum(t))
+    # warmup / compile. TWO warmup chunks: the first post-compile execution
+    # through the remote-TPU tunnel is anomalously slow (~10x), the second
+    # reaches steady state.
+    for _ in range(2):
+        U, t, k = advance(U, t, jnp.array(n_warmup, jnp.int32))
+        # value-forcing sync: a device->host scalar cannot complete before
+        # the compute chain has actually run (block_until_ready alone proved
+        # unreliable through the remote-TPU tunnel)
+        float(jnp.sum(t))
 
     t0 = time.perf_counter()
     U, t, k = advance(U, t, jnp.array(n_iter, jnp.int32))

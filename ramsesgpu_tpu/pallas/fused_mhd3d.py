@@ -90,9 +90,25 @@ def make_fused_mhd_update(
     # sublane (dim -2) DMA slices must be 8-aligned in shape: round the
     # window height up and over-read rows above (never consumed)
     wy = -(-(by + 2 * m) // 8) * 8
-    # full rows with the x-halo in-row, right-padded so DMA row slices are
-    # 128-lane aligned (pad columns beyond reach are never consumed)
-    wx = -(-(nx + 2 * m) // 128) * 128
+    # x handling: for periodic x with nx a lane multiple, drop the x ghosts
+    # entirely — full interior rows are exactly lane-aligned and the
+    # in-window rolls wrap around the row, which IS the periodic BC. This
+    # removes the 262->384 lane-padding waste (~46% of VPU work at 256^3).
+    # Otherwise keep ghosted rows right-padded to the alignment.
+    from ..core.constants import BoundaryConditionType as BCT
+
+    periodic_x = (
+        params.boundary_xmin == BCT.BC_PERIODIC
+        and params.boundary_xmax == BCT.BC_PERIODIC
+        and nx % 128 == 0
+        and margin_extra == 0
+    )
+    if periodic_x:
+        wx = nx
+        mx = 0
+    else:
+        wx = -(-(nx + 2 * m) // 128) * 128
+        mx = m
     grid = (nz // bz, ny // by)
     pad_y = wy - (by + 2 * m)  # extra top rows the last tile over-reads
 
@@ -117,7 +133,9 @@ def make_fused_mhd_update(
         copy.wait()
         U = win[...]
         dt = dt_ref[0, 0]
-        out_ref[...] = mhd_3d_interior_update(tile_params, U, dt, margin=(m, m, m))
+        out_ref[...] = mhd_3d_interior_update(
+            tile_params, U, dt, margin=(m, m, mx)
+        )
 
     out_shape = jax.ShapeDtypeStruct(
         (params.nb_var, nz, ny, nx),
@@ -159,6 +177,9 @@ def make_fused_mhd_update(
                 ((0, 0), (extra, extra), (extra, extra), (extra, 0)),
                 mode="wrap",
             )
+        if periodic_x:
+            # drop the x ghosts: the kernel's in-row wrap is the periodic BC
+            U_ghosted = U_ghosted[..., g:-g]
         pad = wx - U_ghosted.shape[-1]
         U_padded = jnp.pad(
             U_ghosted, ((0, 0), (0, 0), (0, pad_y), (0, pad))

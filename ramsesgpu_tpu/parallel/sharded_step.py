@@ -39,7 +39,7 @@ def _state_spec(params: RunParams):
     return P(None, AXIS_Z, AXIS_Y, AXIS_X)
 
 
-def make_local_step(params: RunParams) -> Callable:
+def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
     """Per-shard step on an interior-only block: halo fill, global dt,
     one Godunov update. Returns (new_block, dt)."""
     names = _axis_names(params)
@@ -48,8 +48,42 @@ def make_local_step(params: RunParams) -> Callable:
     if params.mhd:
         from ..solvers.godunov_mhd import godunov_unsplit_mhd
 
-        def update(Ug, dt):
-            return godunov_unsplit_mhd(params, Ug, dt)
+        use_pallas = False
+        local_params = params
+        if mesh is not None and params.kernel in ("auto", "pallas"):
+            from ..pallas.fused_mhd3d import pallas_supported
+
+            mz, my, mx = (mesh.shape.get(k, 1) for k in ("z", "y", "x"))
+            local_params = params.replace(
+                nx=params.nx // mx,
+                ny=params.ny // my,
+                nz=params.nz // mz,
+                xmax=params.xmin + params.nx // mx * params.dx,
+                ymax=params.ymin + params.ny // my * params.dy,
+                zmax=params.zmin + params.nz // mz * params.dz,
+            )
+            backend_ok = params.kernel == "pallas" or (
+                jax.default_backend() == "tpu"
+            )
+            use_pallas = backend_ok and pallas_supported(local_params)
+
+        if use_pallas:
+            from ..pallas.fused_mhd3d import make_fused_mhd_update
+
+            fused = make_fused_mhd_update(local_params, tiles=params.pallas_tiles)
+
+            def update(Ug, dt):
+                # the fused kernel returns the interior directly: re-wrap to
+                # the ghosted contract by padding (the ghosts of the returned
+                # block are never read — strip_halos removes them)
+                inner = fused(Ug, dt)
+                g = params.ghost_width
+                return jnp.pad(inner, ((0, 0),) + ((g, g),) * 3)
+
+        else:
+
+            def update(Ug, dt):
+                return godunov_unsplit_mhd(local_params, Ug, dt)
 
         inv_dt_fn = compute_inv_dt_mhd
     else:
@@ -77,7 +111,7 @@ def make_sharded_advance_n(params: RunParams, mesh: Mesh) -> Callable:
     """Jitted ``advance_n(U_global, t, n) -> (U_global, t, steps)`` where
     U_global is the interior-only sharded state. The while_loop lives inside
     shard_map so a whole output interval runs as one SPMD program."""
-    local_step = make_local_step(params)
+    local_step = make_local_step(params, mesh)
     spec = _state_spec(params)
     t_end = params.t_end
 
@@ -106,7 +140,7 @@ def make_sharded_advance_n(params: RunParams, mesh: Mesh) -> Callable:
 
 def make_sharded_step(params: RunParams, mesh: Mesh) -> Callable:
     """Jitted single step on the sharded global state: (U) -> (U, dt)."""
-    local_step = make_local_step(params)
+    local_step = make_local_step(params, mesh)
     spec = _state_spec(params)
     sharded = shard_map(
         local_step,

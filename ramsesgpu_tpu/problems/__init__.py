@@ -25,10 +25,12 @@ _HYDRO_REGISTRY: dict[str, InitFn] = {
     "Rayleigh-Taylor": hydro_inits.init_hydro_rayleigh_taylor,
     "Gresho-vortex": hydro_inits.init_hydro_gresho_vortex,
     "falling-bubble": hydro_inits.init_hydro_falling_bubble,
+    "Keplerian-disk": hydro_inits.init_hydro_keplerian_disk,
     "jet": hydro_inits.init_hydro_jet,
 }
 
 _MHD_REGISTRY: dict[str, InitFn] = {}
+_GRAVITY_REGISTRY: dict[str, InitFn] = {}
 
 
 def register_hydro(name: str, fn: InitFn) -> None:
@@ -37,6 +39,20 @@ def register_hydro(name: str, fn: InitFn) -> None:
 
 def register_mhd(name: str, fn: InitFn) -> None:
     _MHD_REGISTRY[name] = fn
+
+
+def register_gravity(name: str, fn: InitFn) -> None:
+    _GRAVITY_REGISTRY[name] = fn
+
+
+def gravity_field(params: RunParams, config: ConfigMap):
+    """Problem-specific static gravity field [dim, ...spatial], or None.
+    (the reference's h_gravity array, HydroRunBase.h:80-120)."""
+    _load_extra_hydro()
+    if params.mhd:
+        _load_mhd_registry()
+    fn = _GRAVITY_REGISTRY.get(params.problem)
+    return fn(params, config) if fn is not None else None
 
 
 def _load_mhd_registry() -> dict[str, InitFn]:
@@ -51,6 +67,13 @@ def _load_extra_hydro() -> None:
     # riemann2d & turbulence live in their own modules; import registers them
     from . import riemann2d  # noqa: F401
     from . import turbulence_inits  # noqa: F401
+    _GRAVITY_REGISTRY.setdefault(
+        "Keplerian-disk", hydro_inits.keplerian_gravity_field
+    )
+    from .mhd_inits import mri_gravity_field
+
+    for _name in ("MRI", "Mri", "mri"):
+        _GRAVITY_REGISTRY.setdefault(_name, mri_gravity_field)
 
 
 def init_problem(params: RunParams, config: ConfigMap) -> np.ndarray:

@@ -250,6 +250,55 @@ def init_hydro_gresho_vortex(params: RunParams, config: ConfigMap) -> np.ndarray
     return _set_prim(params, U, mask, rho0, p, u, v)
 
 
+def init_hydro_keplerian_disk(params: RunParams, config: ConfigMap) -> np.ndarray:
+    """Keplerian disk around a softened point mass
+    (HydroRunBase.cpp init_hydro_Keplerian_disk): azimuthal velocity
+    v = r (r^2+eps^2)^(-3/4), piecewise density profile, cold pressure."""
+    eps = config.get_float("Keplerian-disk", "epsilon", 0.01)
+    p0 = config.get_float("Keplerian-disk", "pressure", 1e-6)
+    xc = config.get_float("Keplerian-disk", "xCenter", (params.xmax + params.xmin) / 2)
+    yc = config.get_float("Keplerian-disk", "yCenter", (params.ymax + params.ymin) / 2)
+
+    U = _empty_state(params)
+    cs = coords(params)
+    x = cs[0] - xc
+    y = cs[1] - yc
+    r = np.sqrt(x * x + y * y)
+    theta = np.arctan2(y, x)
+    velocity = r * (r * r + eps * eps) ** (-0.75)
+
+    rho = np.where(
+        r < 0.5,
+        0.01 + (r / 0.5) ** 3,
+        np.where(r <= 2, 1.01, 0.01 + (1 + (r - 2) / 0.1) ** (-3.0)),
+    )
+    u = -np.sin(theta) * velocity
+    v = np.cos(theta) * velocity
+    mask = np.ones(r.shape, dtype=bool)
+    return _set_prim(params, U, mask, rho, p0, u, v)
+
+
+def keplerian_gravity_field(params: RunParams, config: ConfigMap) -> np.ndarray:
+    """Static softened point-mass gravity field for the Keplerian disk
+    (HydroRunBase.cpp: h_gravity = -g * r / (r^2+eps^2)^(3/2))."""
+    eps = config.get_float("Keplerian-disk", "epsilon", 0.01)
+    grav = config.get_float("gravity", "g", 1.0)
+    xc = config.get_float("Keplerian-disk", "xCenter", (params.xmax + params.xmin) / 2)
+    yc = config.get_float("Keplerian-disk", "yCenter", (params.ymax + params.ymin) / 2)
+    cs = coords(params)
+    # NOTE: the reference uses the *uncentered* xPos/yPos in dphi (a quirk
+    # kept here literally would break off-center disks; we use the centered
+    # coordinates, which is the physically intended field)
+    x = cs[0] - xc
+    y = cs[1] - yc
+    r2 = x * x + y * y
+    soft = (r2 + eps * eps) ** (-1.5)
+    g = np.zeros((params.dim,) + params.shape[1:], dtype=_np_dtype(params))
+    g[0] = -grav * x * soft
+    g[1] = -grav * y * soft
+    return g
+
+
 def init_hydro_falling_bubble(params: RunParams, config: ConfigMap) -> np.ndarray:
     """Light bubble falling under gravity (HydroRunBase.cpp:6640-6830)."""
     d0 = config.get_float("falling-bubble", "d0", 1.0)      # light (bubble)

@@ -254,6 +254,46 @@ def init_mhd_jet(params: RunParams, config: ConfigMap) -> np.ndarray:
     return U
 
 
+def init_mhd_inertial_wave(params: RunParams, config: ConfigMap) -> np.ndarray:
+    """Epicyclic inertial wave: uniform state with an x velocity kick
+    (MHDRunBase.cpp:2503-2572); the rotating frame turns it into an
+    epicyclic oscillation with frequency Omega0."""
+    density = config.get_float("InertialWave", "density", 1.0)
+    energy = config.get_float("InertialWave", "energy", 1.0)
+    delta_vx = config.get_float("InertialWave", "delta_vx", 1.0) * params.c_iso
+    U = _empty(params)
+    U[ID] = density
+    U[IP] = energy
+    U[IU] = density * delta_vx
+    return U
+
+
+def init_mhd_shear_wave(params: RunParams, config: ConfigMap) -> np.ndarray:
+    """Compressible shearing wave (MHDRunBase.cpp:2574-2675): a single
+    (kx0, ky0) mode whose kx winds up with the background shear."""
+    two_pi = 2.0 * np.pi
+    d0 = 1.0
+    Lx = params.dx * params.nx
+    Ly = params.dy * params.ny
+    energy = config.get_float("ShearWave", "energy", 1.0)
+    delta_vx = -4.0e-4 * params.c_iso
+    delta_vy = 1.0e-4 * params.c_iso
+    kx0 = -4 * two_pi / Lx
+    ky0 = two_pi / Ly
+    xi0 = 0.5 * params.omega0 / d0
+    delta_rho = (kx0 * delta_vy - ky0 * delta_vx) / xi0
+
+    U = _empty(params)
+    cs = coords(params)
+    X, Y = cs[0], cs[1]
+    phase = kx0 * X + ky0 * Y
+    U[ID] = d0 * (1.0 - delta_rho * np.sin(phase))
+    U[IP] = energy
+    U[IU] = U[ID] * delta_vx * np.cos(phase)
+    U[IV] = U[ID] * delta_vy * np.cos(phase)
+    return U
+
+
 def init_mhd_mri(params: RunParams, config: ConfigMap) -> np.ndarray:
     """Magneto-rotational instability in a shearing box
     (MHDRunBase.cpp:2677-2812). Isothermal EOS expected; field type
@@ -349,3 +389,7 @@ for _name in ("jet", "Jet"):
     register_mhd(_name, init_mhd_jet)
 for _name in ("MRI", "Mri", "mri"):
     register_mhd(_name, init_mhd_mri)
+for _name in ("InertialWave", "inertialwave", "inertial-wave", "Inertial-Wave"):
+    register_mhd(_name, init_mhd_inertial_wave)
+for _name in ("ShearWave", "shearwave", "shear-wave", "Shear-Wave"):
+    register_mhd(_name, init_mhd_shear_wave)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config.params import RunParams
-from ..core.constants import IA, IB, IC, IU, IV, IW, BoundaryConditionType as BCT
+from ..core.constants import IA, IB, IC, ID, IP, IU, IV, IW, BoundaryConditionType as BCT
 
 # axis (relative to trailing spatial dims) and normal-velocity component per side
 _X, _Y, _Z = -1, -2, -3
@@ -45,9 +45,14 @@ def _fill_side(params: RunParams, U: jnp.ndarray, axis: int, is_max: bool,
     gw = params.ghost_width
     n = U.shape[axis] - 2 * gw  # interior cell count along this axis
 
-    if bc in (BCT.BC_COPY, BCT.BC_UNDEFINED, BCT.BC_SHEARINGBOX, BCT.BC_Z_STRATIFIED):
-        # COPY: halo exchange fills it. SHEARINGBOX/Z_STRATIFIED handled by
-        # dedicated routines (solvers/shear.py); treated as no-op here.
+    if bc == BCT.BC_Z_STRATIFIED and axis == _Z:
+        from .stratified import make_boundary_z_stratified
+
+        return make_boundary_z_stratified(params, U, side_max=is_max)
+
+    if bc in (BCT.BC_COPY, BCT.BC_UNDEFINED, BCT.BC_SHEARINGBOX):
+        # COPY: halo exchange fills it. SHEARINGBOX is handled by the
+        # dedicated shear remap (solvers/shear.py); treated as no-op here.
         return U
 
     if bc == BCT.BC_PERIODIC:

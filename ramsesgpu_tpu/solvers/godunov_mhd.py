@@ -50,13 +50,45 @@ def xpos_array(params: RunParams, dtype) -> jnp.ndarray:
     return params.xmin + params.dx / 2 + (i - g) * params.dx
 
 
-def godunov_unsplit_mhd(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
+def godunov_unsplit_mhd(
+    params: RunParams, U: jnp.ndarray, dt, gravity=None
+) -> jnp.ndarray:
     if params.dim == 2:
-        return _godunov_unsplit_mhd_2d(params, U, dt)
-    return _godunov_unsplit_mhd_3d(params, U, dt)
+        return _godunov_unsplit_mhd_2d(params, U, dt, gravity=gravity)
+    return _godunov_unsplit_mhd_3d(params, U, dt, gravity=gravity)
 
 
-def _godunov_unsplit_mhd_2d(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
+def _gravity_kick(params: RunParams, states, gravity, dt):
+    """Half-dt gravity predictor on traced states (MHDRunGodunov.cpp:2688-2736
+    adds grav*dt/2 to the velocities of qm/qp/qEdge)."""
+    vel_slots = (IU, IV, IW)[: params.dim]
+    kicked = []
+    for q in states:
+        for d_ax, slot in enumerate(vel_slots):
+            if d_ax < gravity.shape[0]:
+                q = q.at[slot].add(0.5 * dt * gravity[d_ax])
+        kicked.append(q)
+    return kicked
+
+
+def _gravity_source(params: RunParams, U_old, U_new, gravity, dt, interior):
+    """Conservative source term: d(rho v)/dt = rho g, dE/dt = (rho v).g with
+    time-centered momentum (gravity.cuh kernel_gravity_source_term)."""
+    rho_old = U_old[ID][interior]
+    mom_slots = (IU, IV, IW)[: params.dim]
+    for d_ax, slot in enumerate(mom_slots):
+        if d_ax >= gravity.shape[0]:
+            continue
+        g_d = gravity[d_ax][interior]
+        mom_half = 0.5 * (U_old[slot][interior] + U_new[slot][interior])
+        U_new = U_new.at[(slot,) + interior].add(dt * rho_old * g_d)
+        U_new = U_new.at[(IP,) + interior].add(dt * mom_half * g_d)
+    return U_new
+
+
+def _godunov_unsplit_mhd_2d(
+    params: RunParams, U: jnp.ndarray, dt, gravity=None
+) -> jnp.ndarray:
     g = params.ghost_width
     dtdx = dt / params.dx
     dtdy = dt / params.dy
@@ -66,6 +98,10 @@ def _godunov_unsplit_mhd_2d(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarra
     (qm_x, qm_y), (qp_x, qp_y), (qRT, qRB, qLT, qLB) = trace_unsplit_mhd_2d(
         params, Q, U[IA], U[IB], dt, xpos
     )
+    if gravity is not None:
+        (qm_x, qm_y, qp_x, qp_y, qRT, qRB, qLT, qLB) = _gravity_kick(
+            params, (qm_x, qm_y, qp_x, qp_y, qRT, qRB, qLT, qLB), gravity, dt
+        )
 
     # --- 1D Riemann fluxes at faces ---
     flux_x = riemann_mhd(params, shift_m(qm_x, _X), qp_x)
@@ -105,6 +141,9 @@ def _godunov_unsplit_mhd_2d(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarra
     dby = -(shift_p(emf_z, _X) - emf_z)[ct] * dtdx
     U_new = U_new.at[(IA,) + ct].add(dbx)
     U_new = U_new.at[(IB,) + ct].add(dby)
+
+    if gravity is not None:
+        U_new = _gravity_source(params, U, U_new, gravity, dt, interior)
 
     if params.nu > 0 or params.eta > 0:
         from .boundary import make_boundaries
@@ -237,7 +276,9 @@ def mhd_3d_interior_update(
     )
 
 
-def _godunov_unsplit_mhd_3d(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
+def _godunov_unsplit_mhd_3d(
+    params: RunParams, U: jnp.ndarray, dt, gravity=None
+) -> jnp.ndarray:
     from ..ops.trace_mhd3d import trace_unsplit_mhd_3d
 
     g = params.ghost_width
@@ -250,6 +291,12 @@ def _godunov_unsplit_mhd_3d(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarra
     (qm, qp, qedge_z, qedge_y, qedge_x) = trace_unsplit_mhd_3d(
         params, Q, U[IA], U[IB], U[IC], dt, xpos
     )
+    if gravity is not None:
+        qm = tuple(_gravity_kick(params, qm, gravity, dt))
+        qp = tuple(_gravity_kick(params, qp, gravity, dt))
+        qedge_z = tuple(_gravity_kick(params, qedge_z, gravity, dt))
+        qedge_y = tuple(_gravity_kick(params, qedge_y, gravity, dt))
+        qedge_x = tuple(_gravity_kick(params, qedge_x, gravity, dt))
 
     flux_x = riemann_mhd(params, shift_m(qm[0], _X), qp[0])
     flux_y = _permute(
@@ -332,6 +379,9 @@ def _godunov_unsplit_mhd_3d(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarra
     U_new = U_new.at[(IA,) + ct].add(dbx)
     U_new = U_new.at[(IB,) + ct].add(dby)
     U_new = U_new.at[(IC,) + ct].add(dbz)
+
+    if gravity is not None:
+        U_new = _gravity_source(params, U, U_new, gravity, dt, interior)
 
     if params.nu > 0 or params.eta > 0:
         from .boundary import make_boundaries

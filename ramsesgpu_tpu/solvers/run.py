@@ -46,6 +46,10 @@ class Run:
         self.ghost_included = config.get_bool("output", "ghostIncluded", False)
         self.n_log = config.get_integer("run", "nlog", 0)
         self.sf_enabled = config.get_bool("structureFunctions", "enabled", False)
+        # numerics guard (the FPE-trap / debug-dump successor, utils/guard.py)
+        self.fpe_check = config.get_bool("run", "fpe_check", False) or config.get_bool(
+            "debug", "dumpData", False
+        )
 
         # history ([history] section, HydroRunBase.cpp:7235+)
         self.history_enabled = config.get_bool("history", "enabled", False)
@@ -100,7 +104,7 @@ class Run:
                 if _os.path.exists(fpath):
                     self._fstate = load_ou_forcing(fpath)
         else:
-            self._advance_n = make_advance_n(self.params)
+            self._advance_n = make_advance_n(self.params, config)
 
     # ------------------------------------------------------------------ #
     def output(self) -> None:
@@ -218,6 +222,17 @@ class Run:
 
             if self.n_log > 0 and self.n_step % self.n_log == 0:
                 print(f"step {self.n_step:7d}  t={self.t:.6f}", file=sys.stderr)
+
+            if self.fpe_check:
+                from ..utils.guard import NumericsError, check_finite, dump_debug_state
+
+                try:
+                    check_finite(p, self.U, self.n_step)
+                except NumericsError:
+                    dump_debug_state(
+                        p, self.config, self.U, 0.0, self.n_step, self.output_dir
+                    )
+                    raise
 
             if self._history_writer is not None and (
                 self.dt_hist <= 0 or self.t >= self._next_hist_time

@@ -28,8 +28,16 @@ from .godunov import godunov_unsplit_hydro
 from .timestep import compute_dt
 
 
-def make_gravity_field(params: RunParams):
-    """Static uniform gravity field, if configured (gravity.cuh heritage)."""
+def make_gravity_field(params: RunParams, config=None):
+    """Static gravity field: problem-specific (Keplerian disk, stratified
+    MRI — the reference's h_gravity array) when a config is available,
+    else the uniform [gravity] static_field_* (gravity.cuh heritage)."""
+    if config is not None:
+        from ..problems import gravity_field
+
+        field = gravity_field(params, config)
+        if field is not None:
+            return jnp.asarray(field)
     if params.gravity_x == 0.0 and params.gravity_y == 0.0 and params.gravity_z == 0.0:
         return None
     import numpy as np
@@ -49,9 +57,9 @@ def uses_shear(params: RunParams) -> bool:
     )
 
 
-def make_step_fn(params: RunParams) -> Callable:
+def make_step_fn(params: RunParams, config=None) -> Callable:
     """Build ``step(U, t) -> (U_new, dt)`` for this configuration."""
-    gravity = make_gravity_field(params)
+    gravity = make_gravity_field(params, config)
 
     use_zslab = params.dim == 3 and params.z_slab_nb > 1
     shear = uses_shear(params)
@@ -69,7 +77,7 @@ def make_step_fn(params: RunParams) -> Callable:
         from .godunov_mhd import godunov_unsplit_mhd
 
         use_pallas = False
-        if params.kernel in ("auto", "pallas") and params.dim == 3:
+        if params.kernel in ("auto", "pallas") and params.dim == 3 and gravity is None:
             from ..pallas.fused_mhd3d import pallas_supported
 
             backend_ok = True
@@ -87,7 +95,7 @@ def make_step_fn(params: RunParams) -> Callable:
         def step(U, t):
             dt = compute_dt(params, U)
             U_b = fill_ghosts(U, dt, t)
-            if use_zslab:
+            if use_zslab and gravity is None:
                 from .zslab import zslab_apply
 
                 U_new = zslab_apply(
@@ -96,7 +104,7 @@ def make_step_fn(params: RunParams) -> Callable:
                     params.z_slab_nb,
                 )
             else:
-                U_new = godunov_unsplit_mhd(params, U_b, dt)
+                U_new = godunov_unsplit_mhd(params, U_b, dt, gravity=gravity)
             return U_new, dt
 
     else:
@@ -126,11 +134,11 @@ def make_step_fn(params: RunParams) -> Callable:
     return step
 
 
-def make_advance_n(params: RunParams) -> Callable:
+def make_advance_n(params: RunParams, config=None) -> Callable:
     """Build jitted ``advance_n(U, t, n_steps) -> (U, t, steps_done)`` that
     runs up to ``n_steps`` steps, stopping early when t reaches t_end.
     The loop carry stays on device for the whole chunk."""
-    step = make_step_fn(params)
+    step = make_step_fn(params, config)
     t_end = params.t_end
 
     @jax.jit
@@ -167,7 +175,7 @@ def make_forced_step_fn(params: RunParams, config) -> tuple[Callable, dict]:
     forcing state for the turbulence problems."""
     from ..ops import forcing as fz
 
-    base_step = make_step_fn(params)
+    base_step = make_step_fn(params, config)
 
     if params.problem == "turbulence":
         mach = config.get_float("turbulence", "machNumber", 0.0)

@@ -37,17 +37,45 @@ def compute_inv_dt_hydro(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
 
 def compute_inv_dt_mhd(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
     """MHD version using the fast magnetosonic speed per direction, with the
-    shearing-box correction vy += 1.5*Omega0*dx/2 (cmpdt_mhd.cuh:188-213)."""
-    from ..ops.eos import constoprim_mhd
+    shearing-box correction vy += 1.5*Omega0*dx/2 (cmpdt_mhd.cuh:188-213).
 
-    Q, _ = constoprim_mhd(params, U, jnp.asarray(0.0, U.dtype))
-    cfx, cfy, cfz = fast_magnetosonic_speeds(params, Q)
-    vy = Q[IV]
+    Written as one fused expression chain (no stacked primitive array) so
+    XLA lowers it to a single read of U + reduction.
+    """
+    from ..core.constants import IA, IB, IC
+    from ..ops.stencil import shift_p
+
+    rho = jnp.maximum(U[0], params.smallr)
+    u = U[IU] / rho
+    v = U[IV] / rho
+    w = U[IW] / rho
+    bx = 0.5 * (U[IA] + shift_p(U[IA], -1))
+    by = 0.5 * (U[IB] + shift_p(U[IB], -2 if params.dim == 2 else -2))
+    if params.dim == 3:
+        bz = 0.5 * (U[IC] + shift_p(U[IC], -3))
+    else:
+        bz = U[IC]
+    if params.c_iso > 0:
+        p = rho * params.c_iso**2
+    else:
+        eken = 0.5 * (u * u + v * v + w * w)
+        emag = 0.5 * (bx * bx + by * by + bz * bz)
+        eint = (U[IP] - emag) / rho - eken
+        p = jnp.maximum((params.gamma0 - 1.0) * rho * eint, rho * params.smallp)
+
+    b2 = bx * bx + by * by + bz * bz
+    c2 = params.gamma0 * p / rho
+    d2 = 0.5 * (b2 / rho + c2)
+
+    def cf(bn):
+        return jnp.sqrt(d2 + jnp.sqrt(jnp.maximum(d2 * d2 - c2 * bn * bn / rho, 0.0)))
+
+    vy = v
     if params.omega0 > 0:
         vy = vy + 1.5 * params.omega0 * params.dx / 2.0
-    inv = (cfx + jnp.abs(Q[IU])) / params.dx + (cfy + jnp.abs(vy)) / params.dy
+    inv = (cf(bx) + jnp.abs(u)) / params.dx + (cf(by) + jnp.abs(vy)) / params.dy
     if params.dim == 3:
-        inv = inv + (cfz + jnp.abs(Q[IW])) / params.dz
+        inv = inv + (cf(bz) + jnp.abs(w)) / params.dz
     return jnp.max(_interior(params, inv))
 
 

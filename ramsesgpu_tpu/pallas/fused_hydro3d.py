@@ -1,0 +1,145 @@
+"""Fused Pallas stencil kernel for the 3D hydro step.
+
+The hydro twin of pallas/fused_mhd3d.py (see that module for the window /
+DMA-alignment / margin design, which this shares): one kernel runs
+primitives -> slopes -> trace -> Riemann -> flux update per halo-extended
+VMEM window. Ghost width is 2 for hydro; the APPROX Riemann solver's
+iteration unrolls fine inside the kernel.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config.params import RunParams
+from ..core.constants import BoundaryConditionType as BCT
+
+
+def _pick_tiles(params: RunParams) -> tuple[int, int]:
+    for bz, by in ((8, 32), (8, 16), (8, 8), (4, 8), (2, 8), (1, 8)):
+        if params.nz % bz == 0 and params.ny % by == 0:
+            return bz, by
+    return 1, params.ny
+
+
+def hydro_pallas_supported(params: RunParams) -> bool:
+    return (
+        params.dim == 3
+        and not params.mhd
+        and params.nu == 0.0
+        and params.ny % 8 == 0
+        and params.problem not in ("jet", "Jet")  # jet rewrites ghosts mid-fill
+    )
+
+
+def make_fused_hydro_update(
+    params: RunParams,
+    tiles: tuple[int, int] | None = None,
+    interpret: bool = False,
+) -> Callable:
+    """Build ``update(U_ghosted, dt) -> U_interior_new`` (gravity-free)."""
+    if not hydro_pallas_supported(params):
+        raise ValueError("fused hydro kernel does not cover this configuration")
+
+    from ..solvers.godunov import hydro_3d_interior_update
+
+    g = params.ghost_width
+    nv = params.nb_var
+    nz, ny, nx = params.nz, params.ny, params.nx
+    bz, by = tiles or _pick_tiles(params)
+    if nz % bz or ny % by:
+        raise ValueError(f"tiles {(bz, by)} must divide {(nz, ny)}")
+
+    m = g
+    wz = bz + 2 * m
+    wy = -(-(by + 2 * m) // 8) * 8
+    periodic_x = (
+        params.boundary_xmin == BCT.BC_PERIODIC
+        and params.boundary_xmax == BCT.BC_PERIODIC
+        and nx % 128 == 0
+    )
+    if periodic_x:
+        wx, mx = nx, 0
+    else:
+        wx = -(-(nx + 2 * m) // 128) * 128
+        mx = m
+    grid = (nz // bz, ny // by)
+    pad_y = wy - (by + 2 * m)
+
+    tile_params = params.replace(
+        ny=by, nz=bz,
+        ymax=params.ymin + by * params.dy,
+        zmax=params.zmin + bz * params.dz,
+    )
+
+    def kernel(dt_ref, u_hbm, out_ref, win, sem):
+        zi = pl.program_id(0)
+        yi = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds(zi * bz, wz), pl.ds(yi * by, wy), :], win, sem
+        )
+        copy.start()
+        copy.wait()
+        out_ref[...] = hydro_3d_interior_update(
+            tile_params, win[...], dt_ref[0, 0], margin=(m, m, mx)
+        )
+
+    out_shape = jax.ShapeDtypeStruct(
+        (nv, nz, ny, nx),
+        jnp.float64 if params.dtype == "float64" else jnp.float32,
+    )
+    fused = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (nv, bz, by, nx), lambda zi, yi: (0, zi, yi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nv, wz, wy, wx), out_shape.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def update(U_ghosted, dt):
+        dt_arr = jnp.reshape(dt, (1, 1)).astype(U_ghosted.dtype)
+        if periodic_x:
+            U_ghosted = U_ghosted[..., g:-g]
+        pad = wx - U_ghosted.shape[-1]
+        U_padded = jnp.pad(U_ghosted, ((0, 0), (0, 0), (0, pad_y), (0, pad)))
+        U_padded, dt_arr = jax.lax.optimization_barrier((U_padded, dt_arr))
+        return jax.lax.optimization_barrier(fused(dt_arr, U_padded))
+
+    return update
+
+
+def make_pallas_hydro_step_fn(params: RunParams) -> Callable:
+    """(U, t) -> (U', dt) on the ghosted state, via the fused hydro kernel."""
+    from ..solvers.boundary import make_boundaries
+    from ..solvers.timestep import compute_dt
+
+    fused = make_fused_hydro_update(params, tiles=params.pallas_tiles)
+    g = params.ghost_width
+    interior = (slice(None),) + (slice(g, -g),) * 3
+
+    def step(U, t):
+        dt = compute_dt(params, U)
+        U_b = make_boundaries(params, U)
+        new_int = fused(U_b, dt)
+        U_new = U_b.at[interior].set(new_int)
+        return U_new, dt
+
+    return step

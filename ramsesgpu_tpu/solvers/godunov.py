@@ -50,14 +50,19 @@ def compute_fluxes(params: RunParams, qm, qp, dt):
     flux[d][..., c] = flux through the left face of cell c along direction d,
     from the Riemann problem (qm[d] at c-1, qp[d] at c).
     """
+    def permute(q, perm):
+        # stacked permute, not fancy indexing (index-array constants don't
+        # lower inside Pallas kernels)
+        return jnp.stack([q[i] for i in perm])
+
     fluxes = []
     for d in range(params.dim):
         axis = _AXIS[d]
         perm = tuple(_rotation(params, d))
-        ql = shift_m(qm[d], axis)[perm, ...]
-        qr = qp[d][perm, ...]
+        ql = permute(shift_m(qm[d], axis), perm)
+        qr = permute(qp[d], perm)
         flux_rot = riemann_hydro(params, ql, qr)
-        fluxes.append(flux_rot[perm, ...])  # swap perms are involutions
+        fluxes.append(permute(flux_rot, perm))  # swap perms are involutions
     return fluxes
 
 
@@ -65,6 +70,36 @@ def _interior(params: RunParams):
     g = params.ghost_width
     sl = (slice(None),) + (slice(g, -g),) * params.dim
     return sl
+
+
+def hydro_3d_interior_update(
+    params: RunParams, U: jnp.ndarray, dt,
+    margin: tuple[int, int, int] | None = None,
+) -> jnp.ndarray:
+    """Scatter-free 3D hydro update returning ONLY the updated interior
+    [nvar, nz, ny, nx] — the form consumed by the fused Pallas kernel
+    (see the MHD twin in godunov_mhd.mhd_3d_interior_update)."""
+    g = params.ghost_width
+    mz, my, mx = margin if margin is not None else (g, g, g)
+    dtdd = [dt / params.dx, dt / params.dy, dt / params.dz]
+
+    Q, _c = constoprim_hydro(params, U)
+    dq = slopes_unsplit(params, Q)
+    qm, qp = trace_unsplit_hydro(params, Q, dq, dt)
+    fluxes = compute_fluxes(params, qm, qp, dt)
+
+    interior = (
+        slice(mz, mz + params.nz),
+        slice(my, my + params.ny),
+        slice(mx, mx + params.nx),
+    )
+    full_int = (slice(None),) + interior
+    out = U[full_int]
+    for d in range(3):
+        axis = _AXIS[d]
+        flux = fluxes[d]
+        out = out + dtdd[d] * (flux - shift_p(flux, axis))[full_int]
+    return out
 
 
 def godunov_unsplit_hydro(

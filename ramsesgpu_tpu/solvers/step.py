@@ -108,6 +108,26 @@ def make_step_fn(params: RunParams, config=None) -> Callable:
             return U_new, dt
 
     else:
+        use_pallas = False
+        if (
+            params.kernel in ("auto", "pallas")
+            and params.dim == 3
+            and gravity is None
+            and not shear
+        ):
+            from ..pallas.fused_hydro3d import hydro_pallas_supported
+
+            backend_ok = True
+            if params.kernel == "auto":
+                import jax as _jax
+
+                backend_ok = _jax.default_backend() == "tpu"
+            use_pallas = backend_ok and hydro_pallas_supported(params)
+
+        if use_pallas:
+            from ..pallas.fused_hydro3d import make_pallas_hydro_step_fn
+
+            return make_pallas_hydro_step_fn(params)
 
         def step(U, t):
             dt = compute_dt(params, U)

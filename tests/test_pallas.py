@@ -73,3 +73,44 @@ def test_pallas_supported_guards():
     assert not pallas_supported(params.replace(omega0=1.0))
     assert not pallas_supported(params.replace(eta=0.1))
     assert not pallas_supported(params.replace(nz=1))
+
+
+HYDRO3D_INI = """
+[mesh]
+nx={nx}
+ny={ny}
+nz={nz}
+boundary_xmin=3
+boundary_xmax=3
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=3
+boundary_zmax=3
+[hydro]
+problem=blast
+riemannSolver={solver}
+[blast]
+radius=0.2
+"""
+
+
+@pytest.mark.parametrize("dims,solver", [
+    ((32, 16, 16), "hllc"),
+    ((16, 24, 8), "hll"),
+])
+def test_fused_hydro_kernel_matches_whole_array(dims, solver):
+    from ramsesgpu_tpu.pallas.fused_hydro3d import (
+        hydro_pallas_supported, make_fused_hydro_update)
+    from ramsesgpu_tpu.solvers.godunov import godunov_unsplit_hydro
+
+    nx, ny, nz = dims
+    config = ConfigMap(text=HYDRO3D_INI.format(nx=nx, ny=ny, nz=nz, solver=solver))
+    params = params_from_config(config)
+    assert hydro_pallas_supported(params)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    dt = compute_dt(params, U)
+    fused = make_fused_hydro_update(params, tiles=(2, 8), interpret=True)
+    out = np.asarray(fused(U, dt))
+    ref = np.asarray(godunov_unsplit_hydro(params, U, dt))
+    g = params.ghost_width
+    np.testing.assert_allclose(out, ref[:, g:-g, g:-g, g:-g], rtol=0, atol=1e-6)

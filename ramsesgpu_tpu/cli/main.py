@@ -51,10 +51,22 @@ def main(argv: list[str] | None = None) -> int:
     scheme = args.scheme or "godunov"
     if scheme == "godunov" and not config.get_bool("hydro", "unsplit", True):
         scheme = "godunov-split"  # [hydro] unsplit=no (HydroRunGodunov.cpp:70)
+    from ..parallel.mesh import topology_from_config
+
+    topo = topology_from_config(config)
     if scheme != "godunov":
+        if topo != (1, 1, 1):
+            raise SystemExit("--scheme alternatives run single-device only")
         from ..solvers.run2d_alt import AltSchemeRun
 
         run = AltSchemeRun(config, scheme=scheme)
+    elif topo != (1, 1, 1):
+        # [mpi] mx/my/mz set: shard over the device mesh (the reference's
+        # euler_mpi_main path)
+        from ..solvers.run_distributed import DistributedRun
+
+        run = DistributedRun(config, params)
+        print(f"device mesh    : {topo[0]} x {topo[1]} x {topo[2]}")
     else:
         from ..solvers.run import Run
 

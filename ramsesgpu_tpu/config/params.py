@@ -117,6 +117,9 @@ class RunParams:
     # "pallas" (force), or "jnp" (whole-array XLA)
     kernel: str = "auto"
     pallas_tiles: tuple[int, int] | None = None  # (bz, by) override
+    # sharded path: overlap the bulk halo exchange with the deep-interior
+    # update ([implementation] haloOverlap; see parallel/overlap.py)
+    halo_overlap: bool = False
 
     # precision: "float32" (reference single) or "float64" (reference USE_DOUBLE)
     dtype: str = "float32"
@@ -291,6 +294,7 @@ def params_from_config(config: ConfigMap, **overrides) -> RunParams:
         pjet=config.get_float("jet", "pjet", 0.0),
         offset_jet=config.get_integer("jet", "offsetJet", 0),
         kernel=config.get_string("implementation", "kernel", "auto"),
+        halo_overlap=config.get_bool("implementation", "haloOverlap", False),
         dtype=config.get_string("implementation", "dtype", "float32"),
         t_end=config.get_float("run", "tend", 0.0),
         n_stepmax=config.get_integer("run", "nstepmax", 1000),

@@ -127,19 +127,35 @@ def make_fused_hydro_update(
 
 
 def make_pallas_hydro_step_fn(params: RunParams) -> Callable:
-    """(U, t) -> (U', dt) on the ghosted state, via the fused hydro kernel."""
+    """(U, t) -> (U', dt) on the ghosted state, via the fused hydro kernel.
+
+    All-periodic fast path: wrap-pad of the new interior replaces the
+    boundary-fill + merge passes (see fused_mhd3d.make_pallas_step_fn)."""
     from ..solvers.boundary import make_boundaries
     from ..solvers.timestep import compute_dt
 
     fused = make_fused_hydro_update(params, tiles=params.pallas_tiles)
     g = params.ghost_width
     interior = (slice(None),) + (slice(g, -g),) * 3
+    all_periodic = all(
+        b == BCT.BC_PERIODIC for b in params.boundary_types
+    )
 
-    def step(U, t):
-        dt = compute_dt(params, U)
-        U_b = make_boundaries(params, U)
-        new_int = fused(U_b, dt)
-        U_new = U_b.at[interior].set(new_int)
-        return U_new, dt
+    if all_periodic:
+
+        def step(U, t):
+            dt = compute_dt(params, U)
+            new_int = fused(U, dt)
+            U_new = jnp.pad(new_int, ((0, 0),) + ((g, g),) * 3, mode="wrap")
+            return U_new, dt
+
+    else:
+
+        def step(U, t):
+            dt = compute_dt(params, U)
+            U_b = make_boundaries(params, U)
+            new_int = fused(U_b, dt)
+            U_new = U_b.at[interior].set(new_int)
+            return U_new, dt
 
     return step

@@ -197,19 +197,43 @@ def make_fused_mhd_update(
 def make_pallas_step_fn(params: RunParams) -> Callable:
     """Full step using the fused kernel: dt reduction + ghost fill stay in
     XLA; the Godunov/CT pipeline runs in Pallas. Same (U, t) -> (U', dt)
-    contract as solvers/step.make_step_fn, on the ghosted state."""
+    contract as solvers/step.make_step_fn, on the ghosted state.
+
+    All-periodic fast path: the returned state is the kernel's new interior
+    wrap-padded — the wrap IS the periodic ghost fill, so the separate
+    boundary-fill and interior-merge passes (two full-array copies per step)
+    disappear. Invariant: the input state's ghosts must be filled (Run and
+    make_advance_n callers fill them at init), and the returned state's
+    ghosts are FRESH — unlike the merge path, whose ghosts are one fill
+    stale (matching the reference's compute_dt-before-make_boundaries
+    ordering; the dt difference is a one-layer face-B average, well inside
+    the CFL safety factor)."""
+    from ..core.constants import BoundaryConditionType as BCT
     from ..solvers.boundary import make_boundaries
     from ..solvers.timestep import compute_dt
 
     fused = make_fused_mhd_update(params, tiles=params.pallas_tiles)
     g = params.ghost_width
     interior = (slice(None),) + (slice(g, -g),) * 3
+    all_periodic = all(
+        b == BCT.BC_PERIODIC for b in params.boundary_types
+    )
 
-    def step(U, t):
-        dt = compute_dt(params, U)
-        U_b = make_boundaries(params, U)
-        new_int = fused(U_b, dt)
-        U_new = U_b.at[interior].set(new_int)
-        return U_new, dt
+    if all_periodic:
+
+        def step(U, t):
+            dt = compute_dt(params, U)
+            new_int = fused(U, dt)
+            U_new = jnp.pad(new_int, ((0, 0),) + ((g, g),) * 3, mode="wrap")
+            return U_new, dt
+
+    else:
+
+        def step(U, t):
+            dt = compute_dt(params, U)
+            U_b = make_boundaries(params, U)
+            new_int = fused(U_b, dt)
+            U_new = U_b.at[interior].set(new_int)
+            return U_new, dt
 
     return step

@@ -45,22 +45,26 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
     names = _axis_names(params)
     gravity_full = make_gravity_field(params)
 
+    local_dims = None
+    if mesh is not None and params.dim == 3:
+        mz, my, mx = (mesh.shape.get(k, 1) for k in ("z", "y", "x"))
+        local_dims = (params.nz // mz, params.ny // my, params.nx // mx)
+
     if params.mhd:
         from ..solvers.godunov_mhd import godunov_unsplit_mhd
 
         use_pallas = False
         local_params = params
-        if mesh is not None and params.kernel in ("auto", "pallas"):
+        if local_dims is not None and params.kernel in ("auto", "pallas"):
             from ..pallas.fused_mhd3d import pallas_supported
 
-            mz, my, mx = (mesh.shape.get(k, 1) for k in ("z", "y", "x"))
             local_params = params.replace(
-                nx=params.nx // mx,
-                ny=params.ny // my,
-                nz=params.nz // mz,
-                xmax=params.xmin + params.nx // mx * params.dx,
-                ymax=params.ymin + params.ny // my * params.dy,
-                zmax=params.zmin + params.nz // mz * params.dz,
+                nx=local_dims[2],
+                ny=local_dims[1],
+                nz=local_dims[0],
+                xmax=params.xmin + local_dims[2] * params.dx,
+                ymax=params.ymin + local_dims[1] * params.dy,
+                zmax=params.zmin + local_dims[0] * params.dz,
             )
             backend_ok = params.kernel == "pallas" or (
                 jax.default_backend() == "tpu"
@@ -87,6 +91,7 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
 
         inv_dt_fn = compute_inv_dt_mhd
     else:
+        use_pallas = False
 
         def update(Ug, dt):
             # NOTE: per-shard gravity slices are not implemented yet for the
@@ -94,6 +99,46 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
             return godunov_unsplit_hydro(params, Ug, dt, gravity=None)
 
         inv_dt_fn = compute_inv_dt_hydro
+
+    # halo-exchange / compute overlap (parallel/overlap.py): dt from a thin
+    # dedicated exchange, deep interior from the local block while the bulk
+    # ppermutes fly, shells patched from the halo'd block. Bitwise-identical
+    # to the synchronous path below. The fused Pallas kernel path takes
+    # precedence (it consumes the whole ghosted block; splitting it is a
+    # round-2 item).
+    if (
+        params.halo_overlap
+        and not use_pallas
+        and local_dims is not None
+    ):
+        from .overlap import (
+            _ext_params,
+            local_inv_dt,
+            overlap_supported,
+            overlapped_interior_update,
+        )
+
+        if overlap_supported(params, local_dims):
+            if params.mhd:
+                from ..solvers.godunov_mhd import mhd_3d_interior_update as _region
+            else:
+                from ..solvers.godunov import hydro_3d_interior_update as _region
+            g = params.ghost_width
+
+            def local_step_overlapped(U, t):
+                inv = local_inv_dt(params, U)
+                for name in names:
+                    inv = lax.pmax(inv, name)
+                dt = params.cfl / inv
+                Ug = attach_halos(params, U)  # bulk exchange — overlaps deep
+
+                def upd(win, ext):
+                    return _region(_ext_params(params, ext), win, dt,
+                                   margin=(g, g, g))
+
+                return overlapped_interior_update(params, U, Ug, upd), dt
+
+            return local_step_overlapped
 
     def local_step(U, t):
         Ug = attach_halos(params, U)

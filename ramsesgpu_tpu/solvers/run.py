@@ -107,9 +107,15 @@ class Run:
             self._advance_n = make_advance_n(self.params, config)
 
     # ------------------------------------------------------------------ #
+    def _host_ghosted(self):
+        """State as a ghosted array for host-facing consumers (output,
+        history, numerics guard). DistributedRun overrides this to gather
+        its interior-only sharded state."""
+        return self.U
+
     def output(self) -> None:
         with self.io_timer:
-            U_host = np.asarray(jax.device_get(self.U))
+            U_host = np.asarray(jax.device_get(self._host_ghosted()))
             if self.output_vtk:
                 from ..io.vtk import output_vtk
 
@@ -226,11 +232,12 @@ class Run:
             if self.fpe_check:
                 from ..utils.guard import NumericsError, check_finite, dump_debug_state
 
+                U_g = self._host_ghosted()
                 try:
-                    check_finite(p, self.U, self.n_step)
+                    check_finite(p, U_g, self.n_step)
                 except NumericsError:
                     dump_debug_state(
-                        p, self.config, self.U, 0.0, self.n_step, self.output_dir
+                        p, self.config, U_g, 0.0, self.n_step, self.output_dir
                     )
                     raise
 
@@ -239,7 +246,7 @@ class Run:
             ):
                 from ..io.history import compute_history
 
-                sample = compute_history(p, self.U, self.t, 0.0)
+                sample = compute_history(p, self._host_ghosted(), self.t, 0.0)
                 with self.io_timer:
                     self._history_writer.append(sample)
                 if self.dt_hist > 0:

@@ -19,23 +19,33 @@ from ..ops.eos import constoprim_hydro
 from ..ops.mhd_utils import fast_magnetosonic_speeds
 
 
-def _interior(params: RunParams, a: jnp.ndarray) -> jnp.ndarray:
-    g = params.ghost_width
+def _interior(params: RunParams, a: jnp.ndarray, ghost: int | None = None) -> jnp.ndarray:
+    g = params.ghost_width if ghost is None else ghost
+    if g == 0:
+        return a
     if params.dim == 2:
         return a[..., g:-g, g:-g]
     return a[..., g:-g, g:-g, g:-g]
 
 
-def compute_inv_dt_hydro(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
-    """Max inverse time step over the local interior (cmpdt.cuh:84-86,179-182)."""
+def compute_inv_dt_hydro(
+    params: RunParams, U: jnp.ndarray, ghost: int | None = None
+) -> jnp.ndarray:
+    """Max inverse time step over the local interior (cmpdt.cuh:84-86,179-182).
+
+    ``ghost`` overrides the ghost frame width of U (the overlapped sharded
+    path passes blocks thinner than params.ghost_width, parallel/overlap.py).
+    """
     Q, c = constoprim_hydro(params, U)
     inv = (c + jnp.abs(Q[IU])) / params.dx + (c + jnp.abs(Q[IV])) / params.dy
     if params.dim == 3:
         inv = inv + (c + jnp.abs(Q[IW])) / params.dz
-    return jnp.max(_interior(params, inv))
+    return jnp.max(_interior(params, inv, ghost))
 
 
-def compute_inv_dt_mhd(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
+def compute_inv_dt_mhd(
+    params: RunParams, U: jnp.ndarray, ghost: int | None = None
+) -> jnp.ndarray:
     """MHD version using the fast magnetosonic speed per direction, with the
     shearing-box correction vy += 1.5*Omega0*dx/2 (cmpdt_mhd.cuh:188-213).
 
@@ -76,7 +86,7 @@ def compute_inv_dt_mhd(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
     inv = (cf(bx) + jnp.abs(u)) / params.dx + (cf(by) + jnp.abs(vy)) / params.dy
     if params.dim == 3:
         inv = inv + (cf(bz) + jnp.abs(w)) / params.dz
-    return jnp.max(_interior(params, inv))
+    return jnp.max(_interior(params, inv, ghost))
 
 
 def compute_dt(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:

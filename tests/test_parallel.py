@@ -120,6 +120,113 @@ def test_mhd_3d_sharded_parity():
     np.testing.assert_allclose(out, ref, rtol=0, atol=5e-6)
 
 
+HYDRO3D_INI = """
+[run]
+tend=10.0
+[mesh]
+nx=16
+ny=16
+nz=16
+boundary_xmin=3
+boundary_xmax=3
+boundary_ymin=2
+boundary_ymax=2
+boundary_zmin=1
+boundary_zmax=1
+[hydro]
+problem=blast
+riemannSolver=hllc
+cfl=0.4
+[blast]
+radius=0.15
+center_x=0.4
+center_y=0.6
+center_z=0.5
+"""
+
+
+def test_mhd_3d_halo_overlap_parity():
+    """[implementation] haloOverlap: the deep/shell overlapped step matches
+    the synchronous sharded step to FMA-reassociation roundoff (different
+    window shapes vectorize differently; single-step diff is ~1e-10 on the
+    CT fields, dt is bit-identical) and the single-device run to the same
+    tolerance as the plain sharded path."""
+    params, config, U0, ref, t1, k1 = _single_device_reference(MHD3D_INI, 8)
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    plain, tp, kp = _sharded(params, config, U0, mesh, 8)
+    over, to, ko = _sharded(
+        params.replace(halo_overlap=True), config, U0, mesh, 8
+    )
+    assert kp == ko == k1
+    np.testing.assert_allclose(over, plain, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(over, ref, rtol=0, atol=5e-6)
+
+
+def test_hydro_3d_halo_overlap_parity():
+    """Hydro overlap with mixed periodic/neumann/dirichlet BCs (the shells on
+    domain-edge shards see physical BC fills, the deep region never does)."""
+    params, config, U0, ref, t1, k1 = _single_device_reference(HYDRO3D_INI, 10)
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    plain, tp, kp = _sharded(params, config, U0, mesh, 10)
+    over, to, ko = _sharded(
+        params.replace(halo_overlap=True), config, U0, mesh, 10
+    )
+    assert kp == ko == k1
+    # blast energies are O(25): ULP-level FMA divergence needs rtol framing
+    np.testing.assert_allclose(over, plain, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(over, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_overlap_supported_gating():
+    from ramsesgpu_tpu.parallel.overlap import overlap_supported
+
+    params = params_from_config(ConfigMap(text=MHD3D_INI))
+    assert overlap_supported(params, (8, 8, 16))
+    assert not overlap_supported(params, (8, 8, 6))      # degenerate deep
+    assert not overlap_supported(params.replace(eta=0.1), (8, 8, 16))
+    assert not overlap_supported(params.replace(omega0=1.0), (8, 8, 16))
+    # MHD thin dt exchange assumes periodic rings
+    assert not overlap_supported(params.replace(boundary_zmax=1), (8, 8, 16))
+    hp = params_from_config(ConfigMap(text=HYDRO3D_INI))
+    assert overlap_supported(hp, (8, 8, 8))              # mixed BCs fine
+
+
+def test_distributed_run_driver(tmp_path):
+    """DistributedRun: INI-driven ([mpi] mx/my/mz) end-to-end loop with
+    gathered I/O + history matches the single-device Run."""
+    from ramsesgpu_tpu.solvers.run import Run
+    from ramsesgpu_tpu.solvers.run_distributed import DistributedRun
+
+    extra = f"""
+[mpi]
+mx=2
+my=2
+mz=1
+[output]
+outputDir={tmp_path}
+outputPrefix=dist
+outputVtk=no
+outputHdf5=yes
+[history]
+enabled=yes
+[run]
+nstepmax=6
+noutput=3
+"""
+    config = ConfigMap(text=HYDRO_INI + extra)
+    run_d = DistributedRun(config)
+    run_d.start()
+    single = ConfigMap(text=HYDRO_INI + extra.replace("mx=2", "mx=1").replace(
+        "my=2", "my=1").replace("outputPrefix=dist", "outputPrefix=single"))
+    run_s = Run(single)
+    run_s.start()
+    np.testing.assert_allclose(
+        run_d.interior(), run_s.interior(), rtol=0, atol=1e-5
+    )
+    assert (tmp_path / "dist_0000006.h5").exists()
+    assert (tmp_path / "dist.history").exists()
+
+
 def test_decomposition_validation():
     params = params_from_config(ConfigMap(text=HYDRO_INI))
     with pytest.raises(ValueError):

@@ -51,11 +51,14 @@ def xpos_array(params: RunParams, dtype) -> jnp.ndarray:
 
 
 def godunov_unsplit_mhd(
-    params: RunParams, U: jnp.ndarray, dt, gravity=None
+    params: RunParams, U: jnp.ndarray, dt, gravity=None, t=None
 ) -> jnp.ndarray:
+    """One unsplit MHD+CT update. ``t`` (current time) is only consumed by
+    shearing-box runs, for the conservative flux/emfY remap at the domain
+    x-faces; pass None to skip the remap."""
     if params.dim == 2:
         return _godunov_unsplit_mhd_2d(params, U, dt, gravity=gravity)
-    return _godunov_unsplit_mhd_3d(params, U, dt, gravity=gravity)
+    return _godunov_unsplit_mhd_3d(params, U, dt, gravity=gravity, t=t)
 
 
 def _gravity_kick(params: RunParams, states, gravity, dt):
@@ -276,8 +279,44 @@ def mhd_3d_interior_update(
     )
 
 
+def _uses_shear(params: RunParams) -> bool:
+    from ..core.constants import BoundaryConditionType as BCT
+
+    return (
+        params.boundary_xmin == BCT.BC_SHEARINGBOX
+        or params.boundary_xmax == BCT.BC_SHEARINGBOX
+    )
+
+
+def _shear_remap_pair(params: RunParams, f_xmin, f_xmax, t, dt):
+    """Conservative remap of a pair of x-border face fields (density flux or
+    emfY slabs, y along the LAST axis, interior-y extent).
+
+    The sheared-periodic BC makes the two sides compute different fluxes
+    through the same physical face; the fix replaces each side's value by
+    the half-sum of its own and the other side's value linearly interpolated
+    at the sheared y offset deltay(t + dt/2) — restoring exact global mass /
+    By conservation (reference: shearingBox_utils.cuh:47-170
+    kernel_remapping_mhd_3d, after Dumses bval_shear_flux/bval_shear_emf).
+    """
+    dy = params.dy
+    Ly = params.ymax - params.ymin
+    Lx = params.xmax - params.xmin
+    deltay = jnp.mod(1.5 * params.omega0 * Lx * (t + 0.5 * dt), Ly)
+    jplus = jnp.floor(deltay / dy).astype(jnp.int32)
+    w = jnp.mod(deltay, dy) / dy  # weight of the (j - jplus - 1) sample
+
+    interp_for_min = w * jnp.roll(f_xmax, jplus + 1, axis=-1) + (
+        1.0 - w
+    ) * jnp.roll(f_xmax, jplus, axis=-1)
+    interp_for_max = (1.0 - w) * jnp.roll(f_xmin, -jplus, axis=-1) + w * jnp.roll(
+        f_xmin, -(jplus + 1), axis=-1
+    )
+    return 0.5 * (f_xmin + interp_for_min), 0.5 * (f_xmax + interp_for_max)
+
+
 def _godunov_unsplit_mhd_3d(
-    params: RunParams, U: jnp.ndarray, dt, gravity=None
+    params: RunParams, U: jnp.ndarray, dt, gravity=None, t=None
 ) -> jnp.ndarray:
     from ..ops.trace_mhd3d import trace_unsplit_mhd_3d
 
@@ -316,6 +355,21 @@ def _godunov_unsplit_mhd_3d(
         _PERM_Z,
     )
 
+    shear_remap = _uses_shear(params) and t is not None
+    iy = slice(g, g + params.ny)
+    if shear_remap:
+        # conservative density-flux remap at the two domain x-faces: the main
+        # update then uses the remapped face flux directly (equivalent to the
+        # reference's mask-then-add, godunov_unsplit_mhd.cuh:5546-5590 +
+        # shearingBox_utils.cuh:428-492)
+        fmin, fmax = _shear_remap_pair(
+            params, flux_x[ID, :, iy, g], flux_x[ID, :, iy, params.nx + g], t, dt
+        )
+        flux_x = (
+            flux_x.at[ID, :, iy, g].set(fmin)
+            .at[ID, :, iy, params.nx + g].set(fmax)
+        )
+
     interior = (slice(g, -g),) * 3
     dU = (
         dtdx * (flux_x - shift_p(flux_x, _X))[(slice(None),) + interior]
@@ -329,6 +383,12 @@ def _godunov_unsplit_mhd_3d(
         .at[IC].set(0.0)
     )
     U_new = U.at[(slice(None),) + interior].add(mask * dU)
+    if shear_remap:
+        # density floor on the two remapped border columns
+        # (shearingBox_utils.cuh:484-485)
+        for xb in (g, params.nx + g - 1):
+            col = (ID, slice(g, -g), iy, xb)
+            U_new = U_new.at[col].set(jnp.maximum(U_new[col], params.smallr))
 
     # --- EMFs at the three edge families ---
     # EMF_Z at edge (i-1/2, j-1/2, k): diagonal neighbors in the xy plane
@@ -355,6 +415,13 @@ def _godunov_unsplit_mhd_3d(
         "y",
         xpos,
     )
+    if shear_remap:
+        # emfY remap at the domain x-faces keeps By exactly conserved across
+        # the sheared boundary (shearingBox_utils.cuh:134-170)
+        emin, emax = _shear_remap_pair(
+            params, emf_y[:, iy, g], emf_y[:, iy, params.nx + g], t, dt
+        )
+        emf_y = emf_y.at[:, iy, g].set(emin).at[:, iy, params.nx + g].set(emax)
     # EMF_X at edge (i, j-1/2, k-1/2): yz plane
     qRT_x, qRB_x, qLT_x, qLB_x = qedge_x
     emf_x = compute_emf(

@@ -95,16 +95,21 @@ def make_step_fn(params: RunParams, config=None) -> Callable:
         def step(U, t):
             dt = compute_dt(params, U)
             U_b = fill_ghosts(U, dt, t)
+            # shearing-box runs thread t into the update for the conservative
+            # flux/emfY remap at the domain x-faces
+            t_remap = t if shear else None
             if use_zslab and gravity is None:
                 from .zslab import zslab_apply
 
                 U_new = zslab_apply(
                     params, U_b,
-                    lambda w: godunov_unsplit_mhd(params, w, dt),
+                    lambda w: godunov_unsplit_mhd(params, w, dt, t=t_remap),
                     params.z_slab_nb,
                 )
             else:
-                U_new = godunov_unsplit_mhd(params, U_b, dt, gravity=gravity)
+                U_new = godunov_unsplit_mhd(
+                    params, U_b, dt, gravity=gravity, t=t_remap
+                )
             return U_new, dt
 
     else:

@@ -25,13 +25,15 @@ def eos(params: RunParams, rho: jnp.ndarray, eint: jnp.ndarray):
     return p, c
 
 
-def constoprim_hydro(params: RunParams, U: jnp.ndarray):
+def constoprim_hydro(params: RunParams, U, xp=None):
     """Hydro conservative -> primitive over the whole array.
 
     Returns (Q, c): primitive array with the same shape as U, and the local
     sound speed array (constoprim.h:43-111).
     """
-    rho = jnp.maximum(U[ID], params.smallr)
+    if xp is None:
+        from .backend import JNP as xp
+    rho = xp.maximum(U[ID], params.smallr)
     velocities = [U[IU] / rho, U[IV] / rho]
     if params.dim == 3:
         velocities.append(U[IW] / rho)
@@ -40,16 +42,17 @@ def constoprim_hydro(params: RunParams, U: jnp.ndarray):
 
     if params.c_iso > 0:
         p = rho * params.c_iso * params.c_iso
-        c = jnp.full_like(rho, params.c_iso)
+        c = xp.full_like(rho, params.c_iso)
     else:
         eint = U[IP] / rho - eken
-        p, c = eos(params, rho, eint)
+        p = xp.maximum((params.gamma0 - 1.0) * rho * eint, rho * params.smallp)
+        c = xp.sqrt(params.gamma0 * p / rho)
 
-    Q = jnp.stack([rho, p, *velocities])
+    Q = xp.stack([rho, p, *velocities])
     return Q, c
 
 
-def constoprim_mhd(params: RunParams, U: jnp.ndarray, dt):
+def constoprim_mhd(params: RunParams, U: jnp.ndarray, dt, xp=None):
     """MHD conservative -> primitive (constoprim.h:137-198).
 
     The conservative state stores *left-face-centered* B; the primitive
@@ -59,18 +62,22 @@ def constoprim_mhd(params: RunParams, U: jnp.ndarray, dt):
 
     Includes the Coriolis predictor half-kick when omega0 > 0
     (constoprim.h:190-195).
+
+    ``xp`` selects the array backend (ops/backend.py); default plain jnp.
     """
+    if xp is None:
+        from .backend import JNP as xp
     x_axis, y_axis, z_axis = -1, -2, -3
 
-    rho = jnp.maximum(U[ID], params.smallr)
+    rho = xp.maximum(U[ID], params.smallr)
     u = U[IU] / rho
     v = U[IV] / rho
     w = U[IW] / rho
 
-    bx = 0.5 * (U[IA] + shift_p(U[IA], x_axis))
-    by = 0.5 * (U[IB] + shift_p(U[IB], y_axis if params.dim == 3 else -2))
+    bx = 0.5 * (U[IA] + xp.shift_p(U[IA], x_axis))
+    by = 0.5 * (U[IB] + xp.shift_p(U[IB], y_axis if params.dim == 3 else -2))
     if params.dim == 3:
-        bz = 0.5 * (U[IC] + shift_p(U[IC], z_axis))
+        bz = 0.5 * (U[IC] + xp.shift_p(U[IC], z_axis))
     else:
         bz = U[IC]  # 2D: no z-stagger, Bz is cell-centered (DUMSES convention)
 
@@ -79,11 +86,11 @@ def constoprim_mhd(params: RunParams, U: jnp.ndarray, dt):
 
     if params.c_iso > 0:
         p = rho * params.c_iso * params.c_iso
-        c = jnp.full_like(rho, params.c_iso)
+        c = xp.full_like(rho, params.c_iso)
     else:
         eint = (U[IP] - emag) / rho - eken
-        p = jnp.maximum((params.gamma0 - 1.0) * rho * eint, rho * params.smallp)
-        c = jnp.sqrt(params.gamma0 * p / rho)
+        p = xp.maximum((params.gamma0 - 1.0) * rho * eint, rho * params.smallp)
+        c = xp.sqrt(params.gamma0 * p / rho)
 
     if params.omega0 > 0:
         dvx = 2.0 * params.omega0 * v
@@ -91,7 +98,7 @@ def constoprim_mhd(params: RunParams, U: jnp.ndarray, dt):
         u = u + dvx * dt * 0.5
         v = v + dvy * dt * 0.5
 
-    Q = jnp.stack([rho, p, u, v, w, bx, by, bz])
+    Q = xp.stack([rho, p, u, v, w, bx, by, bz])
     return Q, c
 
 

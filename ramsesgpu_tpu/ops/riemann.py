@@ -11,7 +11,7 @@ velocity normal to the interface, IV (and IW in 3D) the transverse ones.
 Each solver returns the flux array in the same rotated order; the caller
 un-rotates momentum components.
 
-The per-cell branches of the reference become ``jnp.where`` selects — on the
+The per-cell branches of the reference become ``xp.where`` selects — on the
 VPU this costs both branches but vectorizes perfectly, and XLA fuses the
 whole solver into the surrounding stencil.
 """
@@ -23,8 +23,10 @@ from ..config.params import RunParams
 from ..core.constants import ID, IP, IU, IV, IW, RiemannSolver
 
 
-def cmpflx(params: RunParams, qgdnv: jnp.ndarray) -> jnp.ndarray:
+def cmpflx(params: RunParams, qgdnv, xp=None):
     """Euler flux from a Godunov (interface) state (cmpflx.h:22-49)."""
+    if xp is None:
+        from .backend import JNP as xp
     rho, p, u, v = qgdnv[ID], qgdnv[IP], qgdnv[IU], qgdnv[IV]
     f_rho = rho * u
     f_mu = f_rho * u + p
@@ -36,118 +38,122 @@ def cmpflx(params: RunParams, qgdnv: jnp.ndarray) -> jnp.ndarray:
         ekin = 0.5 * rho * (u * u + v * v + w * w)
         etot = p * entho + ekin
         f_e = u * (etot + p)
-        return jnp.stack([f_rho, f_e, f_mu, f_mv, f_mw])
+        return xp.stack([f_rho, f_e, f_mu, f_mv, f_mw])
     ekin = 0.5 * rho * (u * u + v * v)
     etot = p * entho + ekin
     f_e = u * (etot + p)
-    return jnp.stack([f_rho, f_e, f_mu, f_mv])
+    return xp.stack([f_rho, f_e, f_mu, f_mv])
 
 
-def riemann_approx(params: RunParams, ql: jnp.ndarray, qr: jnp.ndarray) -> jnp.ndarray:
+def riemann_approx(params: RunParams, ql, qr, xp=None):
     """Iterative two-shock approximate Riemann solver (riemann.h:31-159).
 
     Newton-Raphson on the star pressure; the data-dependent early exit of the
     reference becomes a convergence mask over a fixed ``niter_riemann``
     iteration count (static unroll — niter is ~10).
     """
+    if xp is None:
+        from .backend import JNP as xp
     smallr, smallc, smallp = params.smallr, params.smallc, params.smallp
     smallpp, gamma, gamma6 = params.smallpp, params.gamma0, params.gamma6
 
-    rl = jnp.maximum(ql[ID], smallr)
+    rl = xp.maximum(ql[ID], smallr)
     ul = ql[IU]
-    pl = jnp.maximum(ql[IP], rl * smallp)
-    rr = jnp.maximum(qr[ID], smallr)
+    pl = xp.maximum(ql[IP], rl * smallp)
+    rr = xp.maximum(qr[ID], smallr)
     ur = qr[IU]
-    pr = jnp.maximum(qr[IP], rr * smallp)
+    pr = xp.maximum(qr[IP], rr * smallp)
 
     # Lagrangian sound speed squared
     cl = gamma * pl * rl
     cr = gamma * pr * rr
 
-    wl = jnp.sqrt(cl)
-    wr = jnp.sqrt(cr)
-    pstar = jnp.maximum(((wr * pl + wl * pr) + wl * wr * (ul - ur)) / (wl + wr), 0.0)
+    wl = xp.sqrt(cl)
+    wr = xp.sqrt(cr)
+    pstar = xp.maximum(((wr * pl + wl * pr) + wl * wr * (ul - ur)) / (wl + wr), 0.0)
     pold = pstar
-    conv = jnp.ones_like(pstar)
+    conv = xp.ones_like(pstar)
 
     for _ in range(params.niter_riemann):
         active = conv > 1e-6
-        wwl = jnp.sqrt(cl * (1.0 + gamma6 * (pold - pl) / pl))
-        wwr = jnp.sqrt(cr * (1.0 + gamma6 * (pold - pr) / pr))
+        wwl = xp.sqrt(cl * (1.0 + gamma6 * (pold - pl) / pl))
+        wwr = xp.sqrt(cr * (1.0 + gamma6 * (pold - pr) / pr))
         qgl = 2.0 * wwl * wwl * wwl / (wwl * wwl + cl)
         qgr = 2.0 * wwr * wwr * wwr / (wwr * wwr + cr)
         usl = ul - (pold - pl) / wwl
         usr = ur + (pold - pr) / wwr
-        delp = jnp.maximum(qgr * qgl / (qgr + qgl) * (usl - usr), -pold)
+        delp = xp.maximum(qgr * qgl / (qgr + qgl) * (usl - usr), -pold)
         pnew = pold + delp
-        cnew = jnp.abs(delp / (pnew + smallpp))
-        pold = jnp.where(active, pnew, pold)
-        conv = jnp.where(active, cnew, conv)
+        cnew = xp.abs(delp / (pnew + smallpp))
+        pold = xp.where(active, pnew, pold)
+        conv = xp.where(active, cnew, conv)
 
     pstar = pold
-    wl = jnp.sqrt(cl * (1.0 + gamma6 * (pstar - pl) / pl))
-    wr = jnp.sqrt(cr * (1.0 + gamma6 * (pstar - pr) / pr))
+    wl = xp.sqrt(cl * (1.0 + gamma6 * (pstar - pl) / pl))
+    wr = xp.sqrt(cr * (1.0 + gamma6 * (pstar - pr) / pr))
 
     ustar = 0.5 * (ul + (pl - pstar) / wl + ur - (pr - pstar) / wr)
-    sgnm = jnp.where(ustar >= 0.0, 1.0, -1.0).astype(ustar.dtype)
+    sgnm = xp.where(ustar >= 0.0, 1.0, -1.0).astype(ustar.dtype)
     left_going = sgnm > 0.0
 
-    ro = jnp.where(left_going, rl, rr)
-    uo = jnp.where(left_going, ul, ur)
-    po = jnp.where(left_going, pl, pr)
-    wo = jnp.where(left_going, wl, wr)
+    ro = xp.where(left_going, rl, rr)
+    uo = xp.where(left_going, ul, ur)
+    po = xp.where(left_going, pl, pr)
+    wo = xp.where(left_going, wl, wr)
 
-    co = jnp.maximum(smallc, jnp.sqrt(jnp.abs(gamma * po / ro)))
-    rstar = jnp.maximum(ro / (1.0 + ro * (po - pstar) / (wo * wo)), smallr)
-    cstar = jnp.maximum(smallc, jnp.sqrt(jnp.abs(gamma * pstar / rstar)))
+    co = xp.maximum(smallc, xp.sqrt(xp.abs(gamma * po / ro)))
+    rstar = xp.maximum(ro / (1.0 + ro * (po - pstar) / (wo * wo)), smallr)
+    cstar = xp.maximum(smallc, xp.sqrt(xp.abs(gamma * pstar / rstar)))
 
     spout = co - sgnm * uo
     spin = cstar - sgnm * ustar
     ushock = wo / ro - sgnm * uo
-    spin = jnp.where(pstar >= po, ushock, spin)
-    spout = jnp.where(pstar >= po, ushock, spout)
+    spin = xp.where(pstar >= po, ushock, spin)
+    spout = xp.where(pstar >= po, ushock, spout)
 
-    scr = jnp.maximum(spout - spin, smallc + jnp.abs(spout + spin))
+    scr = xp.maximum(spout - spin, smallc + xp.abs(spout + spin))
     frac = 0.5 * (1.0 + (spout + spin) / scr)
-    frac = jnp.where(jnp.isnan(frac), 0.0, jnp.clip(frac, 0.0, 1.0))
+    frac = xp.where(xp.isnan(frac), 0.0, xp.clip(frac, 0.0, 1.0))
 
     g_rho = frac * rstar + (1.0 - frac) * ro
     g_u = frac * ustar + (1.0 - frac) * uo
     g_p = frac * pstar + (1.0 - frac) * po
 
-    g_rho = jnp.where(spout < 0.0, ro, g_rho)
-    g_u = jnp.where(spout < 0.0, uo, g_u)
-    g_p = jnp.where(spout < 0.0, po, g_p)
+    g_rho = xp.where(spout < 0.0, ro, g_rho)
+    g_u = xp.where(spout < 0.0, uo, g_u)
+    g_p = xp.where(spout < 0.0, po, g_p)
 
-    g_rho = jnp.where(spin > 0.0, rstar, g_rho)
-    g_u = jnp.where(spin > 0.0, ustar, g_u)
-    g_p = jnp.where(spin > 0.0, pstar, g_p)
+    g_rho = xp.where(spin > 0.0, rstar, g_rho)
+    g_u = xp.where(spin > 0.0, ustar, g_u)
+    g_p = xp.where(spin > 0.0, pstar, g_p)
 
-    g_v = jnp.where(left_going, ql[IV], qr[IV])
+    g_v = xp.where(left_going, ql[IV], qr[IV])
     parts = [g_rho, g_p, g_u, g_v]
     if params.dim == 3:
-        parts.append(jnp.where(left_going, ql[IW], qr[IW]))
-    qgdnv = jnp.stack(parts)
-    return cmpflx(params, qgdnv)
+        parts.append(xp.where(left_going, ql[IW], qr[IW]))
+    qgdnv = xp.stack(parts)
+    return cmpflx(params, qgdnv, xp=xp)
 
 
-def riemann_hll(params: RunParams, ql: jnp.ndarray, qr: jnp.ndarray) -> jnp.ndarray:
+def riemann_hll(params: RunParams, ql, qr, xp=None):
     """HLL solver (riemann.h:177-255; Toro ch. 10)."""
+    if xp is None:
+        from .backend import JNP as xp
     smallr, smallp, gamma = params.smallr, params.smallp, params.gamma0
     entho = 1.0 / (gamma - 1.0)
 
-    rl = jnp.maximum(ql[ID], smallr)
+    rl = xp.maximum(ql[ID], smallr)
     ul = ql[IU]
-    pl = jnp.maximum(ql[IP], rl * smallp)
-    rr = jnp.maximum(qr[ID], smallr)
+    pl = xp.maximum(ql[IP], rl * smallp)
+    rr = xp.maximum(qr[ID], smallr)
     ur = qr[IU]
-    pr = jnp.maximum(qr[IP], rr * smallp)
+    pr = xp.maximum(qr[IP], rr * smallp)
 
-    cl = jnp.sqrt(gamma * pl / rl)
-    cr = jnp.sqrt(gamma * pr / rr)
+    cl = xp.sqrt(gamma * pl / rl)
+    cr = xp.sqrt(gamma * pr / rr)
 
-    SL = jnp.minimum(jnp.minimum(ul, ur) - jnp.maximum(cl, cr), 0.0)
-    SR = jnp.maximum(jnp.maximum(ul, ur) + jnp.maximum(cl, cr), 0.0)
+    SL = xp.minimum(xp.minimum(ul, ur) - xp.maximum(cl, cr), 0.0)
+    SR = xp.maximum(xp.maximum(ul, ur) + xp.maximum(cl, cr), 0.0)
 
     def cons_and_flux(q):
         rho, p, u, v = q[ID], q[IP], q[IU], q[IV]
@@ -162,7 +168,7 @@ def riemann_hll(params: RunParams, ql: jnp.ndarray, qr: jnp.ndarray) -> jnp.ndar
             mw = rho * q[IW]
             cons.append(mw)
             flux.append(mu * q[IW])
-        return jnp.stack(cons), jnp.stack(flux)
+        return xp.stack(cons), xp.stack(flux)
 
     uleft, fleft = cons_and_flux(ql)
     uright, fright = cons_and_flux(qr)
@@ -170,32 +176,34 @@ def riemann_hll(params: RunParams, ql: jnp.ndarray, qr: jnp.ndarray) -> jnp.ndar
     return (SR * fleft - SL * fright + SR * SL * (uright - uleft)) / (SR - SL)
 
 
-def riemann_hllc(params: RunParams, ql: jnp.ndarray, qr: jnp.ndarray) -> jnp.ndarray:
+def riemann_hllc(params: RunParams, ql, qr, xp=None):
     """HLLC solver (riemann.h:271-371)."""
+    if xp is None:
+        from .backend import JNP as xp
     smallr, smallp, smallc, gamma = params.smallr, params.smallp, params.smallc, params.gamma0
     entho = 1.0 / (gamma - 1.0)
 
-    rl = jnp.maximum(ql[ID], smallr)
-    pl = jnp.maximum(ql[IP], rl * smallp)
+    rl = xp.maximum(ql[ID], smallr)
+    pl = xp.maximum(ql[IP], rl * smallp)
     ul = ql[IU]
     ecinl = 0.5 * rl * (ul * ul + ql[IV] * ql[IV])
     if params.dim == 3:
         ecinl = ecinl + 0.5 * rl * ql[IW] * ql[IW]
     etotl = pl * entho + ecinl
 
-    rr = jnp.maximum(qr[ID], smallr)
-    pr = jnp.maximum(qr[IP], rr * smallp)
+    rr = xp.maximum(qr[ID], smallr)
+    pr = xp.maximum(qr[IP], rr * smallp)
     ur = qr[IU]
     ecinr = 0.5 * rr * (ur * ur + qr[IV] * qr[IV])
     if params.dim == 3:
         ecinr = ecinr + 0.5 * rr * qr[IW] * qr[IW]
     etotr = pr * entho + ecinr
 
-    cfastl = jnp.sqrt(jnp.maximum(gamma * pl / rl, smallc * smallc))
-    cfastr = jnp.sqrt(jnp.maximum(gamma * pr / rr, smallc * smallc))
+    cfastl = xp.sqrt(xp.maximum(gamma * pl / rl, smallc * smallc))
+    cfastr = xp.sqrt(xp.maximum(gamma * pr / rr, smallc * smallc))
 
-    SL = jnp.minimum(ul, ur) - jnp.maximum(cfastl, cfastr)
-    SR = jnp.maximum(ul, ur) + jnp.maximum(cfastl, cfastr)
+    SL = xp.minimum(ul, ur) - xp.maximum(cfastl, cfastr)
+    SR = xp.maximum(ul, ur) + xp.maximum(cfastl, cfastr)
 
     rcl = rl * (ul - SL)
     rcr = rr * (SR - ur)
@@ -210,9 +218,9 @@ def riemann_hllc(params: RunParams, ql: jnp.ndarray, qr: jnp.ndarray) -> jnp.nda
 
     # sample the fan: SL>0 -> left; ustar>0 -> left star; SR>0 -> right star; else right
     def sample(l, lstar, rstar_, r_):
-        out = jnp.where(SR > 0.0, rstar_, r_)
-        out = jnp.where(ustar > 0.0, lstar, out)
-        return jnp.where(SL > 0.0, l, out)
+        out = xp.where(SR > 0.0, rstar_, r_)
+        out = xp.where(ustar > 0.0, lstar, out)
+        return xp.where(SL > 0.0, l, out)
 
     ro = sample(rl, rstarl, rstarr, rr)
     uo = sample(ul, ustar, ustar, ur)
@@ -222,20 +230,22 @@ def riemann_hllc(params: RunParams, ql: jnp.ndarray, qr: jnp.ndarray) -> jnp.nda
     f_rho = ro * uo
     f_mu = f_rho * uo + ptoto
     f_e = (etoto + ptoto) * uo
-    f_mv = jnp.where(f_rho > 0.0, f_rho * ql[IV], f_rho * qr[IV])
+    f_mv = xp.where(f_rho > 0.0, f_rho * ql[IV], f_rho * qr[IV])
     parts = [f_rho, f_e, f_mu, f_mv]
     if params.dim == 3:
-        parts.append(jnp.where(f_rho > 0.0, f_rho * ql[IW], f_rho * qr[IW]))
-    return jnp.stack(parts)
+        parts.append(xp.where(f_rho > 0.0, f_rho * ql[IW], f_rho * qr[IW]))
+    return xp.stack(parts)
 
 
-def riemann_hydro(params: RunParams, ql: jnp.ndarray, qr: jnp.ndarray) -> jnp.ndarray:
+def riemann_hydro(params: RunParams, ql, qr, xp=None):
     """Dispatch on the configured solver (riemann.h:390-401). The solver id is
     static config, so this is a trace-time branch, not a runtime one."""
+    if xp is None:
+        from .backend import JNP as xp
     if params.riemann_solver == RiemannSolver.APPROX:
-        return riemann_approx(params, ql, qr)
+        return riemann_approx(params, ql, qr, xp=xp)
     if params.riemann_solver == RiemannSolver.HLL:
-        return riemann_hll(params, ql, qr)
+        return riemann_hll(params, ql, qr, xp=xp)
     if params.riemann_solver == RiemannSolver.HLLC:
-        return riemann_hllc(params, ql, qr)
+        return riemann_hllc(params, ql, qr, xp=xp)
     raise ValueError(f"unsupported hydro Riemann solver: {params.riemann_solver!r}")

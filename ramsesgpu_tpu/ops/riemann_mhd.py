@@ -19,27 +19,33 @@ from ..config.params import RunParams
 from ..core.constants import IA, IB, IC, ID, IP, IU, IV, IW, MagneticRiemannSolver, RiemannSolver
 
 
-def _fast_speed_components(params: RunParams, d, p, a, b, c, bn=None):
+def _fast_speed_components(params: RunParams, d, p, a, b, c, bn=None, xp=None):
     """Fast magnetosonic speed from explicit components; ``bn`` defaults to
     ``a`` (mhd_utils.h:30-52)."""
+    if xp is None:
+        from .backend import JNP as xp
     if bn is None:
         bn = a
     b2 = a * a + b * b + c * c
     c2 = params.gamma0 * p / d
     d2 = 0.5 * (b2 / d + c2)
-    return jnp.sqrt(d2 + jnp.sqrt(jnp.maximum(d2 * d2 - c2 * bn * bn / d, 0.0)))
+    return xp.sqrt(d2 + xp.sqrt(xp.maximum(d2 * d2 - c2 * bn * bn / d, 0.0)))
 
 
-def _fast_speed(params: RunParams, q, bn):
+def _fast_speed(params: RunParams, q, bn, xp=None):
     """Fast magnetosonic speed given normal field bn (mhd_utils.h:30-52)."""
+    if xp is None:
+        from .backend import JNP as xp
     d = q[ID]
     p = q[ID] * params.c_iso**2 if params.c_iso > 0 else q[IP]
-    return _fast_speed_components(params, d, p, q[IA], q[IB], q[IC], bn)
+    return _fast_speed_components(params, d, p, q[IA], q[IB], q[IC], bn, xp=xp)
 
 
-def _find_mhd_flux(params: RunParams, q):
+def _find_mhd_flux(params: RunParams, q, xp=None):
     """Conservative state and flux from a primitive state
     (mhd_utils.h:106-168). Gas pressure folded into the normal-momentum flux."""
+    if xp is None:
+        from .backend import JNP as xp
     entho = 1.0 / (params.gamma0 - 1.0)
     d, u, v, w = q[ID], q[IU], q[IV], q[IW]
     a, b, c = q[IA], q[IB], q[IC]
@@ -48,15 +54,15 @@ def _find_mhd_flux(params: RunParams, q):
     emag = 0.5 * (a * a + b * b + c * c)
     etot = p * entho + ecin + emag
     ptot = p + emag
-    cons = jnp.stack([d, etot, d * u, d * v, d * w, a, b, c])
-    flux = jnp.stack(
+    cons = xp.stack([d, etot, d * u, d * v, d * w, a, b, c])
+    flux = xp.stack(
         [
             d * u,
             (etot + ptot) * u - a * (a * u + b * v + c * w),
             d * u * u - a * a + ptot,
             d * u * v - a * b,
             d * u * w - a * c,
-            jnp.zeros_like(d),
+            xp.zeros_like(d),
             b * u - a * v,
             c * u - a * w,
         ]
@@ -64,49 +70,57 @@ def _find_mhd_flux(params: RunParams, q):
     return cons, flux
 
 
-def _find_speed_info(params: RunParams, q):
+def _find_speed_info(params: RunParams, q, xp=None):
     """Fastest information speed along the normal: cf_x + |u|
     (mhd_utils.h:296-316)."""
-    return _fast_speed(params, q, q[IA]) + jnp.abs(q[IU])
+    if xp is None:
+        from .backend import JNP as xp
+    return _fast_speed(params, q, q[IA], xp=xp) + xp.abs(q[IU])
 
 
-def riemann_llf_mhd(params: RunParams, ql, qr):
+def riemann_llf_mhd(params: RunParams, ql, qr, xp=None):
     """Local Lax-Friedrichs MHD solver (riemann_mhd.h:87-119)."""
+    if xp is None:
+        from .backend import JNP as xp
     bx_mean = 0.5 * (ql[IA] + qr[IA])
-    ql = ql.at[IA].set(bx_mean)
-    qr = qr.at[IA].set(bx_mean)
+    ql = xp.set_component(ql, IA, bx_mean)
+    qr = xp.set_component(qr, IA, bx_mean)
 
-    ul, fl = _find_mhd_flux(params, ql)
-    ur, fr = _find_mhd_flux(params, qr)
-    vel_info = jnp.maximum(_find_speed_info(params, ql), _find_speed_info(params, qr))
+    ul, fl = _find_mhd_flux(params, ql, xp=xp)
+    ur, fr = _find_mhd_flux(params, qr, xp=xp)
+    vel_info = xp.maximum(_find_speed_info(params, ql, xp=xp), _find_speed_info(params, qr, xp=xp))
     return 0.5 * (fl + fr) - 0.5 * vel_info * (ur - ul)
 
 
-def riemann_hll_mhd(params: RunParams, ql, qr):
+def riemann_hll_mhd(params: RunParams, ql, qr, xp=None):
     """HLL for MHD: single-state HLL average built from the full MHD fluxes."""
+    if xp is None:
+        from .backend import JNP as xp
     bx_mean = 0.5 * (ql[IA] + qr[IA])
-    ql = ql.at[IA].set(bx_mean)
-    qr = qr.at[IA].set(bx_mean)
+    ql = xp.set_component(ql, IA, bx_mean)
+    qr = xp.set_component(qr, IA, bx_mean)
 
-    cl, fl = _find_mhd_flux(params, ql)
-    cr, fr = _find_mhd_flux(params, qr)
-    cfl = _fast_speed(params, ql, bx_mean)
-    cfr = _fast_speed(params, qr, bx_mean)
-    SL = jnp.minimum(jnp.minimum(ql[IU], qr[IU]) - jnp.maximum(cfl, cfr), 0.0)
-    SR = jnp.maximum(jnp.maximum(ql[IU], qr[IU]) + jnp.maximum(cfl, cfr), 0.0)
+    cl, fl = _find_mhd_flux(params, ql, xp=xp)
+    cr, fr = _find_mhd_flux(params, qr, xp=xp)
+    cfl = _fast_speed(params, ql, bx_mean, xp=xp)
+    cfr = _fast_speed(params, qr, bx_mean, xp=xp)
+    SL = xp.minimum(xp.minimum(ql[IU], qr[IU]) - xp.maximum(cfl, cfr), 0.0)
+    SR = xp.maximum(xp.maximum(ql[IU], qr[IU]) + xp.maximum(cfl, cfr), 0.0)
     return (SR * fl - SL * fr + SR * SL * (cr - cl)) / (SR - SL)
 
 
-def riemann_hlld(params: RunParams, ql, qr):
+def riemann_hlld(params: RunParams, ql, qr, xp=None):
     """HLLD MHD solver (riemann_mhd.h:140-342; Miyoshi & Kusano 2005).
 
     Five-wave fan (SL, SAL, ustar contact, SAR, SR); the degenerate-Alfven
     branch of the reference (|estar/a^2 - 1| <= 1e-8) becomes a where-select.
     """
+    if xp is None:
+        from .backend import JNP as xp
     entho = 1.0 / (params.gamma0 - 1.0)
 
     a = 0.5 * (ql[IA] + qr[IA])
-    sgnm = jnp.where(a >= 0.0, 1.0, -1.0).astype(a.dtype)
+    sgnm = xp.where(a >= 0.0, 1.0, -1.0).astype(a.dtype)
 
     def prep(q):
         r = q[ID]
@@ -118,14 +132,14 @@ def riemann_hlld(params: RunParams, ql, qr):
         etot = p * entho + ecin + emag
         ptot = p + emag
         vdotb = u * a + v * b + w * c
-        cfast = _fast_speed_components(params, r, p, a, b, c)
+        cfast = _fast_speed_components(params, r, p, a, b, c, xp=xp)
         return r, p, u, v, w, b, c, etot, ptot, vdotb, cfast
 
     rl, pl, ul, vl, wl, bl, cl, etotl, ptotl, vdotbl, cfastl = prep(ql)
     rr, pr, ur, vr, wr, br, cr, etotr, ptotr, vdotbr, cfastr = prep(qr)
 
-    sl = jnp.minimum(ul, ur) - jnp.maximum(cfastl, cfastr)
-    sr = jnp.maximum(ul, ur) + jnp.maximum(cfastl, cfastr)
+    sl = xp.minimum(ul, ur) - xp.maximum(cfastl, cfastr)
+    sr = xp.maximum(ul, ur) + xp.maximum(cfastl, cfastr)
 
     rcl = rl * (ul - sl)
     rcr = rr * (sr - ur)
@@ -137,19 +151,19 @@ def riemann_hlld(params: RunParams, ql, qr):
         rstar = r_ * (s_ - u_) / (s_ - ustar)
         estar = r_ * (s_ - u_) * (s_ - ustar) - a * a
         el = r_ * (s_ - u_) * (s_ - u_) - a * a
-        degenerate = jnp.logical_and(a * a > 0, jnp.abs(estar / (a * a + 1e-300) - 1.0) <= 1e-8)
+        degenerate = xp.logical_and(a * a > 0, xp.abs(estar / (a * a + 1e-300) - 1.0) <= 1e-8)
         # avoid 0/0 in the masked-out branch
-        estar_safe = jnp.where(estar == 0.0, 1.0, estar)
-        vstar = jnp.where(degenerate, v_, v_ - a * b_ * (ustar - u_) / estar_safe)
-        bstar = jnp.where(degenerate, b_, b_ * el / estar_safe)
-        wstar = jnp.where(degenerate, w_, w_ - a * c_ * (ustar - u_) / estar_safe)
-        cstar = jnp.where(degenerate, c_, c_ * el / estar_safe)
+        estar_safe = xp.where(estar == 0.0, 1.0, estar)
+        vstar = xp.where(degenerate, v_, v_ - a * b_ * (ustar - u_) / estar_safe)
+        bstar = xp.where(degenerate, b_, b_ * el / estar_safe)
+        wstar = xp.where(degenerate, w_, w_ - a * c_ * (ustar - u_) / estar_safe)
+        cstar = xp.where(degenerate, c_, c_ * el / estar_safe)
         vdotbstar = ustar * a + vstar * bstar + wstar * cstar
         etotstar = (
             (s_ - u_) * etot_ - ptot_ * u_ + ptotstar * ustar + a * (vdotb_ - vdotbstar)
         ) / (s_ - ustar)
-        sqrtr = jnp.sqrt(rstar)
-        calfven = jnp.abs(a) / sqrtr
+        sqrtr = xp.sqrt(rstar)
+        calfven = xp.abs(a) / sqrtr
         return rstar, vstar, wstar, bstar, cstar, vdotbstar, etotstar, sqrtr, calfven
 
     (rstarl, vstarl, wstarl, bstarl, cstarl, vdotbstarl, etotstarl, sqrl, calfl) = star(
@@ -173,7 +187,7 @@ def riemann_hlld(params: RunParams, ql, qr):
     # sample the 6-zone fan from the outside in (reference's if/else ladder
     # becomes nested selects evaluated innermost-first)
     def pick(sel, a_, b_):
-        return jnp.where(sel, a_, b_)
+        return xp.where(sel, a_, b_)
 
     zones = [
         # (condition, ro, uo, vo, wo, bo, co, ptoto, etoto, vdotbo)
@@ -196,62 +210,66 @@ def riemann_hlld(params: RunParams, ql, qr):
         etoto = pick(cond, et_, etoto)
         vdotbo = pick(cond, vb_, vdotbo)
 
-    return jnp.stack(
+    return xp.stack(
         [
             ro * uo,
             (etoto + ptoto) * uo - a * vdotbo,
             ro * uo * uo - a * a + ptoto,
             ro * uo * vo - a * bo,
             ro * uo * wo - a * co,
-            jnp.zeros_like(ro),
+            xp.zeros_like(ro),
             bo * uo - a * vo,
             co * uo - a * wo,
         ]
     )
 
 
-def riemann_mhd(params: RunParams, ql, qr):
+def riemann_mhd(params: RunParams, ql, qr, xp=None):
     """Dispatch on the configured solver (riemann_mhd.h:355-368)."""
+    if xp is None:
+        from .backend import JNP as xp
     if params.riemann_solver == RiemannSolver.HLLD:
-        return riemann_hlld(params, ql, qr)
+        return riemann_hlld(params, ql, qr, xp=xp)
     if params.riemann_solver == RiemannSolver.LLF:
-        return riemann_llf_mhd(params, ql, qr)
+        return riemann_llf_mhd(params, ql, qr, xp=xp)
     if params.riemann_solver == RiemannSolver.HLL:
-        return riemann_hll_mhd(params, ql, qr)
+        return riemann_hll_mhd(params, ql, qr, xp=xp)
     raise ValueError(f"unsupported MHD Riemann solver: {params.riemann_solver!r}")
 
 
 # --------------------------------------------------------------------------- #
 # 2D corner solvers for the EMF
 # --------------------------------------------------------------------------- #
-def _minmax4(*a):
+def _minmax4(xp, *a):
     lo = a[0]
     hi = a[0]
     for x in a[1:]:
-        lo = jnp.minimum(lo, x)
-        hi = jnp.maximum(hi, x)
+        lo = xp.minimum(lo, x)
+        hi = xp.maximum(hi, x)
     return lo, hi
 
 
-def mag_riemann2d_hlld(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR):
+def mag_riemann2d_hlld(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR, xp=None):
     """2D HLLD corner solver (riemann_mhd.h:616-828).
 
     States are in the 2D convention: IU/IV in-plane velocities, IA/IB
     in-plane fields (continuity already enforced by the caller), IC the
     out-of-plane field. Returns the EMF at the corner.
     """
+    if xp is None:
+        from .backend import JNP as xp
     smallc = params.smallc
 
     def speeds(q, bn_idx):
-        return _fast_speed(params, q, q[bn_idx])
+        return _fast_speed(params, q, q[bn_idx], xp=xp)
 
     cfx = [speeds(q, IA) for q in (qLL, qLR, qRL, qRR)]
     cfy = [speeds(q, IB) for q in (qLL, qLR, qRL, qRR)]
 
-    ulo, uhi = _minmax4(qLL[IU], qLR[IU], qRL[IU], qRR[IU])
-    vlo, vhi = _minmax4(qLL[IV], qLR[IV], qRL[IV], qRR[IV])
-    _, cxmax = _minmax4(*cfx)
-    _, cymax = _minmax4(*cfy)
+    ulo, uhi = _minmax4(xp, qLL[IU], qLR[IU], qRL[IU], qRR[IU])
+    vlo, vhi = _minmax4(xp, qLL[IV], qLR[IV], qRL[IV], qRR[IV])
+    _, cxmax = _minmax4(xp, *cfx)
+    _, cymax = _minmax4(xp, *cfy)
 
     SL = ulo - cxmax
     SR = uhi + cxmax
@@ -308,34 +326,34 @@ def mag_riemann2d_hlld(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR
     )
 
     def max5(a0, a1, a2, a3, a4):
-        return jnp.maximum(jnp.maximum(jnp.maximum(a0, a1), jnp.maximum(a2, a3)), a4)
+        return xp.maximum(xp.maximum(xp.maximum(a0, a1), xp.maximum(a2, a3)), a4)
 
-    sq = jnp.sqrt
+    sq = xp.sqrt
     calfvenL = max5(
-        jnp.abs(aLR) / sq(rsLRx), jnp.abs(AstarLR) / sq(rsLR),
-        jnp.abs(aLL) / sq(rsLLx), jnp.abs(AstarLL) / sq(rsLL),
-        jnp.full_like(aLL, smallc),
+        xp.abs(aLR) / sq(rsLRx), xp.abs(AstarLR) / sq(rsLR),
+        xp.abs(aLL) / sq(rsLLx), xp.abs(AstarLL) / sq(rsLL),
+        xp.full_like(aLL, smallc),
     )
     calfvenR = max5(
-        jnp.abs(aRR) / sq(rsRRx), jnp.abs(AstarRR) / sq(rsRR),
-        jnp.abs(aRL) / sq(rsRLx), jnp.abs(AstarRL) / sq(rsRL),
-        jnp.full_like(aLL, smallc),
+        xp.abs(aRR) / sq(rsRRx), xp.abs(AstarRR) / sq(rsRR),
+        xp.abs(aRL) / sq(rsRLx), xp.abs(AstarRL) / sq(rsRL),
+        xp.full_like(aLL, smallc),
     )
     calfvenB = max5(
-        jnp.abs(bLL) / sq(rsLLy), jnp.abs(BstarLL) / sq(rsLL),
-        jnp.abs(bRL) / sq(rsRLy), jnp.abs(BstarRL) / sq(rsRL),
-        jnp.full_like(aLL, smallc),
+        xp.abs(bLL) / sq(rsLLy), xp.abs(BstarLL) / sq(rsLL),
+        xp.abs(bRL) / sq(rsRLy), xp.abs(BstarRL) / sq(rsRL),
+        xp.full_like(aLL, smallc),
     )
     calfvenT = max5(
-        jnp.abs(bLR) / sq(rsLRy), jnp.abs(BstarLR) / sq(rsLR),
-        jnp.abs(bRR) / sq(rsRRy), jnp.abs(BstarRR) / sq(rsRR),
-        jnp.full_like(aLL, smallc),
+        xp.abs(bLR) / sq(rsLRy), xp.abs(BstarLR) / sq(rsLR),
+        xp.abs(bRR) / sq(rsRRy), xp.abs(BstarRR) / sq(rsRR),
+        xp.full_like(aLL, smallc),
     )
 
-    SAL = jnp.minimum(ustar - calfvenL, 0.0)
-    SAR = jnp.maximum(ustar + calfvenR, 0.0)
-    SAB = jnp.minimum(vstar - calfvenB, 0.0)
-    SAT = jnp.maximum(vstar + calfvenT, 0.0)
+    SAL = xp.minimum(ustar - calfvenL, 0.0)
+    SAR = xp.maximum(ustar + calfvenR, 0.0)
+    SAB = xp.minimum(vstar - calfvenB, 0.0)
+    SAT = xp.maximum(vstar + calfvenT, 0.0)
 
     AstarT = (SAR * AstarRR - SAL * AstarLR) / (SAR - SAL)
     AstarB = (SAR * AstarRL - SAL * AstarLL) / (SAR - SAL)
@@ -352,54 +370,56 @@ def mag_riemann2d_hlld(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR
 
     # supersonic-in-y branches collapse to 1D HLL problems in x (and vice versa)
     E_B = (SAR * EstarLLx - SAL * EstarRLx + SAR * SAL * (bRL - bLL)) / (SAR - SAL)
-    E_B = jnp.where(SL > 0, eLL, jnp.where(SR < 0, eRL, E_B))
+    E_B = xp.where(SL > 0, eLL, xp.where(SR < 0, eRL, E_B))
     E_T = (SAR * EstarLRx - SAL * EstarRRx + SAR * SAL * (bRR - bLR)) / (SAR - SAL)
-    E_T = jnp.where(SL > 0, eLR, jnp.where(SR < 0, eRR, E_T))
+    E_T = xp.where(SL > 0, eLR, xp.where(SR < 0, eRR, E_T))
     E_L = (SAT * EstarLLy - SAB * EstarLRy - SAT * SAB * (aLR - aLL)) / (SAT - SAB)
     E_R = (SAT * EstarRLy - SAB * EstarRRy - SAT * SAB * (aRR - aRL)) / (SAT - SAB)
 
-    E = jnp.where(
+    E = xp.where(
         SB > 0,
         E_B,
-        jnp.where(
+        xp.where(
             ST < 0,
             E_T,
-            jnp.where(SL > 0, E_L, jnp.where(SR < 0, E_R, E_center)),
+            xp.where(SL > 0, E_L, xp.where(SR < 0, E_R, E_center)),
         ),
     )
     return E
 
 
 def mag_riemann2d_hll_family(params: RunParams, qLL, qRL, qLR, qRR,
-                             eLL, eRL, eLR, eRR, use_fast: bool):
+                             eLL, eRL, eLR, eRR, use_fast: bool, xp=None):
     """HLLA (Alfven speeds) / HLLF (fast speeds) corner solvers
     (riemann_mhd.h:418-516): a 2D-HLL average of the four corner EMFs plus
     dissipation on the in-plane field jumps."""
+    if xp is None:
+        from .backend import JNP as xp
     if use_fast:
-        cx = [_fast_speed(params, q, q[IA]) for q in (qLL, qLR, qRL, qRR)]
-        cy = [_fast_speed(params, q, q[IB]) for q in (qLL, qLR, qRL, qRR)]
-        cxmax = jnp.maximum(jnp.maximum(cx[0], cx[1]), jnp.maximum(cx[2], cx[3]))
-        cymax = jnp.maximum(jnp.maximum(cy[0], cy[1]), jnp.maximum(cy[2], cy[3]))
+        cx = [_fast_speed(params, q, q[IA], xp=xp) for q in (qLL, qLR, qRL, qRR)]
+        cy = [_fast_speed(params, q, q[IB], xp=xp) for q in (qLL, qLR, qRL, qRR)]
+        cxmax = xp.maximum(xp.maximum(cx[0], cx[1]), xp.maximum(cx[2], cx[3]))
+        cymax = xp.maximum(xp.maximum(cy[0], cy[1]), xp.maximum(cy[2], cy[3]))
     else:
         def alfven(q, idx):
-            return jnp.sqrt(q[idx] ** 2 / q[ID])
+            return xp.sqrt(q[idx] ** 2 / q[ID])
 
         cx = [alfven(q, IA) for q in (qLL, qLR, qRL, qRR)]
         cy = [alfven(q, IB) for q in (qLL, qLR, qRL, qRR)]
         smallc = params.smallc
-        cxmax = jnp.maximum(
-            jnp.maximum(jnp.maximum(cx[0], cx[1]), jnp.maximum(cx[2], cx[3])), smallc
+        cxmax = xp.maximum(
+            xp.maximum(xp.maximum(cx[0], cx[1]), xp.maximum(cx[2], cx[3])), smallc
         )
-        cymax = jnp.maximum(
-            jnp.maximum(jnp.maximum(cy[0], cy[1]), jnp.maximum(cy[2], cy[3])), smallc
+        cymax = xp.maximum(
+            xp.maximum(xp.maximum(cy[0], cy[1]), xp.maximum(cy[2], cy[3])), smallc
         )
 
-    ulo, uhi = _minmax4(qLL[IU], qLR[IU], qRL[IU], qRR[IU])
-    vlo, vhi = _minmax4(qLL[IV], qLR[IV], qRL[IV], qRR[IV])
-    SL = jnp.minimum(ulo - cxmax, 0.0)
-    SR = jnp.maximum(uhi + cxmax, 0.0)
-    SB = jnp.minimum(vlo - cymax, 0.0)
-    ST = jnp.maximum(vhi + cymax, 0.0)
+    ulo, uhi = _minmax4(xp, qLL[IU], qLR[IU], qRL[IU], qRR[IU])
+    vlo, vhi = _minmax4(xp, qLL[IV], qLR[IV], qRL[IV], qRR[IV])
+    SL = xp.minimum(ulo - cxmax, 0.0)
+    SR = xp.maximum(uhi + cxmax, 0.0)
+    SB = xp.minimum(vlo - cymax, 0.0)
+    ST = xp.maximum(vhi + cymax, 0.0)
 
     return (
         (SL * SB * eRR - SL * ST * eRL - SR * SB * eLR + SR * ST * eLL)
@@ -409,18 +429,20 @@ def mag_riemann2d_hll_family(params: RunParams, qLL, qRL, qLR, qRR,
     )
 
 
-def mag_riemann2d_llf(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR):
+def mag_riemann2d_llf(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR, xp=None):
     """2D LLF corner solver (riemann_mhd.h:519-613): mean EMF plus
     LLF dissipation on the in-plane field jumps."""
+    if xp is None:
+        from .backend import JNP as xp
     E = 0.25 * (eLL + eRL + eLR + eRR)
 
     def info(q, bn_idx, v_idx):
-        return _fast_speed(params, q, q[bn_idx]) + jnp.abs(q[v_idx])
+        return _fast_speed(params, q, q[bn_idx], xp=xp) + xp.abs(q[v_idx])
 
     cx = [info(q, IA, IU) for q in (qLL, qLR, qRL, qRR)]
     cy = [info(q, IB, IV) for q in (qLL, qLR, qRL, qRR)]
-    vel_x = jnp.maximum(jnp.maximum(cx[0], cx[1]), jnp.maximum(cx[2], cx[3]))
-    vel_y = jnp.maximum(jnp.maximum(cy[0], cy[1]), jnp.maximum(cy[2], cy[3]))
+    vel_x = xp.maximum(xp.maximum(cx[0], cx[1]), xp.maximum(cx[2], cx[3]))
+    vel_y = xp.maximum(xp.maximum(cy[0], cy[1]), xp.maximum(cy[2], cy[3]))
 
     return (
         E
@@ -429,21 +451,23 @@ def mag_riemann2d_llf(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR)
     )
 
 
-def mag_riemann2d(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR):
+def mag_riemann2d(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR, xp=None):
     """Dispatch on [MHD] magRiemannSolver (compute_emf, riemann_mhd.h:1160-1170)."""
+    if xp is None:
+        from .backend import JNP as xp
     s = params.mag_riemann_solver
     if s == MagneticRiemannSolver.MAG_HLLD:
-        return mag_riemann2d_hlld(params, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR)
+        return mag_riemann2d_hlld(params, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR, xp=xp)
     if s == MagneticRiemannSolver.MAG_HLLA:
         return mag_riemann2d_hll_family(
-            params, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR, use_fast=False
+            params, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR, use_fast=False, xp=xp
         )
     if s == MagneticRiemannSolver.MAG_HLLF:
         return mag_riemann2d_hll_family(
-            params, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR, use_fast=True
+            params, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR, use_fast=True, xp=xp
         )
     if s == MagneticRiemannSolver.MAG_LLF:
-        return mag_riemann2d_llf(params, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR)
+        return mag_riemann2d_llf(params, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR, xp=xp)
     raise ValueError(f"unsupported magnetic Riemann solver {s!r}")
 
 
@@ -460,6 +484,7 @@ def compute_emf(
     qRT, qRB, qLT, qLB,
     emf_dir: str,
     xpos=None,
+    xp=None,
 ):
     """EMF at cell corners from the four traced edge states
     (riemann_mhd.h:1056-1193).
@@ -469,6 +494,8 @@ def compute_emf(
     in {"x","y","z"} selects the plane's component rotation. ``xpos`` is the
     (broadcastable) x coordinate used by the shearing-box upwind correction.
     """
+    if xp is None:
+        from .backend import JNP as xp
     iu, iv, iw, ia, ib, ic = _EMF_ROTATION[emf_dir]
 
     def assemble(src, rho_src):
@@ -504,25 +531,25 @@ def compute_emf(
     sLR[6] = b_left
     sRR[6] = b_right
 
-    qLL = jnp.stack(sLL)
-    qRL = jnp.stack(sRL)
-    qLR = jnp.stack(sLR)
-    qRR = jnp.stack(sRR)
+    qLL = xp.stack(sLL)
+    qRL = xp.stack(sRL)
+    qLR = xp.stack(sLR)
+    qRR = xp.stack(sRR)
 
     eLL = qLL[IU] * qLL[IB] - qLL[IV] * qLL[IA]
     eRL = qRL[IU] * qRL[IB] - qRL[IV] * qRL[IA]
     eLR = qLR[IU] * qLR[IB] - qLR[IV] * qLR[IA]
     eRR = qRR[IU] * qRR[IB] - qRR[IV] * qRR[IA]
 
-    emf = mag_riemann2d(params, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR)
+    emf = mag_riemann2d(params, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR, xp=xp)
 
     if params.omega0 > 0 and xpos is not None:
         # shearing-box upwind correction (riemann_mhd.h:1172-1190)
         if emf_dir == "x":
             shear = -1.5 * params.omega0 * xpos
-            emf = emf + jnp.where(shear > 0, shear * qLL[IB], shear * qRR[IB])
+            emf = emf + xp.where(shear > 0, shear * qLL[IB], shear * qRR[IB])
         elif emf_dir == "z":
             shear = -1.5 * params.omega0 * (xpos - params.dx / 2)
-            emf = emf - jnp.where(shear > 0, shear * qLL[IA], shear * qRR[IA])
+            emf = emf - xp.where(shear > 0, shear * qLL[IA], shear * qRR[IA])
 
     return emf

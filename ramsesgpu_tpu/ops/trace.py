@@ -24,6 +24,7 @@ def trace_unsplit_hydro(
     Q: jnp.ndarray,
     dq: tuple[jnp.ndarray, ...],
     dt,
+    xp=None,
 ):
     """Compute qm/qp face states for every direction.
 
@@ -35,6 +36,8 @@ def trace_unsplit_hydro(
     Returns:
       (qm, qp): tuples of arrays, one per direction, each [nvar, ...].
     """
+    if xp is None:
+        from .backend import JNP as xp
     smallr, smallp, gamma = params.smallr, params.smallp, params.gamma0
     dtdx = dt / params.dx
     dtdy = dt / params.dy
@@ -58,9 +61,9 @@ def trace_unsplit_hydro(
         r2, u2, v2, p2 = r + sr0, u + su0, v + sv0, p + sp0
 
         def face(dr, dp, du, dv, sign):
-            rho_f = jnp.maximum(smallr, r2 + sign * dr)
-            p_f = jnp.maximum(smallp * rho_f, p2 + sign * dp)
-            return jnp.stack([rho_f, p_f, u2 + sign * du, v2 + sign * dv])
+            rho_f = xp.maximum(smallr, r2 + sign * dr)
+            p_f = xp.maximum(smallp * rho_f, p2 + sign * dp)
+            return xp.stack([rho_f, p_f, u2 + sign * du, v2 + sign * dv])
 
         qp_x = face(drx, dpx, dux, dvx, -1.0)
         qm_x = face(drx, dpx, dux, dvx, +1.0)
@@ -89,9 +92,9 @@ def trace_unsplit_hydro(
     r2, u2, v2, w2, p2 = r + sr0, u + su0, v + sv0, w + sw0, p + sp0
 
     def face3(dr, dp, du, dv, dw, sign):
-        rho_f = jnp.maximum(smallr, r2 + sign * dr)
-        p_f = jnp.maximum(smallp * rho_f, p2 + sign * dp)
-        return jnp.stack(
+        rho_f = xp.maximum(smallr, r2 + sign * dr)
+        p_f = xp.maximum(smallp * rho_f, p2 + sign * dp)
+        return xp.stack(
             [rho_f, p_f, u2 + sign * du, v2 + sign * dv, w2 + sign * dw]
         )
 

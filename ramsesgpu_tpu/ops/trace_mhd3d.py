@@ -9,7 +9,7 @@ DUMSES trace3d). Produces, for every cell:
                        solvers (Z: xy-plane, Y: xz-plane, X: yz-plane)
 
 Face-field indexing: bfx/bfy/bfz hold B at each cell's LEFT x/y/z face
-(= U[IA]/U[IB]/U[IC]); shift_p(bf, axis) is therefore this cell's right face.
+(= U[IA]/U[IB]/U[IC]); xp.shift_p(bf, axis) is therefore this cell's right face.
 """
 from __future__ import annotations
 
@@ -18,12 +18,11 @@ import jax.numpy as jnp
 from ..config.params import RunParams
 from ..core.constants import IA, IB, IC, ID, IP, IU, IV, IW
 from .slopes import slope_1d
-from .stencil import shift_m, shift_p
 
 _X, _Y, _Z = -1, -2, -3
 
 
-def trace_unsplit_mhd_3d(
+def trace_unsplit_mhd_3d_parts(
     params: RunParams,
     Q: jnp.ndarray,
     bfx: jnp.ndarray,
@@ -31,20 +30,28 @@ def trace_unsplit_mhd_3d(
     bfz: jnp.ndarray,
     dt,
     xpos: jnp.ndarray,
+    xp=None,
 ):
+    """Shared half-step core returning LAZY builders for the 15 face/edge
+    state stacks. Consuming one stack at a time keeps peak VMEM liveness low
+    inside the fused Pallas kernel — Mosaic allocates roughly in trace
+    order, and materializing all 15 stacks at once (each a full window
+    [8, wz, wy, wx]) is what capped the tile size at (8, 32)."""
+    if xp is None:
+        from .backend import JNP as xp
     smallr, smallp, gamma = params.smallr, params.smallp, params.gamma0
     omega0 = params.omega0
     dtdx, dtdy, dtdz = dt / params.dx, dt / params.dy, dt / params.dz
 
     def corner_avg4(f, ax1, ax2):
-        return 0.25 * (f + shift_m(f, ax1) + shift_m(f, ax2) + shift_m(shift_m(f, ax1), ax2))
+        return 0.25 * (f + xp.shift_m(f, ax1) + xp.shift_m(f, ax2) + xp.shift_m(xp.shift_m(f, ax1), ax2))
 
     # ---- edge-centered electric fields (trace_mhd.h:850-940) ----
     # Ex at (i, j-1/2, k-1/2)
     v4 = corner_avg4(Q[IV], _Y, _Z)
     w4 = corner_avg4(Q[IW], _Y, _Z)
-    B_e = 0.5 * (bfy + shift_m(bfy, _Z))
-    C_e = 0.5 * (bfz + shift_m(bfz, _Y))
+    B_e = 0.5 * (bfy + xp.shift_m(bfy, _Z))
+    C_e = 0.5 * (bfz + xp.shift_m(bfz, _Y))
     ExC = v4 * C_e - w4 * B_e
     if omega0 > 0:
         ExC = ExC + (-1.5 * omega0 * xpos) * C_e
@@ -52,39 +59,39 @@ def trace_unsplit_mhd_3d(
     # Ey at (i-1/2, j, k-1/2)
     u4 = corner_avg4(Q[IU], _X, _Z)
     w4b = corner_avg4(Q[IW], _X, _Z)
-    A_e = 0.5 * (bfx + shift_m(bfx, _Z))
-    C_e2 = 0.5 * (bfz + shift_m(bfz, _X))
+    A_e = 0.5 * (bfx + xp.shift_m(bfx, _Z))
+    C_e2 = 0.5 * (bfz + xp.shift_m(bfz, _X))
     EyC = w4b * A_e - u4 * C_e2
 
     # Ez at (i-1/2, j-1/2, k)
     u4c = corner_avg4(Q[IU], _X, _Y)
     v4c = corner_avg4(Q[IV], _X, _Y)
-    A_e2 = 0.5 * (bfx + shift_m(bfx, _Y))
-    B_e2 = 0.5 * (bfy + shift_m(bfy, _X))
+    A_e2 = 0.5 * (bfx + xp.shift_m(bfx, _Y))
+    B_e2 = 0.5 * (bfy + xp.shift_m(bfy, _X))
     EzC = u4c * B_e2 - v4c * A_e2
     if omega0 > 0:
         EzC = EzC - (-1.5 * omega0 * (xpos - params.dx / 2)) * A_e2
 
     # the 2x2 stencils around the current cell (E**: L=this, R=next)
-    ELL, ELR = ExC, shift_p(ExC, _Z)
-    ERL, ERR = shift_p(ExC, _Y), shift_p(shift_p(ExC, _Y), _Z)
-    FLL, FLR = EyC, shift_p(EyC, _Z)
-    FRL, FRR = shift_p(EyC, _X), shift_p(shift_p(EyC, _X), _Z)
-    GLL, GLR = EzC, shift_p(EzC, _Y)
-    GRL, GRR = shift_p(EzC, _X), shift_p(shift_p(EzC, _X), _Y)
+    ELL, ELR = ExC, xp.shift_p(ExC, _Z)
+    ERL, ERR = xp.shift_p(ExC, _Y), xp.shift_p(xp.shift_p(ExC, _Y), _Z)
+    FLL, FLR = EyC, xp.shift_p(EyC, _Z)
+    FRL, FRR = xp.shift_p(EyC, _X), xp.shift_p(xp.shift_p(EyC, _X), _Z)
+    GLL, GLR = EzC, xp.shift_p(EzC, _Y)
+    GRL, GRR = xp.shift_p(EzC, _X), xp.shift_p(xp.shift_p(EzC, _X), _Y)
 
     # ---- cell-centered values, face values, half-slopes ----
     r, p = Q[ID], Q[IP]
     u, v, w = Q[IU], Q[IV], Q[IW]
     A, B, C = Q[IA], Q[IB], Q[IC]
 
-    AL, AR = bfx, shift_p(bfx, _X)
-    BL, BR = bfy, shift_p(bfy, _Y)
-    CL, CR = bfz, shift_p(bfz, _Z)
+    AL, AR = bfx, xp.shift_p(bfx, _X)
+    BL, BR = bfy, xp.shift_p(bfy, _Y)
+    CL, CR = bfz, xp.shift_p(bfz, _Z)
 
-    hx = 0.5 * slope_1d(params, Q, _X)
-    hy = 0.5 * slope_1d(params, Q, _Y)
-    hz = 0.5 * slope_1d(params, Q, _Z)
+    hx = 0.5 * slope_1d(params, Q, _X, xp=xp)
+    hy = 0.5 * slope_1d(params, Q, _Y, xp=xp)
+    hz = 0.5 * slope_1d(params, Q, _Z, xp=xp)
     drx, dpx, dux, dvx, dwx = hx[ID], hx[IP], hx[IU], hx[IV], hx[IW]
     dBx, dCx = hx[IB], hx[IC]
     dry, dpy, duy, dvy, dwy = hy[ID], hy[IP], hy[IU], hy[IV], hy[IW]
@@ -93,19 +100,19 @@ def trace_unsplit_mhd_3d(
     dAz, dBz = hz[IA], hz[IB]
 
     # transverse TVD slopes of the face-centered fields (slope_mhd.h:598-704)
-    s_bx_y = slope_1d(params, bfx, _Y)
-    s_bx_z = slope_1d(params, bfx, _Z)
-    s_by_x = slope_1d(params, bfy, _X)
-    s_by_z = slope_1d(params, bfy, _Z)
-    s_bz_x = slope_1d(params, bfz, _X)
-    s_bz_y = slope_1d(params, bfz, _Y)
+    s_bx_y = slope_1d(params, bfx, _Y, xp=xp)
+    s_bx_z = slope_1d(params, bfx, _Z, xp=xp)
+    s_by_x = slope_1d(params, bfy, _X, xp=xp)
+    s_by_z = slope_1d(params, bfy, _Z, xp=xp)
+    s_bz_x = slope_1d(params, bfz, _X, xp=xp)
+    s_bz_y = slope_1d(params, bfz, _Y, xp=xp)
 
     dALy, dALz = 0.5 * s_bx_y, 0.5 * s_bx_z
-    dARy, dARz = 0.5 * shift_p(s_bx_y, _X), 0.5 * shift_p(s_bx_z, _X)
+    dARy, dARz = 0.5 * xp.shift_p(s_bx_y, _X), 0.5 * xp.shift_p(s_bx_z, _X)
     dBLx, dBLz = 0.5 * s_by_x, 0.5 * s_by_z
-    dBRx, dBRz = 0.5 * shift_p(s_by_x, _Y), 0.5 * shift_p(s_by_z, _Y)
+    dBRx, dBRz = 0.5 * xp.shift_p(s_by_x, _Y), 0.5 * xp.shift_p(s_by_z, _Y)
     dCLx, dCLy = 0.5 * s_bz_x, 0.5 * s_bz_y
-    dCRx, dCRy = 0.5 * shift_p(s_bz_x, _Z), 0.5 * shift_p(s_bz_y, _Z)
+    dCRx, dCRy = 0.5 * xp.shift_p(s_bz_x, _Z), 0.5 * xp.shift_p(s_bz_y, _Z)
 
     dAx = 0.5 * (AR - AL)
     dBy = 0.5 * (BR - BL)
@@ -169,53 +176,67 @@ def trace_unsplit_mhd_3d(
     CL2, CR2 = CL + sCL0, CR + sCR0
 
     def state(rho, pres, uu, vv, ww, a_, b_, c_):
-        rho = jnp.maximum(smallr, rho)
+        rho = xp.maximum(smallr, rho)
         # note: the reference's 3D trace clamps pressure with smallp alone
         # (not smallp*rho), trace_mhd.h:1190 — matched here
-        pres = jnp.maximum(smallp, pres)
-        return jnp.stack([rho, pres, uu, vv, ww, a_, b_, c_])
+        pres = xp.maximum(smallp, pres)
+        return xp.stack([rho, pres, uu, vv, ww, a_, b_, c_])
 
-    # ---- face states ----
-    qp_x = state(r2 - drx, p2 - dpx, u2 - dux, v2 - dvx, w2 - dwx, AL2, B2 - dBx, C2 - dCx)
-    qm_x = state(r2 + drx, p2 + dpx, u2 + dux, v2 + dvx, w2 + dwx, AR2, B2 + dBx, C2 + dCx)
-    qp_y = state(r2 - dry, p2 - dpy, u2 - duy, v2 - dvy, w2 - dwy, A2 - dAy, BL2, C2 - dCy)
-    qm_y = state(r2 + dry, p2 + dpy, u2 + duy, v2 + dvy, w2 + dwy, A2 + dAy, BR2, C2 + dCy)
-    qp_z = state(r2 - drz, p2 - dpz, u2 - duz, v2 - dvz, w2 - dwz, A2 - dAz, B2 - dBz, CL2)
-    qm_z = state(r2 + drz, p2 + dpz, u2 + duz, v2 + dvz, w2 + dwz, A2 + dAz, B2 + dBz, CR2)
+    # lazy builders — each call assembles one [8, ...] stack
+    return {
+        # ---- face states ----
+        "qp_x": lambda: state(r2 - drx, p2 - dpx, u2 - dux, v2 - dvx, w2 - dwx, AL2, B2 - dBx, C2 - dCx),
+        "qm_x": lambda: state(r2 + drx, p2 + dpx, u2 + dux, v2 + dvx, w2 + dwx, AR2, B2 + dBx, C2 + dCx),
+        "qp_y": lambda: state(r2 - dry, p2 - dpy, u2 - duy, v2 - dvy, w2 - dwy, A2 - dAy, BL2, C2 - dCy),
+        "qm_y": lambda: state(r2 + dry, p2 + dpy, u2 + duy, v2 + dvy, w2 + dwy, A2 + dAy, BR2, C2 + dCy),
+        "qp_z": lambda: state(r2 - drz, p2 - dpz, u2 - duz, v2 - dvz, w2 - dwz, A2 - dAz, B2 - dBz, CL2),
+        "qm_z": lambda: state(r2 + drz, p2 + dpz, u2 + duz, v2 + dvz, w2 + dwz, A2 + dAz, B2 + dBz, CR2),
+        # ---- edge (corner) states, X family: varies in (y, z) ----
+        "qRT_x": lambda: state(r2 + dry + drz, p2 + dpy + dpz, u2 + duy + duz, v2 + dvy + dvz,
+                               w2 + dwy + dwz, A2 + dAy + dAz, BR2 + dBRz, CR2 + dCRy),
+        "qRB_x": lambda: state(r2 + dry - drz, p2 + dpy - dpz, u2 + duy - duz, v2 + dvy - dvz,
+                               w2 + dwy - dwz, A2 + dAy - dAz, BR2 - dBRz, CL2 + dCLy),
+        "qLT_x": lambda: state(r2 - dry + drz, p2 - dpy + dpz, u2 - duy + duz, v2 - dvy + dvz,
+                               w2 - dwy + dwz, A2 - dAy + dAz, BL2 + dBLz, CR2 - dCRy),
+        "qLB_x": lambda: state(r2 - dry - drz, p2 - dpy - dpz, u2 - duy - duz, v2 - dvy - dvz,
+                               w2 - dwy - dwz, A2 - dAy - dAz, BL2 - dBLz, CL2 - dCLy),
+        # ---- Y family: varies in (x, z) ----
+        "qRT_y": lambda: state(r2 + drx + drz, p2 + dpx + dpz, u2 + dux + duz, v2 + dvx + dvz,
+                               w2 + dwx + dwz, AR2 + dARz, B2 + dBx + dBz, CR2 + dCRx),
+        "qRB_y": lambda: state(r2 + drx - drz, p2 + dpx - dpz, u2 + dux - duz, v2 + dvx - dvz,
+                               w2 + dwx - dwz, AR2 - dARz, B2 + dBx - dBz, CL2 + dCLx),
+        "qLT_y": lambda: state(r2 - drx + drz, p2 - dpx + dpz, u2 - dux + duz, v2 - dvx + dvz,
+                               w2 - dwx + dwz, AL2 + dALz, B2 - dBx + dBz, CR2 - dCRx),
+        "qLB_y": lambda: state(r2 - drx - drz, p2 - dpx - dpz, u2 - dux - duz, v2 - dvx - dvz,
+                               w2 - dwx - dwz, AL2 - dALz, B2 - dBx - dBz, CL2 - dCLx),
+        # ---- Z family: varies in (x, y) ----
+        "qRT_z": lambda: state(r2 + drx + dry, p2 + dpx + dpy, u2 + dux + duy, v2 + dvx + dvy,
+                               w2 + dwx + dwy, AR2 + dARy, BR2 + dBRx, C2 + dCx + dCy),
+        "qRB_z": lambda: state(r2 + drx - dry, p2 + dpx - dpy, u2 + dux - duy, v2 + dvx - dvy,
+                               w2 + dwx - dwy, AR2 - dARy, BL2 + dBLx, C2 + dCx - dCy),
+        "qLT_z": lambda: state(r2 - drx + dry, p2 - dpx + dpy, u2 - dux + duy, v2 - dvx + dvy,
+                               w2 - dwx + dwy, AL2 + dALy, BR2 - dBRx, C2 - dCx + dCy),
+        "qLB_z": lambda: state(r2 - drx - dry, p2 - dpx - dpy, u2 - dux - duy, v2 - dvx - dvy,
+                               w2 - dwx - dwy, AL2 - dALy, BL2 - dBLx, C2 - dCx - dCy),
+    }
 
-    # ---- edge (corner) states, X family: varies in (y, z) ----
-    qRT_x = state(r2 + dry + drz, p2 + dpy + dpz, u2 + duy + duz, v2 + dvy + dvz,
-                  w2 + dwy + dwz, A2 + dAy + dAz, BR2 + dBRz, CR2 + dCRy)
-    qRB_x = state(r2 + dry - drz, p2 + dpy - dpz, u2 + duy - duz, v2 + dvy - dvz,
-                  w2 + dwy - dwz, A2 + dAy - dAz, BR2 - dBRz, CL2 + dCLy)
-    qLT_x = state(r2 - dry + drz, p2 - dpy + dpz, u2 - duy + duz, v2 - dvy + dvz,
-                  w2 - dwy + dwz, A2 - dAy + dAz, BL2 + dBLz, CR2 - dCRy)
-    qLB_x = state(r2 - dry - drz, p2 - dpy - dpz, u2 - duy - duz, v2 - dvy - dvz,
-                  w2 - dwy - dwz, A2 - dAy - dAz, BL2 - dBLz, CL2 - dCLy)
 
-    # ---- Y family: varies in (x, z) ----
-    qRT_y = state(r2 + drx + drz, p2 + dpx + dpz, u2 + dux + duz, v2 + dvx + dvz,
-                  w2 + dwx + dwz, AR2 + dARz, B2 + dBx + dBz, CR2 + dCRx)
-    qRB_y = state(r2 + drx - drz, p2 + dpx - dpz, u2 + dux - duz, v2 + dvx - dvz,
-                  w2 + dwx - dwz, AR2 - dARz, B2 + dBx - dBz, CL2 + dCLx)
-    qLT_y = state(r2 - drx + drz, p2 - dpx + dpz, u2 - dux + duz, v2 - dvx + dvz,
-                  w2 - dwx + dwz, AL2 + dALz, B2 - dBx + dBz, CR2 - dCRx)
-    qLB_y = state(r2 - drx - drz, p2 - dpx - dpz, u2 - dux - duz, v2 - dvx - dvz,
-                  w2 - dwx - dwz, AL2 - dALz, B2 - dBx - dBz, CL2 - dCLx)
-
-    # ---- Z family: varies in (x, y) ----
-    qRT_z = state(r2 + drx + dry, p2 + dpx + dpy, u2 + dux + duy, v2 + dvx + dvy,
-                  w2 + dwx + dwy, AR2 + dARy, BR2 + dBRx, C2 + dCx + dCy)
-    qRB_z = state(r2 + drx - dry, p2 + dpx - dpy, u2 + dux - duy, v2 + dvx - dvy,
-                  w2 + dwx - dwy, AR2 - dARy, BL2 + dBLx, C2 + dCx - dCy)
-    qLT_z = state(r2 - drx + dry, p2 - dpx + dpy, u2 - dux + duy, v2 - dvx + dvy,
-                  w2 - dwx + dwy, AL2 + dALy, BR2 - dBRx, C2 - dCx + dCy)
-    qLB_z = state(r2 - drx - dry, p2 - dpx - dpy, u2 - dux - duy, v2 - dvx - dvy,
-                  w2 - dwx - dwy, AL2 - dALy, BL2 - dBLx, C2 - dCx - dCy)
-
-    qm = (qm_x, qm_y, qm_z)
-    qp = (qp_x, qp_y, qp_z)
-    qedge_z = (qRT_z, qRB_z, qLT_z, qLB_z)
-    qedge_y = (qRT_y, qRB_y, qLT_y, qLB_y)
-    qedge_x = (qRT_x, qRB_x, qLT_x, qLB_x)
+def trace_unsplit_mhd_3d(
+    params: RunParams,
+    Q: jnp.ndarray,
+    bfx: jnp.ndarray,
+    bfy: jnp.ndarray,
+    bfz: jnp.ndarray,
+    dt,
+    xpos: jnp.ndarray,
+    xp=None,
+):
+    """Materialized form: all face/edge stacks at once (XLA whole-array
+    path; XLA's scheduler handles liveness there)."""
+    P = trace_unsplit_mhd_3d_parts(params, Q, bfx, bfy, bfz, dt, xpos, xp=xp)
+    qm = (P["qm_x"](), P["qm_y"](), P["qm_z"]())
+    qp = (P["qp_x"](), P["qp_y"](), P["qp_z"]())
+    qedge_z = (P["qRT_z"](), P["qRB_z"](), P["qLT_z"](), P["qLB_z"]())
+    qedge_y = (P["qRT_y"](), P["qRB_y"](), P["qLT_y"](), P["qLB_y"]())
+    qedge_x = (P["qRT_x"](), P["qRB_x"](), P["qLT_x"](), P["qLB_x"]())
     return qm, qp, qedge_z, qedge_y, qedge_x

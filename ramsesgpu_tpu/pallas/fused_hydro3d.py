@@ -40,8 +40,10 @@ def make_fused_hydro_update(
     params: RunParams,
     tiles: tuple[int, int] | None = None,
     interpret: bool = False,
+    packed_input: bool = False,
 ) -> Callable:
-    """Build ``update(U_ghosted, dt) -> U_interior_new`` (gravity-free)."""
+    """Build ``update(U_ghosted, dt) -> U_interior_new`` (gravity-free).
+    ``packed_input``: see fused_mhd3d.make_fused_mhd_update."""
     if not hydro_pallas_supported(params):
         raise ValueError("fused hydro kernel does not cover this configuration")
 
@@ -77,6 +79,8 @@ def make_fused_hydro_update(
     )
 
     def kernel(dt_ref, u_hbm, out_ref, win, sem):
+        from ..ops.backend import BOX, BoxField
+
         zi = pl.program_id(0)
         yi = pl.program_id(1)
         copy = pltpu.make_async_copy(
@@ -84,8 +88,10 @@ def make_fused_hydro_update(
         )
         copy.start()
         copy.wait()
+        # box-tracked pipeline: intermediates shrink in z/y (ops/backend.py)
         out_ref[...] = hydro_3d_interior_update(
-            tile_params, win[...], dt_ref[0, 0], margin=(m, m, mx)
+            tile_params, BoxField(win[...], 0, 0), dt_ref[0, 0],
+            margin=(m, m, mx), xp=BOX,
         )
 
     out_shape = jax.ShapeDtypeStruct(
@@ -114,6 +120,17 @@ def make_fused_hydro_update(
         interpret=interpret,
     )
 
+    if packed_input:
+        if not periodic_x:
+            raise ValueError("packed_input requires the periodic-x fast path")
+
+        def update(U_packed, dt):
+            dt_arr = jnp.reshape(dt, (1, 1)).astype(U_packed.dtype)
+            U_packed, dt_arr = jax.lax.optimization_barrier((U_packed, dt_arr))
+            return jax.lax.optimization_barrier(fused(dt_arr, U_packed))
+
+        return update
+
     def update(U_ghosted, dt):
         dt_arr = jnp.reshape(dt, (1, 1)).astype(U_ghosted.dtype)
         if periodic_x:
@@ -124,6 +141,63 @@ def make_fused_hydro_update(
         return jax.lax.optimization_barrier(fused(dt_arr, U_padded))
 
     return update
+
+
+def hydro_packed_supported(params: RunParams) -> bool:
+    """Packed-state advance loop viability (see fused_mhd3d twin)."""
+    return (
+        hydro_pallas_supported(params)
+        and all(b == BCT.BC_PERIODIC for b in params.boundary_types)
+        and params.nx % 128 == 0
+    )
+
+
+def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
+    """Packed-state advance loop for fully-periodic 3D hydro — the hydro
+    twin of fused_mhd3d.make_pallas_advance_n (hydro's inv-dt pass reads no
+    ghosts at all, so dt comes straight off the packed interior)."""
+    from ..solvers.timestep import compute_inv_dt_hydro
+
+    g = params.ghost_width
+    ny = params.ny
+    bz, by = params.pallas_tiles or _pick_tiles(params)
+    wy_pad = (-(-(by + 2 * g) // 8) * 8) - (by + 2 * g)
+    fused = make_fused_hydro_update(params, tiles=(bz, by), packed_input=True)
+    t_end = params.t_end
+
+    def pack(interior):
+        P = jnp.pad(interior, ((0, 0), (g, g), (g, g), (0, 0)), mode="wrap")
+        if wy_pad:
+            P = jnp.pad(P, ((0, 0), (0, 0), (0, wy_pad), (0, 0)))
+        return P
+
+    def dt_of(P):
+        interior = P[:, g:-g, g : g + ny, :]
+        return params.cfl / compute_inv_dt_hydro(params, interior, ghost=0)
+
+    @jax.jit
+    def advance_n(U, t, n_steps):
+        P0 = pack(U[:, g:-g, g:-g, g:-g])
+
+        def cond(carry):
+            _, t_c, k = carry
+            in_time = (t_c < t_end) if t_end > 0 else True
+            return jnp.logical_and(k < n_steps, in_time)
+
+        def body(carry):
+            P, t_c, k = carry
+            dt = dt_of(P)
+            return (pack(fused(P, dt)), t_c + dt, k + 1)
+
+        P_f, t_f, k_f = jax.lax.while_loop(
+            cond, body, (P0, t, jnp.array(0, jnp.int32))
+        )
+        U_f = jnp.pad(
+            P_f[:, g:-g, g : g + ny, :], ((0, 0),) + ((g, g),) * 3, mode="wrap"
+        )
+        return U_f, t_f, k_f
+
+    return advance_n
 
 
 def make_pallas_hydro_step_fn(params: RunParams) -> Callable:

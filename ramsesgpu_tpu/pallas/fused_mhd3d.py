@@ -60,11 +60,17 @@ def make_fused_mhd_update(
     tiles: tuple[int, int] | None = None,
     interpret: bool = False,
     margin_extra: int = 0,
+    packed_input: bool = False,
 ) -> Callable:
     """Build ``update(U_ghosted, dt) -> U_interior_new``.
 
     Requires omega0 == 0 (the rotating-frame xpos plumbing is not yet wired
     into the tiled path) and dim == 3.
+
+    ``packed_input=True`` (periodic-x only): the caller hands the kernel
+    input in its native packed form [nvar, nz+2g, wy_pad, nx] — x ghost-free,
+    lane-exact — skipping the x-ghost drop + re-pad passes, which cost a full
+    lane relayout of the 262-wide ghosted array (~10 ms/step at 256^3).
     """
     if params.dim != 3 or not params.mhd:
         raise ValueError("fused kernel currently covers the 3D MHD step")
@@ -122,6 +128,8 @@ def make_fused_mhd_update(
     )
 
     def kernel(dt_ref, u_hbm, out_ref, win, sem):
+        from ..ops.backend import BOX, BoxField
+
         zi = pl.program_id(0)
         yi = pl.program_id(1)
         copy = pltpu.make_async_copy(
@@ -131,10 +139,13 @@ def make_fused_mhd_update(
         )
         copy.start()
         copy.wait()
-        U = win[...]
+        # box-tracked pipeline: every intermediate shrinks in z/y to exactly
+        # the extent later stages consume (no wasted margin recompute; x rows
+        # stay full width so in-row rolls keep the periodic-x semantics)
+        U = BoxField(win[...], 0, 0)
         dt = dt_ref[0, 0]
         out_ref[...] = mhd_3d_interior_update(
-            tile_params, U, dt, margin=(m, m, mx)
+            tile_params, U, dt, margin=(m, m, mx), xp=BOX
         )
 
     out_shape = jax.ShapeDtypeStruct(
@@ -165,6 +176,20 @@ def make_fused_mhd_update(
         interpret=interpret,
     )
 
+    if packed_input:
+        if not periodic_x:
+            raise ValueError("packed_input requires the periodic-x fast path")
+
+        def update(U_packed, dt):
+            dt_arr = jnp.reshape(dt, (1, 1)).astype(U_packed.dtype)
+            # keep XLA's fusion passes away from the custom call's operands
+            # (address-change fusion around pallas custom-calls crashes the
+            # 2026-08 libtpu fusion pass otherwise)
+            U_packed, dt_arr = jax.lax.optimization_barrier((U_packed, dt_arr))
+            return jax.lax.optimization_barrier(fused(dt_arr, U_packed))
+
+        return update
+
     def update(U_ghosted, dt):
         dt_arr = jnp.reshape(dt, (1, 1)).astype(U_ghosted.dtype)
         # grow the ghost margin from g to m on every axis: z/y/x-left get
@@ -192,6 +217,75 @@ def make_fused_mhd_update(
         return jax.lax.optimization_barrier(out)
 
     return update
+
+
+def pallas_packed_supported(params: RunParams) -> bool:
+    """Whether the packed-state advance loop applies: fused kernel viable,
+    fully periodic (the wrap IS the ghost fill), lane-exact x, no jet dt
+    term."""
+    from ..core.constants import BoundaryConditionType as BCT
+
+    return (
+        pallas_supported(params)
+        and all(b == BCT.BC_PERIODIC for b in params.boundary_types)
+        and params.nx % 128 == 0
+        and params.problem not in ("jet", "Jet")
+    )
+
+
+def make_pallas_advance_n(params: RunParams) -> Callable:
+    """Jitted ``advance_n(U_ghosted, t, n) -> (U_ghosted', t', k)`` that
+    carries the state in the kernel's packed form across the whole loop:
+    [nvar, nz+2g, round8(ny+2g), nx] — x ghost-free (lane-exact rows, the
+    in-row roll wrap is the periodic BC), z/y wrap-ghosted, y padded to the
+    DMA sublane multiple. This removes the per-step x-ghost concat + re-pad,
+    which forces a full lane relayout of the 262-wide array (~10 ms/step at
+    256^3 on v5e); ghost refill becomes two cheap sublane/major-dim pads.
+    External contract unchanged (standard ghosted state in/out)."""
+    from ..solvers.timestep import compute_inv_dt_mhd
+
+    g = params.ghost_width
+    ny, nx = params.ny, params.nx
+    bz, by = params.pallas_tiles or _pick_tiles(params)
+    wy_pad = (-(-(by + 2 * g) // 8) * 8) - (by + 2 * g)
+    fused = make_fused_mhd_update(params, tiles=(bz, by), packed_input=True)
+    t_end = params.t_end
+
+    def pack(interior):
+        P = jnp.pad(interior, ((0, 0), (g, g), (g, g), (0, 0)), mode="wrap")
+        if wy_pad:
+            P = jnp.pad(P, ((0, 0), (0, 0), (0, wy_pad), (0, 0)))
+        return P
+
+    def dt_of(P):
+        Pv = P[:, :, : ny + 2 * g, :] if wy_pad else P
+        # x shifts wrap in-row = periodic BC; z/y ghosts are fresh wraps, so
+        # this matches compute_dt on the ghosted state bit-for-bit
+        return params.cfl / compute_inv_dt_mhd(params, Pv, ghost=(g, g, 0))
+
+    @jax.jit
+    def advance_n(U, t, n_steps):
+        P0 = pack(U[:, g:-g, g:-g, g:-g])
+
+        def cond(carry):
+            _, t_c, k = carry
+            in_time = (t_c < t_end) if t_end > 0 else True
+            return jnp.logical_and(k < n_steps, in_time)
+
+        def body(carry):
+            P, t_c, k = carry
+            dt = dt_of(P)
+            new_int = fused(P, dt)
+            return (pack(new_int), t_c + dt, k + 1)
+
+        P_f, t_f, k_f = jax.lax.while_loop(
+            cond, body, (P0, t, jnp.array(0, jnp.int32))
+        )
+        interior_f = P_f[:, g:-g, g : g + ny, :]
+        U_f = jnp.pad(interior_f, ((0, 0),) + ((g, g),) * 3, mode="wrap")
+        return U_f, t_f, k_f
+
+    return advance_n
 
 
 def make_pallas_step_fn(params: RunParams) -> Callable:

@@ -44,24 +44,27 @@ def _rotation(params: RunParams, direction: int) -> list[int]:
     return perm
 
 
-def compute_fluxes(params: RunParams, qm, qp, dt):
+def compute_fluxes(params: RunParams, qm, qp, dt, xp=None):
     """Directional Godunov fluxes from traced face states.
 
     flux[d][..., c] = flux through the left face of cell c along direction d,
     from the Riemann problem (qm[d] at c-1, qp[d] at c).
     """
+    if xp is None:
+        from ..ops.backend import JNP as xp
+
     def permute(q, perm):
         # stacked permute, not fancy indexing (index-array constants don't
         # lower inside Pallas kernels)
-        return jnp.stack([q[i] for i in perm])
+        return xp.stack([q[i] for i in perm])
 
     fluxes = []
     for d in range(params.dim):
         axis = _AXIS[d]
         perm = tuple(_rotation(params, d))
-        ql = permute(shift_m(qm[d], axis), perm)
+        ql = permute(xp.shift_m(qm[d], axis), perm)
         qr = permute(qp[d], perm)
-        flux_rot = riemann_hydro(params, ql, qr)
+        flux_rot = riemann_hydro(params, ql, qr, xp=xp)
         fluxes.append(permute(flux_rot, perm))  # swap perms are involutions
     return fluxes
 
@@ -73,32 +76,35 @@ def _interior(params: RunParams):
 
 
 def hydro_3d_interior_update(
-    params: RunParams, U: jnp.ndarray, dt,
+    params: RunParams, U, dt,
     margin: tuple[int, int, int] | None = None,
+    xp=None,
 ) -> jnp.ndarray:
     """Scatter-free 3D hydro update returning ONLY the updated interior
     [nvar, nz, ny, nx] — the form consumed by the fused Pallas kernel
-    (see the MHD twin in godunov_mhd.mhd_3d_interior_update)."""
+    (see the MHD twin in godunov_mhd.mhd_3d_interior_update; xp=BOX runs
+    the box-tracked pipeline, ops/backend.py)."""
+    if xp is None:
+        from ..ops.backend import JNP as xp
     g = params.ghost_width
     mz, my, mx = margin if margin is not None else (g, g, g)
     dtdd = [dt / params.dx, dt / params.dy, dt / params.dz]
 
-    Q, _c = constoprim_hydro(params, U)
-    dq = slopes_unsplit(params, Q)
-    qm, qp = trace_unsplit_hydro(params, Q, dq, dt)
-    fluxes = compute_fluxes(params, qm, qp, dt)
+    Q, _c = constoprim_hydro(params, U, xp=xp)
+    dq = slopes_unsplit(params, Q, xp=xp)
+    qm, qp = trace_unsplit_hydro(params, Q, dq, dt, xp=xp)
+    fluxes = compute_fluxes(params, qm, qp, dt, xp=xp)
 
-    interior = (
-        slice(mz, mz + params.nz),
-        slice(my, my + params.ny),
-        slice(mx, mx + params.nx),
-    )
-    full_int = (slice(None),) + interior
-    out = U[full_int]
+    z0, z1 = mz, mz + params.nz
+    y0, y1 = my, my + params.ny
+    x0, x1 = mx, mx + params.nx
+    out = xp.crop(U, z0, z1, y0, y1, x0, x1)
     for d in range(3):
         axis = _AXIS[d]
         flux = fluxes[d]
-        out = out + dtdd[d] * (flux - shift_p(flux, axis))[full_int]
+        out = out + dtdd[d] * xp.crop(
+            flux - xp.shift_p(flux, axis), z0, z1, y0, y1, x0, x1
+        )
     return out
 
 

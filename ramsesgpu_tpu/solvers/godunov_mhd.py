@@ -33,10 +33,12 @@ _PERM_Y = (ID, IP, IV, IU, IW, IB, IA, IC)
 _PERM_Z = (ID, IP, IW, IV, IU, IC, IB, IA)
 
 
-def _permute(q, perm):
+def _permute(q, perm, xp=None):
     """Component permutation via stack (not fancy indexing, which would
     capture an index-array constant — unsupported inside Pallas kernels)."""
-    return jnp.stack([q[i] for i in perm])
+    if xp is None:
+        from ..ops.backend import JNP as xp
+    return xp.stack([q[i] for i in perm])
 
 
 def xpos_array(params: RunParams, dtype) -> jnp.ndarray:
@@ -158,113 +160,132 @@ def _godunov_unsplit_mhd_2d(
     return U_new
 
 
-def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt):
+def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt, xp=None):
     """The compute core of the 3D step: face fluxes and edge EMFs.
-    Shared by the XLA whole-array update and the fused Pallas kernel."""
-    from ..ops.trace_mhd3d import trace_unsplit_mhd_3d
+    Shared by the XLA whole-array update (xp=JNP, roll shifts absorbed by
+    ghost margins) and the fused Pallas kernel (xp=BOX: intermediates carry
+    validity boxes and shrink to exactly the extent later stages consume —
+    see ops/backend.py)."""
+    from ..ops.trace_mhd3d import trace_unsplit_mhd_3d_parts
 
-    xpos = xpos_array(params, U.dtype)
+    if xp is None:
+        from ..ops.backend import JNP as xp
 
-    Q, _c = constoprim_mhd(params, U, dt)
-    (qm, qp, qedge_z, qedge_y, qedge_x) = trace_unsplit_mhd_3d(
-        params, Q, U[IA], U[IB], U[IC], dt, xpos
+    # xpos feeds only the omega0 > 0 branches (never taken in box mode)
+    xpos = xpos_array(params, U.dtype) if params.omega0 > 0 else None
+
+    Q, _c = constoprim_mhd(params, U, dt, xp=xp)
+    # lazy face/edge state builders: each [8, ...] stack is assembled right
+    # before its one consumer so at most ~2 stacks are live at a time
+    # (Mosaic allocates in trace order; materializing all 15 stacks at once
+    # is what capped the Pallas tile size)
+    P = trace_unsplit_mhd_3d_parts(
+        params, Q, U[IA], U[IB], U[IC], dt, xpos, xp=xp
     )
 
-    flux_x = riemann_mhd(params, shift_m(qm[0], _X), qp[0])
+    flux_x = riemann_mhd(params, xp.shift_m(P["qm_x"](), _X), P["qp_x"](), xp=xp)
     flux_y = _permute(
         riemann_mhd(
             params,
-            _permute(shift_m(qm[1], _Y), _PERM_Y),
-            _permute(qp[1], _PERM_Y),
+            _permute(xp.shift_m(P["qm_y"](), _Y), _PERM_Y, xp=xp),
+            _permute(P["qp_y"](), _PERM_Y, xp=xp),
+            xp=xp,
         ),
         _PERM_Y,
+        xp=xp,
     )
     flux_z = _permute(
         riemann_mhd(
             params,
-            _permute(shift_m(qm[2], _Z), _PERM_Z),
-            _permute(qp[2], _PERM_Z),
+            _permute(xp.shift_m(P["qm_z"](), _Z), _PERM_Z, xp=xp),
+            _permute(P["qp_z"](), _PERM_Z, xp=xp),
+            xp=xp,
         ),
         _PERM_Z,
+        xp=xp,
     )
 
     # EMF_Z at edge (i-1/2, j-1/2, k)
-    qRT_z, qRB_z, qLT_z, qLB_z = qedge_z
     emf_z = compute_emf(
         params,
-        shift_m(shift_m(qRT_z, _X), _Y),
-        shift_m(qRB_z, _X),
-        shift_m(qLT_z, _Y),
-        qLB_z,
+        xp.shift_m(xp.shift_m(P["qRT_z"](), _X), _Y),
+        xp.shift_m(P["qRB_z"](), _X),
+        xp.shift_m(P["qLT_z"](), _Y),
+        P["qLB_z"](),
         "z",
         xpos,
+        xp=xp,
     )
     # EMF_Y at edge (i-1/2, j, k-1/2); note the reference's RB/LT role swap
     # (mhd_godunov_unsplit_cpu_v1.cpp:519-522)
-    qRT_y, qRB_y, qLT_y, qLB_y = qedge_y
     emf_y = compute_emf(
         params,
-        shift_m(shift_m(qRT_y, _X), _Z),
-        shift_m(qLT_y, _Z),
-        shift_m(qRB_y, _X),
-        qLB_y,
+        xp.shift_m(xp.shift_m(P["qRT_y"](), _X), _Z),
+        xp.shift_m(P["qLT_y"](), _Z),
+        xp.shift_m(P["qRB_y"](), _X),
+        P["qLB_y"](),
         "y",
         xpos,
+        xp=xp,
     )
     # EMF_X at edge (i, j-1/2, k-1/2)
-    qRT_x, qRB_x, qLT_x, qLB_x = qedge_x
     emf_x = compute_emf(
         params,
-        shift_m(shift_m(qRT_x, _Y), _Z),
-        shift_m(qRB_x, _Y),
-        shift_m(qLT_x, _Z),
-        qLB_x,
+        xp.shift_m(xp.shift_m(P["qRT_x"](), _Y), _Z),
+        xp.shift_m(P["qRB_x"](), _Y),
+        xp.shift_m(P["qLT_x"](), _Z),
+        P["qLB_x"](),
         "x",
         xpos,
+        xp=xp,
     )
     return (flux_x, flux_y, flux_z), (emf_z, emf_y, emf_x)
 
 
 def mhd_3d_interior_update(
-    params: RunParams, U: jnp.ndarray, dt, margin: tuple[int, int, int] | None = None
+    params: RunParams, U, dt, margin: tuple[int, int, int] | None = None, xp=None
 ) -> jnp.ndarray:
     """Scatter-free variant returning ONLY the updated interior
     [8, nz, ny, nx] — the form consumed by the fused Pallas kernel
     (no .at[] indexed updates, which don't lower on TPU Pallas).
 
-    ``margin`` = (mz, my, mx) offsets of the interior inside U. Tiled windows
-    need margins *wider* than ghost_width: the roll-wrap corruption of the
-    stencil chain reaches up to 5 cells (cell-centered B +1, trace slopes +2,
-    flux/EMF shifts +2), which the ghosted whole-array form absorbs only
-    because its wrap coincides with the periodic copies.
+    ``margin`` = (mz, my, mx) offsets of the interior inside U.
+
+    With xp=JNP (default) the stencil shifts are rolls whose wrap corruption
+    the margins absorb; with xp=BOX (U a BoxField over a kernel window)
+    every intermediate carries its validity box instead — no z/y wrap at
+    all, and each stage computes only the extent later stages consume.
     """
+    if xp is None:
+        from ..ops.backend import JNP as xp
     g = params.ghost_width
     mz, my, mx = margin if margin is not None else (g, g, g)
     dtdx, dtdy, dtdz = dt / params.dx, dt / params.dy, dt / params.dz
     (flux_x, flux_y, flux_z), (emf_z, emf_y, emf_x) = _mhd_3d_fluxes_emfs(
-        params, U, dt
+        params, U, dt, xp=xp
     )
-    interior = (
-        slice(mz, mz + params.nz),
-        slice(my, my + params.ny),
-        slice(mx, mx + params.nx),
-    )
-    full_int = (slice(None),) + interior
+    z0, z1 = mz, mz + params.nz
+    y0, y1 = my, my + params.ny
+    x0, x1 = mx, mx + params.nx
+
+    def crop(f):
+        return xp.crop(f, z0, z1, y0, y1, x0, x1)
+
     dU = (
-        dtdx * (flux_x - shift_p(flux_x, _X))[full_int]
-        + dtdy * (flux_y - shift_p(flux_y, _Y))[full_int]
-        + dtdz * (flux_z - shift_p(flux_z, _Z))[full_int]
+        dtdx * crop(flux_x - xp.shift_p(flux_x, _X))
+        + dtdy * crop(flux_y - xp.shift_p(flux_y, _Y))
+        + dtdz * crop(flux_z - xp.shift_p(flux_z, _Z))
     )
-    dbx = (shift_p(emf_z, _Y) - emf_z)[interior] * dtdy - (
-        shift_p(emf_y, _Z) - emf_y
-    )[interior] * dtdz
-    dby = (shift_p(emf_x, _Z) - emf_x)[interior] * dtdz - (
-        shift_p(emf_z, _X) - emf_z
-    )[interior] * dtdx
-    dbz = (shift_p(emf_y, _X) - emf_y)[interior] * dtdx - (
-        shift_p(emf_x, _Y) - emf_x
-    )[interior] * dtdy
-    Ui = U[full_int]
+    dbx = crop(xp.shift_p(emf_z, _Y) - emf_z) * dtdy - crop(
+        xp.shift_p(emf_y, _Z) - emf_y
+    ) * dtdz
+    dby = crop(xp.shift_p(emf_x, _Z) - emf_x) * dtdz - crop(
+        xp.shift_p(emf_z, _X) - emf_z
+    ) * dtdx
+    dbz = crop(xp.shift_p(emf_y, _X) - emf_y) * dtdx - crop(
+        xp.shift_p(emf_x, _Y) - emf_x
+    ) * dtdy
+    Ui = crop(U)
     return jnp.stack(
         [
             Ui[ID] + dU[ID],

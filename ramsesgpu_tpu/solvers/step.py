@@ -163,6 +163,34 @@ def make_advance_n(params: RunParams, config=None) -> Callable:
     """Build jitted ``advance_n(U, t, n_steps) -> (U, t, steps_done)`` that
     runs up to ``n_steps`` steps, stopping early when t reaches t_end.
     The loop carry stays on device for the whole chunk."""
+    # fully-periodic 3D runs on the fused TPU kernels: carry the packed
+    # (x-ghost-free, lane-exact) state across the loop instead of the
+    # ghosted one (pallas/fused_mhd3d.make_pallas_advance_n and the hydro
+    # twin in fused_hydro3d)
+    if (
+        params.dim == 3
+        and params.kernel in ("auto", "pallas")
+        and not uses_shear(params)
+        and make_gravity_field(params, config) is None
+    ):
+        backend_ok = params.kernel == "pallas" or jax.default_backend() == "tpu"
+        if backend_ok and params.mhd:
+            from ..pallas.fused_mhd3d import (
+                make_pallas_advance_n,
+                pallas_packed_supported,
+            )
+
+            if pallas_packed_supported(params):
+                return make_pallas_advance_n(params)
+        elif backend_ok and params.nu == 0.0:
+            from ..pallas.fused_hydro3d import (
+                hydro_packed_supported,
+                make_pallas_hydro_advance_n,
+            )
+
+            if hydro_packed_supported(params):
+                return make_pallas_hydro_advance_n(params)
+
     step = make_step_fn(params, config)
     t_end = params.t_end
 

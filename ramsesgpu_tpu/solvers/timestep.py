@@ -19,13 +19,15 @@ from ..ops.eos import constoprim_hydro
 from ..ops.mhd_utils import fast_magnetosonic_speeds
 
 
-def _interior(params: RunParams, a: jnp.ndarray, ghost: int | None = None) -> jnp.ndarray:
+def _interior(params: RunParams, a: jnp.ndarray, ghost=None) -> jnp.ndarray:
+    """``ghost`` overrides the frame width: an int (uniform) or a per-axis
+    tuple ((z,) y, x); 0 means no ghosts along that axis (the packed Pallas
+    state has no x ghosts, pallas/fused_mhd3d.py)."""
     g = params.ghost_width if ghost is None else ghost
-    if g == 0:
-        return a
-    if params.dim == 2:
-        return a[..., g:-g, g:-g]
-    return a[..., g:-g, g:-g, g:-g]
+    if isinstance(g, int):
+        g = (g,) * params.dim
+    sl = tuple(slice(gi, -gi) if gi else slice(None) for gi in g)
+    return a[(..., *sl)]
 
 
 def compute_inv_dt_hydro(

@@ -50,6 +50,69 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
         mz, my, mx = (mesh.shape.get(k, 1) for k in ("z", "y", "x"))
         local_dims = (params.nz // mz, params.ny // my, params.nx // mx)
 
+    if params.nu > 0 or params.eta > 0:
+        raise NotImplementedError(
+            "distributed dissipation (nu/eta) is not wired yet: the "
+            "dissipative sub-step needs its own halo exchange; run "
+            "single-device or wait for round 2"
+        )
+
+    from ..core.constants import BoundaryConditionType as BCT
+
+    shear = (
+        params.boundary_xmin == BCT.BC_SHEARINGBOX
+        or params.boundary_xmax == BCT.BC_SHEARINGBOX
+    )
+    if shear:
+        if not (params.mhd and params.dim == 3 and local_dims is not None):
+            raise NotImplementedError(
+                "distributed shearing box covers 3D MHD with an explicit mesh"
+            )
+        if not all(
+            b == BCT.BC_PERIODIC
+            for b in (params.boundary_ymin, params.boundary_ymax,
+                      params.boundary_zmin, params.boundary_zmax)
+        ):
+            raise NotImplementedError(
+                "distributed shearing box assumes periodic y/z "
+                "(stratified-z MRI: run single-device this round)"
+            )
+        from ..solvers.godunov_mhd import godunov_unsplit_mhd as _mhd_update
+        from .shear_dist import ShardedShearComm, attach_halos_shear
+
+        comm = ShardedShearComm(params, local_dims)
+        lnz, lny, lnx = local_dims
+        local_params = params.replace(
+            nx=lnx, ny=lny, nz=lnz,
+            xmax=params.xmin + lnx * params.dx,
+            ymax=params.ymin + lny * params.dy,
+            zmax=params.zmin + lnz * params.dz,
+        )
+        g = params.ghost_width
+
+        def local_step_shear(U, t):
+            # dt from a fresh sheared fill at time t (the reference reads
+            # one-step-stale ghosts here; same CFL validity)
+            Ug0 = attach_halos_shear(local_params, params, U, t, comm)
+            inv = compute_inv_dt_mhd(local_params, Ug0)
+            for name in names:
+                inv = lax.pmax(inv, name)
+            dt = params.cfl / inv
+            # boundary data at t+dt (MHDRunGodunov.cpp:3551 semantics)
+            Ug = attach_halos_shear(local_params, params, U, t + dt, comm)
+            # global cell-center x coordinates for the rotating-frame terms
+            i = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, lnx + 2 * g), 2
+            ).astype(U.dtype)
+            xi = lax.axis_index(AXIS_X).astype(U.dtype)
+            xpos = params.xmin + params.dx / 2 + (xi * lnx + i - g) * params.dx
+            U_new = _mhd_update(
+                local_params, Ug, dt, t=t, shear_comm=comm, xpos=xpos
+            )
+            return strip_halos(local_params, U_new), dt
+
+        return local_step_shear
+
     if params.mhd:
         from ..solvers.godunov_mhd import godunov_unsplit_mhd
 
@@ -152,10 +215,84 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
     return local_step
 
 
+def _make_sharded_advance_shear(params: RunParams, mesh: Mesh) -> Callable:
+    """Shearing-box advance: the loop carries the GHOSTED local block so the
+    dt reduction reads one-fill-stale ghosts — exactly the single-device /
+    reference ordering (compute_dt before make_boundaries); the fresh
+    sheared fill at t+dt happens inside the step."""
+    from ..core.constants import BoundaryConditionType as BCT
+    from ..solvers.godunov_mhd import godunov_unsplit_mhd as _mhd_update
+    from .shear_dist import ShardedShearComm, attach_halos_shear
+
+    mz, my, mx = (mesh.shape.get(k, 1) for k in ("z", "y", "x"))
+    local_dims = (params.nz // mz, params.ny // my, params.nx // mx)
+    lnz, lny, lnx = local_dims
+    comm = ShardedShearComm(params, local_dims)
+    local_params = params.replace(
+        nx=lnx, ny=lny, nz=lnz,
+        xmax=params.xmin + lnx * params.dx,
+        ymax=params.ymin + lny * params.dy,
+        zmax=params.zmin + lnz * params.dz,
+    )
+    g = params.ghost_width
+    names = _axis_names(params)
+    spec = _state_spec(params)
+    t_end = params.t_end
+
+    def local_advance(U, t, n_steps):
+        i = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, lnx + 2 * g), 2
+        ).astype(U.dtype)
+        xi = lax.axis_index(AXIS_X).astype(U.dtype)
+        xpos = params.xmin + params.dx / 2 + (xi * lnx + i - g) * params.dx
+
+        def cond(carry):
+            _, t_c, k = carry
+            in_time = (t_c < t_end) if t_end > 0 else True
+            return jnp.logical_and(k < n_steps, in_time)
+
+        def body(carry):
+            Ug, t_c, k = carry
+            inv = compute_inv_dt_mhd(local_params, Ug)
+            for name in names:
+                inv = lax.pmax(inv, name)
+            dt = params.cfl / inv
+            interior = strip_halos(local_params, Ug)
+            Ub = attach_halos_shear(local_params, params, interior, t_c + dt,
+                                    comm)
+            U_new = _mhd_update(
+                local_params, Ub, dt, t=t_c, shear_comm=comm, xpos=xpos
+            )
+            return (U_new, t_c + dt, k + 1)
+
+        Ug0 = attach_halos_shear(local_params, params, U, t, comm)
+        Ug_f, t_f, k_f = lax.while_loop(
+            cond, body, (Ug0, t, jnp.array(0, jnp.int32))
+        )
+        return strip_halos(local_params, Ug_f), t_f, k_f
+
+    sharded = shard_map(
+        local_advance,
+        mesh=mesh,
+        in_specs=(spec, P(), P()),
+        out_specs=(spec, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_advance_n(params: RunParams, mesh: Mesh) -> Callable:
     """Jitted ``advance_n(U_global, t, n) -> (U_global, t, steps)`` where
     U_global is the interior-only sharded state. The while_loop lives inside
     shard_map so a whole output interval runs as one SPMD program."""
+    from ..core.constants import BoundaryConditionType as BCT
+
+    if (
+        params.boundary_xmin == BCT.BC_SHEARINGBOX
+        or params.boundary_xmax == BCT.BC_SHEARINGBOX
+    ):
+        return _make_sharded_advance_shear(params, mesh)
+
     local_step = make_local_step(params, mesh)
     spec = _state_spec(params)
     t_end = params.t_end

@@ -53,14 +53,20 @@ def xpos_array(params: RunParams, dtype) -> jnp.ndarray:
 
 
 def godunov_unsplit_mhd(
-    params: RunParams, U: jnp.ndarray, dt, gravity=None, t=None
+    params: RunParams, U: jnp.ndarray, dt, gravity=None, t=None,
+    shear_comm=None, xpos=None,
 ) -> jnp.ndarray:
     """One unsplit MHD+CT update. ``t`` (current time) is only consumed by
     shearing-box runs, for the conservative flux/emfY remap at the domain
-    x-faces; pass None to skip the remap."""
+    x-faces; pass None to skip the remap. ``shear_comm`` (sharded runs,
+    parallel/shear_dist.ShardedShearComm) swaps the remap for its collective
+    twin; ``xpos`` overrides the cell-center x coordinates (per-shard global
+    offsets in distributed rotating-frame runs)."""
     if params.dim == 2:
         return _godunov_unsplit_mhd_2d(params, U, dt, gravity=gravity)
-    return _godunov_unsplit_mhd_3d(params, U, dt, gravity=gravity, t=t)
+    return _godunov_unsplit_mhd_3d(
+        params, U, dt, gravity=gravity, t=t, shear_comm=shear_comm, xpos=xpos
+    )
 
 
 def _gravity_kick(params: RunParams, states, gravity, dt):
@@ -337,7 +343,8 @@ def _shear_remap_pair(params: RunParams, f_xmin, f_xmax, t, dt):
 
 
 def _godunov_unsplit_mhd_3d(
-    params: RunParams, U: jnp.ndarray, dt, gravity=None, t=None
+    params: RunParams, U: jnp.ndarray, dt, gravity=None, t=None,
+    shear_comm=None, xpos=None,
 ) -> jnp.ndarray:
     from ..ops.trace_mhd3d import trace_unsplit_mhd_3d
 
@@ -345,7 +352,8 @@ def _godunov_unsplit_mhd_3d(
     dtdx = dt / params.dx
     dtdy = dt / params.dy
     dtdz = dt / params.dz
-    xpos = xpos_array(params, U.dtype)
+    if xpos is None:
+        xpos = xpos_array(params, U.dtype)
 
     Q, _c = constoprim_mhd(params, U, dt)
     (qm, qp, qedge_z, qedge_y, qedge_x) = trace_unsplit_mhd_3d(
@@ -378,12 +386,16 @@ def _godunov_unsplit_mhd_3d(
 
     shear_remap = _uses_shear(params) and t is not None
     iy = slice(g, g + params.ny)
+    _remap_pair = (
+        shear_comm.remap_pair if shear_comm is not None
+        else lambda p_, a, b, t_, dt_: _shear_remap_pair(p_, a, b, t_, dt_)
+    )
     if shear_remap:
         # conservative density-flux remap at the two domain x-faces: the main
         # update then uses the remapped face flux directly (equivalent to the
         # reference's mask-then-add, godunov_unsplit_mhd.cuh:5546-5590 +
         # shearingBox_utils.cuh:428-492)
-        fmin, fmax = _shear_remap_pair(
+        fmin, fmax = _remap_pair(
             params, flux_x[ID, :, iy, g], flux_x[ID, :, iy, params.nx + g], t, dt
         )
         flux_x = (
@@ -406,10 +418,21 @@ def _godunov_unsplit_mhd_3d(
     U_new = U.at[(slice(None),) + interior].add(mask * dU)
     if shear_remap:
         # density floor on the two remapped border columns
-        # (shearingBox_utils.cuh:484-485)
-        for xb in (g, params.nx + g - 1):
+        # (shearingBox_utils.cuh:484-485); under sharding only the
+        # domain-edge shard columns apply it
+        from jax import lax as _lax
+
+        for xb, is_min in ((g, True), (params.nx + g - 1, False)):
             col = (ID, slice(g, -g), iy, xb)
-            U_new = U_new.at[col].set(jnp.maximum(U_new[col], params.smallr))
+            clamped = jnp.maximum(U_new[col], params.smallr)
+            if shear_comm is not None:
+                from .. parallel.mesh import AXIS_X as _AX
+
+                xi = _lax.axis_index(_AX)
+                mx = _lax.axis_size(_AX)
+                edge = (xi == 0) if is_min else (xi == mx - 1)
+                clamped = jnp.where(edge, clamped, U_new[col])
+            U_new = U_new.at[col].set(clamped)
 
     # --- EMFs at the three edge families ---
     # EMF_Z at edge (i-1/2, j-1/2, k): diagonal neighbors in the xy plane
@@ -439,7 +462,7 @@ def _godunov_unsplit_mhd_3d(
     if shear_remap:
         # emfY remap at the domain x-faces keeps By exactly conserved across
         # the sheared boundary (shearingBox_utils.cuh:134-170)
-        emin, emax = _shear_remap_pair(
+        emin, emax = _remap_pair(
             params, emf_y[:, iy, g], emf_y[:, iy, params.nx + g], t, dt
         )
         emf_y = emf_y.at[:, iy, g].set(emin).at[:, iy, params.nx + g].set(emax)

@@ -52,11 +52,10 @@ class DistributedRun(Run):
                 "distributed turbulence forcing is not wired yet; "
                 "run forced problems single-device or wait for round 2"
             )
-        if uses_shear(self.params):
-            raise NotImplementedError(
-                "distributed shearing box is not wired yet (the remap couples "
-                "x-boundary shards non-locally); run shear single-device"
-            )
+        # shearing-box runs are supported (3D MHD, periodic y/z — the
+        # sharded step raises a targeted NotImplementedError otherwise);
+        # host-side ghost fills then use the sheared remap at current t
+        self._shear = uses_shear(self.params)
 
         # super() built a ghosted single-device state; shard its interior
         self.U = shard_global_state(self.params, self.mesh, self.U)
@@ -93,6 +92,12 @@ class DistributedRun(Run):
         g = self.params.ghost_width
         Ui = np.asarray(jax.device_get(self.U))
         Ug = np.pad(Ui, ((0, 0),) + ((g, g),) * self.params.dim)
+        if self._shear:
+            from .shear import make_all_boundaries_shear
+
+            return make_all_boundaries_shear(
+                self.params, jnp.asarray(Ug), jnp.asarray(self.t, Ug.dtype)
+            )
         return self._fill_fn(jnp.asarray(Ug))
 
     def interior(self) -> np.ndarray:

@@ -191,6 +191,89 @@ def test_overlap_supported_gating():
     assert overlap_supported(hp, (8, 8, 8))              # mixed BCs fine
 
 
+MRI_INI = """
+[run]
+tend=10.0
+[mesh]
+nx=16
+ny=32
+nz=16
+xmin=-0.5
+xmax=0.5
+ymin=0.0
+ymax=2.0
+zmin=-0.5
+zmax=0.5
+boundary_xmin=4
+boundary_xmax=4
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=3
+boundary_zmax=3
+[hydro]
+problem=MRI
+cfl=0.4
+gamma0=1.001
+cIso=1.0
+slope_type=2.0
+riemannSolver=hlld
+smallr=1e-8
+smallc=1e-8
+[MHD]
+enable=true
+magRiemannSolver=hlld
+omega0=1.0
+[MRI]
+density=1.0
+beta=400.0
+type=noflux
+amp=0.01
+seed=3
+"""
+
+
+@pytest.mark.parametrize("topo", [(2, 2, 2), (4, 1, 2)])
+def test_mri_3d_sharded_shear_parity(topo):
+    """Distributed shearing box (SURVEY 'hardest part #1'): sharded MRI
+    matches the single-device run; total mass is conserved through the
+    distributed conservative flux remap; divB stays at roundoff including
+    the shear borders."""
+    from ramsesgpu_tpu.core.constants import IA, IB, IC, ID
+
+    mx, my, mz = topo
+    params, config, U0, ref, t1, k1 = _single_device_reference(MRI_INI, 8)
+    validate_decomposition(params, mx, my, mz)
+    mesh = make_mesh(mx=mx, my=my, mz=mz)
+    out, t2, k2 = _sharded(params, config, U0, mesh, 8)
+    assert k1 == k2
+    # the t=0 initial sheared fill differs from the plain periodic fill by
+    # the conservative-By slope form (~1e-6); allow that plus growth
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-5)
+
+    g = params.ghost_width
+    sl = (slice(g, -g),) * 3
+    m0 = np.asarray(U0)[ID][sl].astype(np.float64).sum()
+    m1 = out[ID].astype(np.float64).sum()
+    assert abs(m1 - m0) / m0 < 1e-8
+
+    # divB on the full interior of the sharded result (re-frame with the
+    # sheared ghost fill at the final time)
+    from ramsesgpu_tpu.solvers.shear import make_all_boundaries_shear
+
+    Ug = np.pad(out, ((0, 0),) + ((g, g),) * 3)
+    Ug = np.asarray(make_all_boundaries_shear(params, jnp.asarray(Ug),
+                                              jnp.asarray(t2)))
+    bx, by, bz = Ug[IA], Ug[IB], Ug[IC]
+    div = (
+        (np.roll(bx, -1, -1) - bx) / params.dx
+        + (np.roll(by, -1, -2) - by) / params.dy
+        + (np.roll(bz, -1, -3) - bz) / params.dz
+    )
+    inner = div[g : -g - 1, g : -g - 1, g : -g - 1]
+    scale = max(np.abs(bz).max(), 1e-10) / params.dx
+    assert np.abs(inner).max() < 2e-3 * scale
+
+
 def test_distributed_run_driver(tmp_path):
     """DistributedRun: INI-driven ([mpi] mx/my/mz) end-to-end loop with
     gathered I/O + history matches the single-device Run."""

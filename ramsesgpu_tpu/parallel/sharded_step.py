@@ -39,23 +39,23 @@ def _state_spec(params: RunParams):
     return P(None, AXIS_Z, AXIS_Y, AXIS_X)
 
 
-def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
-    """Per-shard step on an interior-only block: halo fill, global dt,
-    one Godunov update. Returns (new_block, dt)."""
+def make_local_step(
+    params: RunParams, mesh: Mesh | None = None, config=None
+) -> tuple[Callable, bool]:
+    """Per-shard step on an interior-only block: halo fill, global dt, one
+    Godunov update, then (if nu/eta > 0) a dedicated halo exchange + the
+    dissipative sub-step. Returns ``(local_step(U, G, t) -> (U', dt),
+    wants_gravity)`` — G is the shard's static ghosted gravity window
+    (built by _gravity_windows) or None.
+    """
     names = _axis_names(params)
-    gravity_full = make_gravity_field(params)
+    wants_gravity = make_gravity_field(params, config) is not None
+    dissip = params.nu > 0 or params.eta > 0
 
     local_dims = None
     if mesh is not None and params.dim == 3:
         mz, my, mx = (mesh.shape.get(k, 1) for k in ("z", "y", "x"))
         local_dims = (params.nz // mz, params.ny // my, params.nx // mx)
-
-    if params.nu > 0 or params.eta > 0:
-        raise NotImplementedError(
-            "distributed dissipation (nu/eta) is not wired yet: the "
-            "dissipative sub-step needs its own halo exchange; run "
-            "single-device or wait for round 2"
-        )
 
     from ..core.constants import BoundaryConditionType as BCT
 
@@ -90,7 +90,13 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
         )
         g = params.ghost_width
 
-        def local_step_shear(U, t):
+        if wants_gravity:
+            raise NotImplementedError(
+                "distributed shear + gravity (stratified MRI): run "
+                "single-device this round"
+            )
+
+        def local_step_shear(U, G, t):
             # dt from a fresh sheared fill at time t (the reference reads
             # one-step-stale ghosts here; same CFL validity)
             Ug0 = attach_halos_shear(local_params, params, U, t, comm)
@@ -107,11 +113,21 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
             xi = lax.axis_index(AXIS_X).astype(U.dtype)
             xpos = params.xmin + params.dx / 2 + (xi * lnx + i - g) * params.dx
             U_new = _mhd_update(
-                local_params, Ug, dt, t=t, shear_comm=comm, xpos=xpos
+                local_params, Ug, dt, t=t, shear_comm=comm, xpos=xpos,
+                apply_dissipation=False,
             )
-            return strip_halos(local_params, U_new), dt
+            U_int = strip_halos(local_params, U_new)
+            if dissip:
+                from ..solvers.dissipation import apply_dissipation_mhd
 
-        return local_step_shear
+                Ub2 = attach_halos_shear(local_params, params, U_int,
+                                         t + dt, comm)
+                U_int = strip_halos(
+                    local_params, apply_dissipation_mhd(local_params, Ub2, dt)
+                )
+            return U_int, dt
+
+        return local_step_shear, False
 
     if params.mhd:
         from ..solvers.godunov_mhd import godunov_unsplit_mhd
@@ -132,7 +148,10 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
             backend_ok = params.kernel == "pallas" or (
                 jax.default_backend() == "tpu"
             )
-            use_pallas = backend_ok and pallas_supported(local_params)
+            use_pallas = (
+                backend_ok and not wants_gravity
+                and pallas_supported(local_params)
+            )
 
         if use_pallas:
             from ..pallas.fused_mhd3d import make_fused_mhd_update
@@ -149,19 +168,36 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
 
         else:
 
-            def update(Ug, dt):
-                return godunov_unsplit_mhd(local_params, Ug, dt)
+            def update(Ug, dt, G):
+                return godunov_unsplit_mhd(
+                    local_params, Ug, dt, gravity=G, apply_dissipation=False
+                )
+
+        if use_pallas:
+            _u = update
+
+            def update(Ug, dt, G):  # noqa: F811 — pallas path has no gravity
+                return _u(Ug, dt)
 
         inv_dt_fn = compute_inv_dt_mhd
+
+        def dissipate(Ug2, dt):
+            from ..solvers.dissipation import apply_dissipation_mhd
+
+            return apply_dissipation_mhd(params, Ug2, dt)
+
     else:
         use_pallas = False
 
-        def update(Ug, dt):
-            # NOTE: per-shard gravity slices are not implemented yet for the
-            # distributed path; uniform gravity broadcasts correctly.
-            return godunov_unsplit_hydro(params, Ug, dt, gravity=None)
+        def update(Ug, dt, G):
+            return godunov_unsplit_hydro(params, Ug, dt, gravity=G)
 
         inv_dt_fn = compute_inv_dt_hydro
+
+        def dissipate(Ug2, dt):
+            from ..solvers.dissipation import apply_viscosity
+
+            return apply_viscosity(params, Ug2, dt)
 
     # halo-exchange / compute overlap (parallel/overlap.py): dt from a thin
     # dedicated exchange, deep interior from the local block while the bulk
@@ -172,6 +208,8 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
     if (
         params.halo_overlap
         and not use_pallas
+        and not wants_gravity
+        and not dissip
         and local_dims is not None
     ):
         from .overlap import (
@@ -188,7 +226,7 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
                 from ..solvers.godunov import hydro_3d_interior_update as _region
             g = params.ghost_width
 
-            def local_step_overlapped(U, t):
+            def local_step_overlapped(U, G, t):
                 inv = local_inv_dt(params, U)
                 for name in names:
                     inv = lax.pmax(inv, name)
@@ -201,18 +239,25 @@ def make_local_step(params: RunParams, mesh: Mesh | None = None) -> Callable:
 
                 return overlapped_interior_update(params, U, Ug, upd), dt
 
-            return local_step_overlapped
+            return local_step_overlapped, False
 
-    def local_step(U, t):
+    def local_step(U, G, t):
         Ug = attach_halos(params, U)
         inv = inv_dt_fn(params, Ug)
         for name in names:
             inv = lax.pmax(inv, name)
         dt = params.cfl / inv
-        U_new = update(Ug, dt)
-        return strip_halos(params, U_new), dt
+        U_new = update(Ug, dt, G)
+        U_int = strip_halos(params, U_new)
+        if dissip:
+            # dedicated exchange for the dissipative sub-step (the reference
+            # refills boundaries before it, HydroRunGodunov.cpp dissipative
+            # phase); single-device boundary fills would be wrong here
+            Ug2 = attach_halos(params, U_int)
+            U_int = strip_halos(params, dissipate(Ug2, dt))
+        return U_int, dt
 
-    return local_step
+    return local_step, wants_gravity
 
 
 def _make_sharded_advance_shear(params: RunParams, mesh: Mesh) -> Callable:
@@ -261,8 +306,17 @@ def _make_sharded_advance_shear(params: RunParams, mesh: Mesh) -> Callable:
             Ub = attach_halos_shear(local_params, params, interior, t_c + dt,
                                     comm)
             U_new = _mhd_update(
-                local_params, Ub, dt, t=t_c, shear_comm=comm, xpos=xpos
+                local_params, Ub, dt, t=t_c, shear_comm=comm, xpos=xpos,
+                apply_dissipation=False,
             )
+            if params.nu > 0 or params.eta > 0:
+                from ..solvers.dissipation import apply_dissipation_mhd
+
+                U_new = attach_halos_shear(
+                    local_params, params,
+                    strip_halos(local_params, U_new), t_c + dt, comm,
+                )
+                U_new = apply_dissipation_mhd(local_params, U_new, dt)
             return (U_new, t_c + dt, k + 1)
 
         Ug0 = attach_halos_shear(local_params, params, U, t, comm)
@@ -281,7 +335,46 @@ def _make_sharded_advance_shear(params: RunParams, mesh: Mesh) -> Callable:
     return jax.jit(sharded)
 
 
-def make_sharded_advance_n(params: RunParams, mesh: Mesh) -> Callable:
+def _gravity_windows(params: RunParams, config, mesh: Mesh):
+    """Per-shard GHOSTED gravity windows, packed into one shardable array:
+    block (iz, iy, ix) of shape [dim, ln+2g per axis] holds that shard's
+    ghosted slice of the global static field (gravity is a coordinate
+    function — its ghost values come from ghost coordinates, NOT from
+    periodic wraps, so no runtime exchange is needed or wanted).
+
+    Returns (device_array, PartitionSpec) or (None, None)."""
+    gf = make_gravity_field(params, config)
+    if gf is None:
+        return None, None
+    import itertools
+
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    g = params.ghost_width
+    gf = np.asarray(gf)
+    names = ("z", "y", "x")[3 - params.dim :]
+    mcounts = [mesh.shape.get(k, 1) for k in names]
+    sizes = ([params.nz] if params.dim == 3 else []) + [params.ny, params.nx]
+    locs = [n // m for n, m in zip(sizes, mcounts)]
+    out = np.zeros(
+        [gf.shape[0]] + [m * (ln + 2 * g) for m, ln in zip(mcounts, locs)],
+        gf.dtype,
+    )
+    for idx in itertools.product(*[range(m) for m in mcounts]):
+        src = tuple(slice(i * ln, i * ln + ln + 2 * g)
+                    for i, ln in zip(idx, locs))
+        dst = tuple(slice(i * (ln + 2 * g), (i + 1) * (ln + 2 * g))
+                    for i, ln in zip(idx, locs))
+        out[(slice(None),) + dst] = gf[(slice(None),) + src]
+    spec = P(None, *names)
+    arr = jax.device_put(jnp.asarray(out), NamedSharding(mesh, spec))
+    return arr, spec
+
+
+def make_sharded_advance_n(
+    params: RunParams, mesh: Mesh, config=None
+) -> Callable:
     """Jitted ``advance_n(U_global, t, n) -> (U_global, t, steps)`` where
     U_global is the interior-only sharded state. The while_loop lives inside
     shard_map so a whole output interval runs as one SPMD program."""
@@ -293,11 +386,15 @@ def make_sharded_advance_n(params: RunParams, mesh: Mesh) -> Callable:
     ):
         return _make_sharded_advance_shear(params, mesh)
 
-    local_step = make_local_step(params, mesh)
+    local_step, wants_gravity = make_local_step(params, mesh, config)
     spec = _state_spec(params)
     t_end = params.t_end
+    Gdev, gspec = (
+        _gravity_windows(params, config, mesh) if wants_gravity
+        else (None, None)
+    )
 
-    def local_advance(U, t, n_steps):
+    def local_advance(U, G, t, n_steps):
         def cond(carry):
             _, t_c, k = carry
             in_time = (t_c < t_end) if t_end > 0 else True
@@ -305,33 +402,65 @@ def make_sharded_advance_n(params: RunParams, mesh: Mesh) -> Callable:
 
         def body(carry):
             U_c, t_c, k = carry
-            U_n, dt = local_step(U_c, t_c)
+            U_n, dt = local_step(U_c, G, t_c)
             return (U_n, t_c + dt, k + 1)
 
         return lax.while_loop(cond, body, (U, t, jnp.array(0, jnp.int32)))
 
-    sharded = shard_map(
+    if Gdev is None:
+        sharded = shard_map(
+            lambda U, t, n: local_advance(U, None, t, n),
+            mesh=mesh,
+            in_specs=(spec, P(), P()),
+            out_specs=(spec, P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    sharded = jax.jit(shard_map(
         local_advance,
         mesh=mesh,
-        in_specs=(spec, P(), P()),
+        in_specs=(spec, gspec, P(), P()),
         out_specs=(spec, P(), P()),
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+
+    def advance(U, t, n_steps):
+        return sharded(U, Gdev, t, n_steps)
+
+    return advance
 
 
-def make_sharded_step(params: RunParams, mesh: Mesh) -> Callable:
-    """Jitted single step on the sharded global state: (U) -> (U, dt)."""
-    local_step = make_local_step(params, mesh)
+def make_sharded_step(params: RunParams, mesh: Mesh, config=None) -> Callable:
+    """Jitted single step on the sharded global state: (U, t) -> (U, dt)."""
+    local_step, wants_gravity = make_local_step(params, mesh, config)
     spec = _state_spec(params)
-    sharded = shard_map(
+    Gdev, gspec = (
+        _gravity_windows(params, config, mesh) if wants_gravity
+        else (None, None)
+    )
+    if Gdev is None:
+        sharded = jax.jit(shard_map(
+            lambda U, t: local_step(U, None, t),
+            mesh=mesh,
+            in_specs=(spec, P()),
+            out_specs=(spec, P()),
+            check_vma=False,
+        ))
+        return sharded
+
+    sharded = jax.jit(shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(spec, P()),
+        in_specs=(spec, gspec, P()),
         out_specs=(spec, P()),
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+
+    def step(U, t):
+        return sharded(U, Gdev, t)
+
+    return step
 
 
 def shard_global_state(params: RunParams, mesh: Mesh, U_ghosted) -> jax.Array:

@@ -54,7 +54,7 @@ def xpos_array(params: RunParams, dtype) -> jnp.ndarray:
 
 def godunov_unsplit_mhd(
     params: RunParams, U: jnp.ndarray, dt, gravity=None, t=None,
-    shear_comm=None, xpos=None,
+    shear_comm=None, xpos=None, apply_dissipation=True,
 ) -> jnp.ndarray:
     """One unsplit MHD+CT update. ``t`` (current time) is only consumed by
     shearing-box runs, for the conservative flux/emfY remap at the domain
@@ -63,9 +63,12 @@ def godunov_unsplit_mhd(
     twin; ``xpos`` overrides the cell-center x coordinates (per-shard global
     offsets in distributed rotating-frame runs)."""
     if params.dim == 2:
-        return _godunov_unsplit_mhd_2d(params, U, dt, gravity=gravity)
+        return _godunov_unsplit_mhd_2d(
+            params, U, dt, gravity=gravity, apply_dissipation=apply_dissipation
+        )
     return _godunov_unsplit_mhd_3d(
-        params, U, dt, gravity=gravity, t=t, shear_comm=shear_comm, xpos=xpos
+        params, U, dt, gravity=gravity, t=t, shear_comm=shear_comm, xpos=xpos,
+        apply_dissipation=apply_dissipation,
     )
 
 
@@ -98,7 +101,7 @@ def _gravity_source(params: RunParams, U_old, U_new, gravity, dt, interior):
 
 
 def _godunov_unsplit_mhd_2d(
-    params: RunParams, U: jnp.ndarray, dt, gravity=None
+    params: RunParams, U: jnp.ndarray, dt, gravity=None, apply_dissipation=True
 ) -> jnp.ndarray:
     g = params.ghost_width
     dtdx = dt / params.dx
@@ -156,7 +159,7 @@ def _godunov_unsplit_mhd_2d(
     if gravity is not None:
         U_new = _gravity_source(params, U, U_new, gravity, dt, interior)
 
-    if params.nu > 0 or params.eta > 0:
+    if apply_dissipation and (params.nu > 0 or params.eta > 0):
         from .boundary import make_boundaries
         from .dissipation import apply_dissipation_mhd
 
@@ -344,7 +347,7 @@ def _shear_remap_pair(params: RunParams, f_xmin, f_xmax, t, dt):
 
 def _godunov_unsplit_mhd_3d(
     params: RunParams, U: jnp.ndarray, dt, gravity=None, t=None,
-    shear_comm=None, xpos=None,
+    shear_comm=None, xpos=None, apply_dissipation=True,
 ) -> jnp.ndarray:
     from ..ops.trace_mhd3d import trace_unsplit_mhd_3d
 
@@ -494,11 +497,19 @@ def _godunov_unsplit_mhd_3d(
     if gravity is not None:
         U_new = _gravity_source(params, U, U_new, gravity, dt, interior)
 
-    if params.nu > 0 or params.eta > 0:
-        from .boundary import make_boundaries
+    if apply_dissipation and (params.nu > 0 or params.eta > 0):
         from .dissipation import apply_dissipation_mhd
 
-        U_new = make_boundaries(params, U_new)
+        if _uses_shear(params) and t is not None:
+            # the reference refills with the SHEARED remap before the
+            # dissipative step (MHDRunGodunov.cpp:1968-1976)
+            from .shear import make_all_boundaries_shear
+
+            U_new = make_all_boundaries_shear(params, U_new, t + dt)
+        else:
+            from .boundary import make_boundaries
+
+            U_new = make_boundaries(params, U_new)
         U_new = apply_dissipation_mhd(params, U_new, dt)
 
     return U_new

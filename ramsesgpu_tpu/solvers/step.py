@@ -101,11 +101,20 @@ def make_step_fn(params: RunParams, config=None) -> Callable:
             if use_zslab and gravity is None:
                 from .zslab import zslab_apply
 
+                # per-window dissipation would re-fill boundaries on window
+                # seams as if they were physical — apply it once, globally
                 U_new = zslab_apply(
                     params, U_b,
-                    lambda w: godunov_unsplit_mhd(params, w, dt, t=t_remap),
+                    lambda w: godunov_unsplit_mhd(
+                        params, w, dt, t=t_remap, apply_dissipation=False
+                    ),
                     params.z_slab_nb,
                 )
+                if params.nu > 0 or params.eta > 0:
+                    from .dissipation import apply_dissipation_mhd
+
+                    U_new = fill_ghosts(U_new, dt, t)
+                    U_new = apply_dissipation_mhd(params, U_new, dt)
             else:
                 U_new = godunov_unsplit_mhd(
                     params, U_b, dt, gravity=gravity, t=t_remap

@@ -93,7 +93,7 @@ def _single_device_reference(ini: str, n_steps: int):
 
 def _sharded(params, config, U0, mesh, n_steps):
     Ug = shard_global_state(params, mesh, U0)
-    advance = make_sharded_advance_n(params, mesh)
+    advance = make_sharded_advance_n(params, mesh, config)
     U, t, k = advance(Ug, jnp.asarray(0.0, Ug.dtype), jnp.array(n_steps, jnp.int32))
     return np.asarray(jax.device_get(U)), float(t), int(k)
 
@@ -175,6 +175,32 @@ def test_hydro_3d_halo_overlap_parity():
     # blast energies are O(25): ULP-level FMA divergence needs rtol framing
     np.testing.assert_allclose(over, plain, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(over, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_hydro_3d_sharded_gravity_parity():
+    """Per-shard ghosted gravity windows: uniform [gravity] field, sharded
+    vs single-device (predictor kick + conservative source term)."""
+    ini = HYDRO3D_INI + "\n[gravity]\nstatic_field_z=-0.5\n"
+    params, config, U0, ref, t1, k1 = _single_device_reference(ini, 10)
+    assert params.gravity_z == -0.5
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    out, t2, k2 = _sharded(params, config, U0, mesh, 10)
+    assert k1 == k2
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_mhd_3d_sharded_dissipation_parity():
+    """Distributed dissipation: the resistive+viscous sub-step gets its own
+    halo exchange; sharded matches single-device."""
+    ini = MHD3D_INI.replace("enable=true", "enable=true\neta=0.005").replace(
+        "cfl=0.4", "cfl=0.4\nnu=0.003"
+    )
+    params, config, U0, ref, t1, k1 = _single_device_reference(ini, 6)
+    assert params.eta == 0.005 and params.nu == 0.003
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    out, t2, k2 = _sharded(params, config, U0, mesh, 6)
+    assert k1 == k2
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-6)
 
 
 def test_overlap_supported_gating():

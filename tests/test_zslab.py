@@ -71,7 +71,16 @@ radius=0.2
 """
 
 
-@pytest.mark.parametrize("ini,n_slabs", [(MHD3D_INI, 4), (MHD3D_INI, 8), (HYDRO3D_INI, 4)])
+# resistive+viscous variant: the dissipative sub-step must be applied once
+# globally, not per z-window (window-local boundary fills would corrupt seams)
+MHD3D_DISS_INI = MHD3D_INI.replace(
+    "enable=true", "enable=true\neta=0.005"
+).replace("cfl=0.4", "cfl=0.4\nnu=0.003")
+
+
+@pytest.mark.parametrize("ini,n_slabs", [
+    (MHD3D_INI, 4), (MHD3D_INI, 8), (HYDRO3D_INI, 4), (MHD3D_DISS_INI, 4),
+])
 def test_zslab_interior_parity(ini, n_slabs):
     config = ConfigMap(text=ini)
     params = params_from_config(config)
@@ -93,7 +102,9 @@ def test_zslab_interior_parity(ini, n_slabs):
     )
 
 
-@pytest.mark.parametrize("ini,n_slabs", [(MHD3D_INI, 4), (HYDRO3D_INI, 4)])
+@pytest.mark.parametrize("ini,n_slabs", [
+    (MHD3D_INI, 4), (HYDRO3D_INI, 4), (MHD3D_DISS_INI, 4),
+])
 def test_zslab_single_step_bitwise(ini, n_slabs):
     from ramsesgpu_tpu.solvers.step import make_step_fn
 

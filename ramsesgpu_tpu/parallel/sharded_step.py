@@ -431,6 +431,131 @@ def make_sharded_advance_n(
     return advance
 
 
+def make_sharded_forced_advance_n(params: RunParams, mesh: Mesh, config):
+    """Turbulence-forced sharded advance: ``(U, fstate, t, n) -> (U, fstate,
+    t, k)`` like solvers.step.make_forced_advance_n, distributed.
+
+    Both forcing flavors map naturally onto the mesh (replacing the
+    reference's MPI forcing plumbing, HydroRunBaseMpi/Forcing_OU MPI paths):
+    - static-spectrum field and the OU per-mode cosine basis are coordinate
+      functions — their per-shard interior slices shard like the state;
+    - the energy-injection normalization's two sums become lax.psum;
+    - the OU mode update is tiny replicated math: every shard carries the
+      same PRNG key and evolves identical mode amplitudes.
+    Returns (advance, fstate0)."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    from ..ops import forcing as fz
+    from ..core.constants import ID, IP, IU, IV, IW
+
+    g = params.ghost_width
+    names = _axis_names(params)
+    spec = _state_spec(params)
+    t_end = params.t_end
+    local_step, wants_gravity = make_local_step(params, mesh, config)
+    if wants_gravity:
+        raise NotImplementedError("forced + gravity runs: single-device only")
+    isl = (slice(g, -g),) * 3
+
+    if params.problem == "turbulence":
+        mach = config.get_float("turbulence", "machNumber", 0.0)
+        edot = fz.default_edot(params, config)
+        F_int = jnp.asarray(fz.turbulence_init_field(params, mach))[
+            (slice(None),) + isl
+        ]
+        F_dev = jax.device_put(F_int, NamedSharding(mesh, spec))
+        fstate0 = {}
+
+        def force(U, F, fstate, dt):
+            rho = U[ID]
+            u, v, w = U[IU] / rho, U[IV] / rho, U[IW] / rho
+            fu, fv, fw = F[0], F[1], F[2]
+            s0 = lax.psum(jnp.sum(rho * (u * fu + v * fv + w * fw)), names)
+            s1 = lax.psum(jnp.sum(rho * (fu * fu + fv * fv + fw * fw)), names)
+            n_cells = params.nx * params.ny * params.nz
+            if edot == 0:
+                norm = jnp.zeros_like(s0)
+            else:
+                norm = (
+                    jnp.sqrt(s0 * s0 + s1 * dt * edot * 2 * n_cells) - s0
+                ) / s1
+            dE = (
+                u * fu * norm + 0.5 * (fu * norm) ** 2
+                + v * fv * norm + 0.5 * (fv * norm) ** 2
+                + w * fw * norm + 0.5 * (fw * norm) ** 2
+            )
+            U = U.at[IP].add(dE)
+            U = U.at[IU].add(rho * fu * norm)
+            U = U.at[IV].add(rho * fv * norm)
+            U = U.at[IW].add(rho * fw * norm)
+            return U, fstate
+
+    elif params.problem == "turbulence-Ornstein-Uhlenbeck":
+        fp = fz.OUForcingParams.from_config(config)
+        fstate0 = fz.init_ou_forcing(fp)
+        # per-shard interior slice of the global mode-phase basis
+        basis_g = np.asarray(
+            fz.ou_phase_basis(params, fstate0, np.float32)
+        )[(slice(None),) + isl]
+        F_dev = jax.device_put(
+            jnp.asarray(basis_g),
+            NamedSharding(mesh, P(None, *(("z",) if params.dim == 3 else ()),
+                                  "y", "x")),
+        )
+
+        def force(U, F, fstate, dt):
+            fstate = fz.update_forcing_field_mode(params, fp, fstate, dt)
+            rho = U[ID]
+            A = jnp.einsum(
+                "dm,m...->d...", fstate["forcingField"].astype(U.dtype), F
+            )
+            eint = U[IP] - 0.5 * (U[IU] ** 2 + U[IV] ** 2 + U[IW] ** 2) / rho
+            mu = U[IU] + A[0] * dt * rho
+            mv = U[IV] + A[1] * dt * rho
+            mw = U[IW] + A[2] * dt * rho
+            e_new = eint + 0.5 * (mu * mu + mv * mv + mw * mw) / rho
+            return (
+                U.at[IU].set(mu).at[IV].set(mv).at[IW].set(mw).at[IP].set(e_new),
+                fstate,
+            )
+
+    else:
+        raise ValueError(f"not a forced problem: {params.problem!r}")
+
+    def local_advance(U, F, fstate, t, n_steps):
+        def cond(carry):
+            _, _, t_c, k = carry
+            in_time = (t_c < t_end) if t_end > 0 else True
+            return jnp.logical_and(k < n_steps, in_time)
+
+        def body(carry):
+            U_c, f_c, t_c, k = carry
+            U_n, dt = local_step(U_c, None, t_c)
+            U_n, f_n = force(U_n, F, f_c, dt)
+            return (U_n, f_n, t_c + dt, k + 1)
+
+        U_f, f_f, t_f, k_f = lax.while_loop(
+            cond, body, (U, fstate, t, jnp.array(0, jnp.int32))
+        )
+        return U_f, f_f, t_f, k_f
+
+    fspec = jax.tree.map(lambda _: P(), fstate0)
+    sharded = jax.jit(shard_map(
+        local_advance,
+        mesh=mesh,
+        in_specs=(spec, P(None, *(("z",) if params.dim == 3 else ()), "y", "x"),
+                  fspec, P(), P()),
+        out_specs=(spec, fspec, P(), P()),
+        check_vma=False,
+    ))
+
+    def advance(U, fstate, t, n_steps):
+        return sharded(U, F_dev, fstate, t, n_steps)
+
+    return advance, fstate0
+
+
 def make_sharded_step(params: RunParams, mesh: Mesh, config=None) -> Callable:
     """Jitted single step on the sharded global state: (U, t) -> (U, dt)."""
     local_step, wants_gravity = make_local_step(params, mesh, config)

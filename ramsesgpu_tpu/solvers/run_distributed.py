@@ -48,9 +48,12 @@ class DistributedRun(Run):
         super().__init__(config, base)
 
         if self._forced:
-            raise NotImplementedError(
-                "distributed turbulence forcing is not wired yet; "
-                "run forced problems single-device or wait for round 2"
+            # swap the single-device forced advance for the sharded one
+            # (keeps self._fstate — incl. a restart-reloaded OU state)
+            from ..parallel.sharded_step import make_sharded_forced_advance_n
+
+            self._advance_forced, _ = make_sharded_forced_advance_n(
+                self.params, self.mesh, config
             )
         # shearing-box runs are supported (3D MHD, periodic y/z — the
         # sharded step raises a targeted NotImplementedError otherwise);

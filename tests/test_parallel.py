@@ -203,6 +203,56 @@ def test_mhd_3d_sharded_dissipation_parity():
     np.testing.assert_allclose(out, ref, rtol=0, atol=5e-6)
 
 
+@pytest.mark.parametrize("problem_block", [
+    "problem=turbulence\nriemannSolver=hllc\ncfl=0.5\n"
+    "[turbulence]\ndensity=1.0\npressure=1.0\nmachNumber=1.0\nedot=0.5",
+    "problem=turbulence-Ornstein-Uhlenbeck\nriemannSolver=hllc\ncfl=0.5\n"
+    "cIso=1.0\n[turbulence-Ornstein-Uhlenbeck]\ndensity=1.0\npressure=1.0\n"
+    "timeScaleTurb=0.12\namplitudeTurb=0.5\nksi=1.0\ninit_random=600",
+])
+def test_forced_turbulence_sharded_parity(problem_block):
+    """Distributed turbulence forcing: per-shard static field / OU basis
+    slices + psum normalization; replicated OU mode evolution (identical
+    PRNG streams on every shard)."""
+    from ramsesgpu_tpu.solvers.step import make_forced_advance_n
+    from ramsesgpu_tpu.parallel.sharded_step import (
+        make_sharded_forced_advance_n)
+
+    ini = f"""
+[run]
+tend=10.0
+[mesh]
+nx=16
+ny=16
+nz=16
+boundary_xmin=3
+boundary_xmax=3
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=3
+boundary_zmax=3
+[hydro]
+{problem_block}
+"""
+    config = ConfigMap(text=ini)
+    params = params_from_config(config)
+    U0 = init_problem(params, config)
+    U = make_boundaries(params, jnp.asarray(U0))
+    adv, f0 = make_forced_advance_n(params, config)
+    Ur, fr, tr, kr = adv(U, f0, jnp.asarray(0.0, U.dtype),
+                         jnp.array(6, jnp.int32))
+    g = params.ghost_width
+    ref = np.asarray(Ur)[(slice(None),) + (slice(g, -g),) * 3]
+
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    Us = shard_global_state(params, mesh, U0)
+    adv_s, f0s = make_sharded_forced_advance_n(params, mesh, config)
+    Uo, fo, to, ko = adv_s(Us, f0s, jnp.asarray(0.0, U.dtype),
+                           jnp.array(6, jnp.int32))
+    assert int(kr) == int(ko) == 6
+    np.testing.assert_allclose(np.asarray(Uo), ref, rtol=1e-5, atol=2e-5)
+
+
 def test_overlap_supported_gating():
     from ramsesgpu_tpu.parallel.overlap import overlap_supported
 

@@ -32,6 +32,7 @@ def hydro_pallas_supported(params: RunParams) -> bool:
         and not params.mhd
         and params.nu == 0.0
         and params.ny % 8 == 0
+        and params.dtype == "float32"  # TPU Pallas has no f64 vregs
         and params.problem not in ("jet", "Jet")  # jet rewrites ghosts mid-fill
     )
 

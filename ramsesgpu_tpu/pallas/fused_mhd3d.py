@@ -52,6 +52,7 @@ def pallas_supported(params: RunParams) -> bool:
         and params.nu == 0.0
         and params.eta == 0.0
         and params.ny % 8 == 0
+        and params.dtype == "float32"  # TPU Pallas has no f64 vregs
     )
 
 

@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--no-output", action="store_true")
+    parser.add_argument(
+        "--profile",
+        action="store_true",
+        help="print a per-phase step profile and exit "
+        "(the reference's DO_TIMING breakdown)",
+    )
     return parser
 
 
@@ -47,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     params = params_from_config(config)
+
+    if args.profile:
+        from ..utils.profile import format_profile, profile_step
+
+        print(f"problem        : {params.problem}")
+        print(f"mesh           : {params.nx} x {params.ny} x {params.nz}")
+        print(format_profile(profile_step(params, config)))
+        return 0
 
     scheme = args.scheme or "godunov"
     if scheme == "godunov" and not config.get_bool("hydro", "unsplit", True):

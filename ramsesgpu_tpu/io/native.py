@@ -22,10 +22,12 @@ def _load():
         return _LIB
     candidates = [
         Path(__file__).resolve().parents[2] / "native" / "libramses_io_core.so",
-        Path(os.environ.get("RAMSES_IO_CORE", "")),
     ]
+    env = os.environ.get("RAMSES_IO_CORE")
+    if env:
+        candidates.append(Path(env))
     for path in candidates:
-        if path and path.exists():
+        if path.is_file():
             lib = ctypes.CDLL(str(path))
             lib.vti_appended_blob.restype = ctypes.c_int64
             lib.base64_encode.restype = ctypes.c_int64

@@ -172,26 +172,30 @@ def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
             P = jnp.pad(P, ((0, 0), (0, 0), (0, wy_pad), (0, 0)))
         return P
 
-    def dt_of(P):
-        interior = P[:, g:-g, g : g + ny, :]
+    def dt_of_interior(interior):
+        # dt from the kernel's raw interior output: XLA fuses the reduction
+        # into the ghost re-pack's read of the same array (one full-array
+        # pass instead of two — see the fused_mhd3d twin)
         return params.cfl / compute_inv_dt_hydro(params, interior, ghost=0)
 
     @jax.jit
     def advance_n(U, t, n_steps):
-        P0 = pack(U[:, g:-g, g:-g, g:-g])
+        interior0 = U[:, g:-g, g:-g, g:-g]
+        P0 = pack(interior0)
+        dt0 = dt_of_interior(interior0)
 
         def cond(carry):
-            _, t_c, k = carry
+            _, _, t_c, k = carry
             in_time = (t_c < t_end) if t_end > 0 else True
             return jnp.logical_and(k < n_steps, in_time)
 
         def body(carry):
-            P, t_c, k = carry
-            dt = dt_of(P)
-            return (pack(fused(P, dt)), t_c + dt, k + 1)
+            P, dt, t_c, k = carry
+            new_int = fused(P, dt)
+            return (pack(new_int), dt_of_interior(new_int), t_c + dt, k + 1)
 
-        P_f, t_f, k_f = jax.lax.while_loop(
-            cond, body, (P0, t, jnp.array(0, jnp.int32))
+        P_f, _, t_f, k_f = jax.lax.while_loop(
+            cond, body, (P0, dt0, t, jnp.array(0, jnp.int32))
         )
         U_f = jnp.pad(
             P_f[:, g:-g, g : g + ny, :], ((0, 0),) + ((g, g),) * 3, mode="wrap"

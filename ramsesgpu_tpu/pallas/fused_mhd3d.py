@@ -243,7 +243,7 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     which forces a full lane relayout of the 262-wide array (~10 ms/step at
     256^3 on v5e); ghost refill becomes two cheap sublane/major-dim pads.
     External contract unchanged (standard ghosted state in/out)."""
-    from ..solvers.timestep import compute_inv_dt_mhd
+    from ..solvers.timestep import compute_inv_dt_mhd_packed
 
     g = params.ghost_width
     ny, nx = params.ny, params.nx
@@ -259,28 +259,33 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
         return P
 
     def dt_of(P):
-        Pv = P[:, :, : ny + 2 * g, :] if wy_pad else P
-        # x shifts wrap in-row = periodic BC; z/y ghosts are fresh wraps, so
-        # this matches compute_dt on the ghosted state bit-for-bit
-        return params.cfl / compute_inv_dt_mhd(params, Pv, ghost=(g, g, 0))
+        # slice-based inv-dt on the packed layout: z/y +1 face-B shifts come
+        # from the ghost rows as pure slices (fused into the reduction), the
+        # x shift is one single-component in-row roll = the periodic BC.
+        # Matches compute_dt on the ghosted state bit-for-bit.
+        return params.cfl / compute_inv_dt_mhd_packed(params, P)
 
     @jax.jit
     def advance_n(U, t, n_steps):
         P0 = pack(U[:, g:-g, g:-g, g:-g])
+        dt0 = dt_of(P0)
 
         def cond(carry):
-            _, t_c, k = carry
+            _, _, t_c, k = carry
             in_time = (t_c < t_end) if t_end > 0 else True
             return jnp.logical_and(k < n_steps, in_time)
 
         def body(carry):
-            P, t_c, k = carry
-            dt = dt_of(P)
+            # dt is carried: computing dt_{n+1} right after pack writes
+            # P_{n+1} lets XLA fuse the reduction into the pack pass (the
+            # standalone-read ordering costs an extra full-array pass)
+            P, dt, t_c, k = carry
             new_int = fused(P, dt)
-            return (pack(new_int), t_c + dt, k + 1)
+            P_next = pack(new_int)
+            return (P_next, dt_of(P_next), t_c + dt, k + 1)
 
-        P_f, t_f, k_f = jax.lax.while_loop(
-            cond, body, (P0, t, jnp.array(0, jnp.int32))
+        P_f, _, t_f, k_f = jax.lax.while_loop(
+            cond, body, (P0, dt0, t, jnp.array(0, jnp.int32))
         )
         interior_f = P_f[:, g:-g, g : g + ny, :]
         U_f = jnp.pad(interior_f, ((0, 0),) + ((g, g),) * 3, mode="wrap")

@@ -91,6 +91,56 @@ def compute_inv_dt_mhd(
     return jnp.max(_interior(params, inv, ghost))
 
 
+def compute_inv_dt_mhd_packed(params: RunParams, P: jnp.ndarray) -> jnp.ndarray:
+    """compute_inv_dt_mhd specialized to the packed Pallas-loop state
+    [nvar, nz+2g, >=ny+2g, nx] (z/y wrap-ghosted, x ghost-free periodic —
+    pallas/fused_mhd3d.make_pallas_advance_n).
+
+    Equivalent to ``compute_inv_dt_mhd(params, interior, ghost=0)`` on the
+    interior bit-for-bit, but the +1 face-B shifts in z/y are SLICES of the
+    ghosted buffer instead of jnp.roll — XLA fuses slices into the reduction
+    where a roll (lowered to concat) materializes a full-array copy; only
+    the x direction needs one single-component roll (periodic in-row wrap).
+    """
+    g = params.ghost_width
+    nz, ny = params.nz, params.ny
+    from ..core.constants import IA, IB, IC
+
+    zi, yi = slice(g, g + nz), slice(g, g + ny)
+    rho = jnp.maximum(P[ID, zi, yi, :], params.smallr)
+    u = P[IU, zi, yi, :] / rho
+    v = P[IV, zi, yi, :] / rho
+    w = P[IW, zi, yi, :] / rho
+    ia = P[IA, zi, yi, :]
+    bx = 0.5 * (ia + jnp.roll(ia, -1, -1))
+    by = 0.5 * (P[IB, zi, yi, :] + P[IB, zi, g + 1 : g + ny + 1, :])
+    bz = 0.5 * (P[IC, zi, yi, :] + P[IC, g + 1 : g + nz + 1, yi, :])
+    if params.c_iso > 0:
+        p = rho * params.c_iso**2
+    else:
+        eken = 0.5 * (u * u + v * v + w * w)
+        emag = 0.5 * (bx * bx + by * by + bz * bz)
+        eint = (P[IP, zi, yi, :] - emag) / rho - eken
+        p = jnp.maximum((params.gamma0 - 1.0) * rho * eint, rho * params.smallp)
+
+    b2 = bx * bx + by * by + bz * bz
+    c2 = params.gamma0 * p / rho
+    d2 = 0.5 * (b2 / rho + c2)
+
+    def cf(bn):
+        return jnp.sqrt(d2 + jnp.sqrt(jnp.maximum(d2 * d2 - c2 * bn * bn / rho, 0.0)))
+
+    vy = v
+    if params.omega0 > 0:
+        vy = vy + 1.5 * params.omega0 * params.dx / 2.0
+    inv = (
+        (cf(bx) + jnp.abs(u)) / params.dx
+        + (cf(by) + jnp.abs(vy)) / params.dy
+        + (cf(bz) + jnp.abs(w)) / params.dz
+    )
+    return jnp.max(inv)
+
+
 def compute_dt(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
     """cfl / max(invDt), as in HydroRunBase::compute_dt (HydroRunBase.cpp:314-426)."""
     if params.mhd:

@@ -41,10 +41,10 @@ def make_fused_hydro_update(
     params: RunParams,
     tiles: tuple[int, int] | None = None,
     interpret: bool = False,
-    packed_input: bool = False,
 ) -> Callable:
     """Build ``update(U_ghosted, dt) -> U_interior_new`` (gravity-free).
-    ``packed_input``: see fused_mhd3d.make_fused_mhd_update."""
+    The fully-periodic packed advance loop uses
+    ``make_fused_hydro_packed_io`` instead."""
     if not hydro_pallas_supported(params):
         raise ValueError("fused hydro kernel does not cover this configuration")
 
@@ -121,17 +121,6 @@ def make_fused_hydro_update(
         interpret=interpret,
     )
 
-    if packed_input:
-        if not periodic_x:
-            raise ValueError("packed_input requires the periodic-x fast path")
-
-        def update(U_packed, dt):
-            dt_arr = jnp.reshape(dt, (1, 1)).astype(U_packed.dtype)
-            U_packed, dt_arr = jax.lax.optimization_barrier((U_packed, dt_arr))
-            return jax.lax.optimization_barrier(fused(dt_arr, U_packed))
-
-        return update
-
     def update(U_ghosted, dt):
         dt_arr = jnp.reshape(dt, (1, 1)).astype(U_ghosted.dtype)
         if periodic_x:
@@ -146,59 +135,80 @@ def make_fused_hydro_update(
 
 def hydro_packed_supported(params: RunParams) -> bool:
     """Packed-state advance loop viability (see fused_mhd3d twin)."""
+    from .packed_io import YB
+
+    bz, by = params.pallas_tiles or _pick_tiles(params)
     return (
         hydro_pallas_supported(params)
         and all(b == BCT.BC_PERIODIC for b in params.boundary_types)
         and params.nx % 128 == 0
+        # packed-io kernel tile constraints (pallas/packed_io.py)
+        and bz >= params.ghost_width
+        and by >= YB
+        and params.nz % bz == 0
+        and params.ny % by == 0
+    )
+
+
+def make_fused_hydro_packed_io(
+    params: RunParams,
+    tiles: tuple[int, int] | None = None,
+    interpret: bool = False,
+) -> Callable:
+    """``step_packed(P, dt) -> P_new`` on the packed loop state (see
+    pallas/packed_io.py): the whole hydro pipeline plus the ghost re-pack
+    in ONE kernel launch per step."""
+    from .packed_io import make_packed_io_step
+    from ..solvers.godunov import hydro_3d_interior_update
+    from ..ops.backend import BOX
+
+    def update(tile_params, U, dt, margin):
+        return hydro_3d_interior_update(
+            tile_params, U, dt, margin=margin, xp=BOX
+        )
+
+    return make_packed_io_step(
+        params, tiles or _pick_tiles(params), update, interpret=interpret
     )
 
 
 def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
     """Packed-state advance loop for fully-periodic 3D hydro — the hydro
     twin of fused_mhd3d.make_pallas_advance_n (hydro's inv-dt pass reads no
-    ghosts at all, so dt comes straight off the packed interior)."""
+    ghosts at all, so dt comes straight off slices of the packed state)."""
+    from .packed_io import YB, pack_state
     from ..solvers.timestep import compute_inv_dt_hydro
 
     g = params.ghost_width
     ny = params.ny
     bz, by = params.pallas_tiles or _pick_tiles(params)
-    wy_pad = (-(-(by + 2 * g) // 8) * 8) - (by + 2 * g)
-    fused = make_fused_hydro_update(params, tiles=(bz, by), packed_input=True)
+    fused = make_fused_hydro_packed_io(params, tiles=(bz, by))
     t_end = params.t_end
 
-    def pack(interior):
-        P = jnp.pad(interior, ((0, 0), (g, g), (g, g), (0, 0)), mode="wrap")
-        if wy_pad:
-            P = jnp.pad(P, ((0, 0), (0, 0), (0, wy_pad), (0, 0)))
-        return P
-
-    def dt_of_interior(interior):
-        # dt from the kernel's raw interior output: XLA fuses the reduction
-        # into the ghost re-pack's read of the same array (one full-array
-        # pass instead of two — see the fused_mhd3d twin)
+    def dt_of(P):
+        interior = P[:, g : g + params.nz, YB : YB + ny, :]
         return params.cfl / compute_inv_dt_hydro(params, interior, ghost=0)
 
     @jax.jit
     def advance_n(U, t, n_steps):
-        interior0 = U[:, g:-g, g:-g, g:-g]
-        P0 = pack(interior0)
-        dt0 = dt_of_interior(interior0)
+        P0 = pack_state(params, U[:, g:-g, g:-g, g:-g])
 
         def cond(carry):
-            _, _, t_c, k = carry
+            _, t_c, k = carry
             in_time = (t_c < t_end) if t_end > 0 else True
             return jnp.logical_and(k < n_steps, in_time)
 
         def body(carry):
-            P, dt, t_c, k = carry
-            new_int = fused(P, dt)
-            return (pack(new_int), dt_of_interior(new_int), t_c + dt, k + 1)
+            P, t_c, k = carry
+            dt = dt_of(P)
+            return (fused(P, dt), t_c + dt, k + 1)
 
-        P_f, _, t_f, k_f = jax.lax.while_loop(
-            cond, body, (P0, dt0, t, jnp.array(0, jnp.int32))
+        P_f, t_f, k_f = jax.lax.while_loop(
+            cond, body, (P0, t, jnp.array(0, jnp.int32))
         )
         U_f = jnp.pad(
-            P_f[:, g:-g, g : g + ny, :], ((0, 0),) + ((g, g),) * 3, mode="wrap"
+            P_f[:, g:-g, YB : YB + ny, :], ((0, 0),) + ((g, g),) * 3,
+            mode="wrap",
         )
         return U_f, t_f, k_f
 

@@ -61,17 +61,12 @@ def make_fused_mhd_update(
     tiles: tuple[int, int] | None = None,
     interpret: bool = False,
     margin_extra: int = 0,
-    packed_input: bool = False,
 ) -> Callable:
     """Build ``update(U_ghosted, dt) -> U_interior_new``.
 
     Requires omega0 == 0 (the rotating-frame xpos plumbing is not yet wired
-    into the tiled path) and dim == 3.
-
-    ``packed_input=True`` (periodic-x only): the caller hands the kernel
-    input in its native packed form [nvar, nz+2g, wy_pad, nx] — x ghost-free,
-    lane-exact — skipping the x-ghost drop + re-pad passes, which cost a full
-    lane relayout of the 262-wide ghosted array (~10 ms/step at 256^3).
+    into the tiled path) and dim == 3. The fully-periodic packed advance
+    loop uses ``make_fused_mhd_packed_io`` instead.
     """
     if params.dim != 3 or not params.mhd:
         raise ValueError("fused kernel currently covers the 3D MHD step")
@@ -177,20 +172,6 @@ def make_fused_mhd_update(
         interpret=interpret,
     )
 
-    if packed_input:
-        if not periodic_x:
-            raise ValueError("packed_input requires the periodic-x fast path")
-
-        def update(U_packed, dt):
-            dt_arr = jnp.reshape(dt, (1, 1)).astype(U_packed.dtype)
-            # keep XLA's fusion passes away from the custom call's operands
-            # (address-change fusion around pallas custom-calls crashes the
-            # 2026-08 libtpu fusion pass otherwise)
-            U_packed, dt_arr = jax.lax.optimization_barrier((U_packed, dt_arr))
-            return jax.lax.optimization_barrier(fused(dt_arr, U_packed))
-
-        return update
-
     def update(U_ghosted, dt):
         dt_arr = jnp.reshape(dt, (1, 1)).astype(U_ghosted.dtype)
         # grow the ghost margin from g to m on every axis: z/y/x-left get
@@ -220,74 +201,100 @@ def make_fused_mhd_update(
     return update
 
 
+from .packed_io import YB, make_packed_io_step, pack_state, unpack_state  # noqa: E402
+
+
+def make_fused_mhd_packed_io(
+    params: RunParams,
+    tiles: tuple[int, int] | None = None,
+    interpret: bool = False,
+) -> Callable:
+    """``step_packed(P, dt) -> P_new`` on the packed loop state (see
+    pallas/packed_io.py for the layout and the in-kernel ghost-band DMA
+    design): the whole MHD+CT pipeline plus the ghost re-pack in ONE kernel
+    launch per step."""
+    if params.omega0 > 0:
+        raise ValueError("packed-io kernel does not support the rotating frame")
+    from ..solvers.godunov_mhd import mhd_3d_interior_update
+    from ..ops.backend import BOX
+
+    def update(tile_params, U, dt, margin):
+        return mhd_3d_interior_update(tile_params, U, dt, margin=margin, xp=BOX)
+
+    return make_packed_io_step(
+        params, tiles or _pick_tiles(params), update, interpret=interpret
+    )
+
+
 def pallas_packed_supported(params: RunParams) -> bool:
     """Whether the packed-state advance loop applies: fused kernel viable,
     fully periodic (the wrap IS the ghost fill), lane-exact x, no jet dt
     term."""
     from ..core.constants import BoundaryConditionType as BCT
 
+    bz, by = params.pallas_tiles or _pick_tiles(params)
     return (
         pallas_supported(params)
         and all(b == BCT.BC_PERIODIC for b in params.boundary_types)
         and params.nx % 128 == 0
         and params.problem not in ("jet", "Jet")
+        # packed-io kernel tile constraints (pallas/packed_io.py)
+        and bz >= params.ghost_width
+        and by >= YB
+        and params.nz % bz == 0
+        and params.ny % by == 0
     )
 
 
 def make_pallas_advance_n(params: RunParams) -> Callable:
     """Jitted ``advance_n(U_ghosted, t, n) -> (U_ghosted', t', k)`` that
     carries the state in the kernel's packed form across the whole loop:
-    [nvar, nz+2g, round8(ny+2g), nx] — x ghost-free (lane-exact rows, the
-    in-row roll wrap is the periodic BC), z/y wrap-ghosted, y padded to the
-    DMA sublane multiple. This removes the per-step x-ghost concat + re-pad,
-    which forces a full lane relayout of the 262-wide array (~10 ms/step at
-    256^3 on v5e); ghost refill becomes two cheap sublane/major-dim pads.
+    [nvar, nz+2g, ny+2*YB, nx] — x ghost-free (lane-exact rows, the
+    in-row roll wrap is the periodic BC), z wrap-ghosted by g, y wrap-ghosted
+    by YB=8 rows (inner g live — sublane DMA alignment). The kernel writes
+    the packed state directly (interior + wrap ghost bands, see
+    make_fused_mhd_packed_io), so the loop body is ONE kernel launch plus a
+    slice-based dt reduction; the reference's d_U/d_U2 ping-pong returns as
+    XLA's buffer reuse across the while-loop carry.
     External contract unchanged (standard ghosted state in/out)."""
     from ..solvers.timestep import compute_inv_dt_mhd_packed
 
     g = params.ghost_width
-    ny, nx = params.ny, params.nx
+    ny = params.ny
     bz, by = params.pallas_tiles or _pick_tiles(params)
-    wy_pad = (-(-(by + 2 * g) // 8) * 8) - (by + 2 * g)
-    fused = make_fused_mhd_update(params, tiles=(bz, by), packed_input=True)
+    fused = make_fused_mhd_packed_io(params, tiles=(bz, by))
     t_end = params.t_end
 
     def pack(interior):
-        P = jnp.pad(interior, ((0, 0), (g, g), (g, g), (0, 0)), mode="wrap")
-        if wy_pad:
-            P = jnp.pad(P, ((0, 0), (0, 0), (0, wy_pad), (0, 0)))
-        return P
+        return jnp.pad(
+            interior, ((0, 0), (g, g), (YB, YB), (0, 0)), mode="wrap"
+        )
 
     def dt_of(P):
         # slice-based inv-dt on the packed layout: z/y +1 face-B shifts come
         # from the ghost rows as pure slices (fused into the reduction), the
         # x shift is one single-component in-row roll = the periodic BC.
         # Matches compute_dt on the ghosted state bit-for-bit.
-        return params.cfl / compute_inv_dt_mhd_packed(params, P)
+        return params.cfl / compute_inv_dt_mhd_packed(params, P, y0=YB)
 
     @jax.jit
     def advance_n(U, t, n_steps):
         P0 = pack(U[:, g:-g, g:-g, g:-g])
-        dt0 = dt_of(P0)
 
         def cond(carry):
-            _, _, t_c, k = carry
+            _, t_c, k = carry
             in_time = (t_c < t_end) if t_end > 0 else True
             return jnp.logical_and(k < n_steps, in_time)
 
         def body(carry):
-            # dt is carried: computing dt_{n+1} right after pack writes
-            # P_{n+1} lets XLA fuse the reduction into the pack pass (the
-            # standalone-read ordering costs an extra full-array pass)
-            P, dt, t_c, k = carry
-            new_int = fused(P, dt)
-            P_next = pack(new_int)
-            return (P_next, dt_of(P_next), t_c + dt, k + 1)
+            P, t_c, k = carry
+            dt = dt_of(P)
+            return (fused(P, dt), t_c + dt, k + 1)
 
-        P_f, _, t_f, k_f = jax.lax.while_loop(
-            cond, body, (P0, dt0, t, jnp.array(0, jnp.int32))
+        P_f, t_f, k_f = jax.lax.while_loop(
+            cond, body, (P0, t, jnp.array(0, jnp.int32))
         )
-        interior_f = P_f[:, g:-g, g : g + ny, :]
+        interior_f = P_f[:, g:-g, YB : YB + ny, :]
         U_f = jnp.pad(interior_f, ((0, 0),) + ((g, g),) * 3, mode="wrap")
         return U_f, t_f, k_f
 

@@ -1,0 +1,221 @@
+"""Shared packed-IO Pallas step kernel for the fully-periodic 3D advance.
+
+Packed loop state: [nvar, nz+2g, ny+2*YB, nx] — z wrap-ghosted by the
+stencil's ghost width g, y wrap-ghosted by YB=8 rows (TPU sublane DMA
+offsets/shapes must be 8-aligned; only the inner g rows carry live data),
+x ghost-free (the in-row roll wrap IS the periodic BC, and full interior
+rows are exactly lane-aligned).
+
+Each grid tile DMAs a halo-extended window in, runs the full box-tracked
+finite-volume pipeline (ops/backend.py) on it, and DMAs the result straight
+into the packed OUTPUT layout: its interior block plus, for edge tiles, the
+opposite-side wrap ghost bands (z bands are g rows — the z dim has no DMA
+alignment constraints; y bands are whole YB-row blocks whose outer rows
+hold harmless neighbor data). The separate XLA ghost re-pack pass — a full
+HBM copy of the state per step — disappears; the reference's d_U/d_U2
+ping-pong (reference: src/hydro/HydroRunBase.h:556-566) returns as XLA's
+buffer reuse across the while-loop carry.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config.params import RunParams
+
+YB = 8  # packed-layout y ghost band width
+
+
+def pack_state(params: RunParams, interior: jnp.ndarray) -> jnp.ndarray:
+    """Interior-only [nvar, nz, ny, nx] -> packed layout (wrap ghosts)."""
+    g = params.ghost_width
+    return jnp.pad(interior, ((0, 0), (g, g), (YB, YB), (0, 0)), mode="wrap")
+
+
+def unpack_state(params: RunParams, P: jnp.ndarray) -> jnp.ndarray:
+    """Packed layout -> interior-only block."""
+    g = params.ghost_width
+    return P[:, g : g + params.nz, YB : YB + params.ny, :]
+
+
+def make_packed_io_step(
+    params: RunParams,
+    tiles: tuple[int, int],
+    interior_update: Callable,
+    interpret: bool = False,
+) -> Callable:
+    """Build ``step_packed(P, dt) -> P_new`` on the packed loop state.
+
+    ``interior_update(tile_params, U_boxfield, dt, margin)`` must return the
+    updated [nvar, bz, by, nx] interior of a window whose BoxField declares
+    the stencil-consumed extent (the g-margin frame around the tile).
+    """
+    g = params.ghost_width
+    nv = params.nb_var
+    nz, ny, nx = params.nz, params.ny, params.nx
+    bz, by = tiles
+    if nz % bz or ny % by or by < YB or bz < g:
+        raise ValueError(f"tiles {(bz, by)} unsupported for {(nz, ny)}")
+    wz = bz + 2 * g
+    wy = by + 2 * YB
+    nzb, nyb = nz // bz, ny // by
+    grid = (nzb, nyb)
+
+    tile_params = params.replace(
+        ny=by,
+        nz=bz,
+        ymax=params.ymin + by * params.dy,
+        zmax=params.zmin + bz * params.dz,
+    )
+
+    def kernel(dt_ref, p_hbm, out_ref, win, res, sem, sem_out):
+        from ..ops.backend import BoxField
+
+        zi = pl.program_id(0)
+        yi = pl.program_id(1)
+        i = zi * nyb + yi          # linear grid step
+        n_iter = nzb * nyb
+        slot = jax.lax.rem(i, 2)
+
+        def in_dma(z, y, s):
+            # window: z rows [z*bz, +wz) of the packed layout (interior tile
+            # at window z [g, g+bz)), y rows [y*by, +wy) (interior at
+            # [YB, YB+by))
+            return pltpu.make_async_copy(
+                p_hbm.at[:, pl.ds(z * bz, wz), pl.ds(y * by, wy), :],
+                win.at[s],
+                sem.at[s],
+            )
+
+        # double-buffered input: this iteration's window was prefetched by
+        # the previous one; kick off the next window's fetch before waiting
+        @pl.when(i == 0)
+        def _():
+            in_dma(zi, yi, slot).start()
+
+        @pl.when(i + 1 < n_iter)
+        def _():
+            yn = yi + 1
+            zn = jnp.where(yn == nyb, zi + 1, zi)
+            yn = jnp.where(yn == nyb, 0, yn)
+            in_dma(zn, yn, 1 - slot).start()
+
+        in_dma(zi, yi, slot).wait()
+
+        def out_dmas(z, y, s):
+            """The output copies iteration (z, y) issues from res[s]: the
+            interior block plus, for edge tiles, the opposite-side wrap
+            ghost bands and corners. Build-as-list so starts and the
+            deferred waits pair the SAME conditions and byte counts."""
+            zmain = pl.ds(g + z * bz, bz)
+            ymain = pl.ds(YB + y * by, by)
+            zall, yall = pl.ds(0, bz), pl.ds(0, by)
+            zlow, zhigh = pl.ds(0, g), pl.ds(nz + g, g)
+            ylow, yhigh = pl.ds(0, YB), pl.ds(YB + ny, YB)
+            zsrc_hi, ysrc_hi = pl.ds(bz - g, g), pl.ds(by - YB, YB)
+            specs = [
+                (True, (zall, yall, zmain, ymain)),
+                (z == nzb - 1, (zsrc_hi, yall, zlow, ymain)),
+                (z == 0, (pl.ds(0, g), yall, zhigh, ymain)),
+                (y == nyb - 1, (zall, ysrc_hi, zmain, ylow)),
+                (y == 0, (zall, pl.ds(0, YB), zmain, yhigh)),
+                (jnp.logical_and(z == nzb - 1, y == nyb - 1),
+                 (zsrc_hi, ysrc_hi, zlow, ylow)),
+                (jnp.logical_and(z == nzb - 1, y == 0),
+                 (zsrc_hi, pl.ds(0, YB), zlow, yhigh)),
+                (jnp.logical_and(z == 0, y == nyb - 1),
+                 (pl.ds(0, g), ysrc_hi, zhigh, ylow)),
+                (jnp.logical_and(z == 0, y == 0),
+                 (pl.ds(0, g), pl.ds(0, YB), zhigh, yhigh)),
+            ]
+            return [
+                (cond,
+                 pltpu.make_async_copy(
+                     res.at[s, :, sz, sy, :],
+                     out_ref.at[:, dz, dy, :],
+                     sem_out.at[s],
+                 ))
+                for cond, (sz, sy, dz, dy) in specs
+            ]
+
+        # deferred output waits: before overwriting res[slot], drain the
+        # DMAs iteration i-2 issued from it
+        @pl.when(i >= 2)
+        def _():
+            ip = i - 2
+            zp = jax.lax.div(ip, nyb)
+            yp = jax.lax.rem(ip, nyb)
+            for cond, copy in out_dmas(zp, yp, slot):
+                if cond is True:
+                    copy.wait()
+                else:
+                    pl.when(cond)(copy.wait)
+
+        # declare only the stencil-consumed y extent valid so the box-tracked
+        # pipeline never computes on the YB-g dead rows of the band
+        U = BoxField(win[slot, :, :, YB - g : YB + by + g, :], 0, YB - g)
+        res[slot] = interior_update(tile_params, U, dt_ref[0, 0], (g, YB, 0))
+
+        for cond, copy in out_dmas(zi, yi, slot):
+            if cond is True:
+                copy.start()
+            else:
+                pl.when(cond)(copy.start)
+
+        # the last two iterations' output DMAs drain before the kernel ends
+        @pl.when(i == n_iter - 1)
+        def _():
+            for cond, copy in out_dmas(zi, yi, slot):
+                if cond is True:
+                    copy.wait()
+                else:
+                    pl.when(cond)(copy.wait)
+
+        @pl.when(jnp.logical_and(i == n_iter - 1, n_iter > 1))
+        def _():
+            ip = i - 1
+            zp = jax.lax.div(ip, nyb)
+            yp = jax.lax.rem(ip, nyb)
+            for cond, copy in out_dmas(zp, yp, 1 - slot):
+                if cond is True:
+                    copy.wait()
+                else:
+                    pl.when(cond)(copy.wait)
+
+    dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+    out_shape = jax.ShapeDtypeStruct((nv, nz + 2 * g, ny + 2 * YB, nx), dtype)
+
+    fused = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1,1) scalar
+            pl.BlockSpec(memory_space=pltpu.ANY),   # P stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, nv, wz, wy, nx), dtype),   # double-buffered windows
+            pltpu.VMEM((2, nv, bz, by, nx), dtype),   # double-buffered results
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def step_packed(P, dt):
+        dt_arr = jnp.reshape(dt, (1, 1)).astype(P.dtype)
+        # keep XLA's fusion passes away from the custom call's operands
+        # (address-change fusion around pallas custom-calls crashes the
+        # 2026-08 libtpu fusion pass otherwise)
+        P, dt_arr = jax.lax.optimization_barrier((P, dt_arr))
+        return jax.lax.optimization_barrier(fused(dt_arr, P))
+
+    return step_packed

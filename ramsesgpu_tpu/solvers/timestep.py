@@ -91,10 +91,12 @@ def compute_inv_dt_mhd(
     return jnp.max(_interior(params, inv, ghost))
 
 
-def compute_inv_dt_mhd_packed(params: RunParams, P: jnp.ndarray) -> jnp.ndarray:
+def compute_inv_dt_mhd_packed(
+    params: RunParams, P: jnp.ndarray, y0: int | None = None
+) -> jnp.ndarray:
     """compute_inv_dt_mhd specialized to the packed Pallas-loop state
-    [nvar, nz+2g, >=ny+2g, nx] (z/y wrap-ghosted, x ghost-free periodic —
-    pallas/fused_mhd3d.make_pallas_advance_n).
+    [nvar, nz+2g, ny+2*y0, nx] (z wrap-ghosted by g, y by ``y0`` rows, x
+    ghost-free periodic — pallas/fused_mhd3d.make_pallas_advance_n).
 
     Equivalent to ``compute_inv_dt_mhd(params, interior, ghost=0)`` on the
     interior bit-for-bit, but the +1 face-B shifts in z/y are SLICES of the
@@ -104,16 +106,18 @@ def compute_inv_dt_mhd_packed(params: RunParams, P: jnp.ndarray) -> jnp.ndarray:
     """
     g = params.ghost_width
     nz, ny = params.nz, params.ny
+    if y0 is None:
+        y0 = g
     from ..core.constants import IA, IB, IC
 
-    zi, yi = slice(g, g + nz), slice(g, g + ny)
+    zi, yi = slice(g, g + nz), slice(y0, y0 + ny)
     rho = jnp.maximum(P[ID, zi, yi, :], params.smallr)
     u = P[IU, zi, yi, :] / rho
     v = P[IV, zi, yi, :] / rho
     w = P[IW, zi, yi, :] / rho
     ia = P[IA, zi, yi, :]
     bx = 0.5 * (ia + jnp.roll(ia, -1, -1))
-    by = 0.5 * (P[IB, zi, yi, :] + P[IB, zi, g + 1 : g + ny + 1, :])
+    by = 0.5 * (P[IB, zi, yi, :] + P[IB, zi, y0 + 1 : y0 + ny + 1, :])
     bz = 0.5 * (P[IC, zi, yi, :] + P[IC, g + 1 : g + nz + 1, yi, :])
     if params.c_iso > 0:
         p = rho * params.c_iso**2

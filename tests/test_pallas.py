@@ -94,6 +94,65 @@ radius=0.2
 """
 
 
+@pytest.mark.parametrize("tiles", [(4, 8), (8, 16)])
+def test_packed_io_step_matches_whole_array(tiles):
+    """One packed-IO kernel step (interior + in-kernel ghost-band writes)
+    equals the whole-array update re-packed, over the ENTIRE packed buffer
+    (the y-band dead rows hold the same wrap values pad would write)."""
+    from ramsesgpu_tpu.pallas.fused_mhd3d import make_fused_mhd_packed_io
+    from ramsesgpu_tpu.pallas.packed_io import pack_state
+
+    nx, ny, nz = 32, 16, 8
+    config = ConfigMap(text=OT3D_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    dt = compute_dt(params, U)
+    g = params.ghost_width
+
+    step = make_fused_mhd_packed_io(params, tiles=tiles, interpret=True)
+    P = pack_state(params, U[:, g:-g, g:-g, g:-g])
+    P_new = np.asarray(step(P, dt))
+
+    ref = np.asarray(godunov_unsplit_mhd(params, U, dt))[:, g:-g, g:-g, g:-g]
+    want = np.asarray(pack_state(params, jnp.asarray(ref)))
+    np.testing.assert_allclose(P_new, want, rtol=0, atol=1e-6)
+
+
+def test_packed_io_hydro_step_matches_whole_array():
+    from ramsesgpu_tpu.pallas.fused_hydro3d import make_fused_hydro_packed_io
+    from ramsesgpu_tpu.pallas.packed_io import pack_state
+    from ramsesgpu_tpu.solvers.godunov import godunov_unsplit_hydro
+
+    nx, ny, nz = 16, 16, 8
+    config = ConfigMap(text=HYDRO3D_INI.format(nx=nx, ny=ny, nz=nz, solver="hllc"))
+    params = params_from_config(config)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    dt = compute_dt(params, U)
+    g = params.ghost_width
+
+    step = make_fused_hydro_packed_io(params, tiles=(4, 8), interpret=True)
+    P = pack_state(params, U[:, g:-g, g:-g, g:-g])
+    P_new = np.asarray(step(P, dt))
+
+    ref = np.asarray(godunov_unsplit_hydro(params, U, dt))[:, g:-g, g:-g, g:-g]
+    want = np.asarray(pack_state(params, jnp.asarray(ref)))
+    np.testing.assert_allclose(P_new, want, rtol=0, atol=1e-6)
+
+
+def test_packed_inv_dt_matches_ghosted():
+    """Slice-based packed inv-dt == compute_dt on the ghosted state."""
+    from ramsesgpu_tpu.pallas.packed_io import YB, pack_state
+    from ramsesgpu_tpu.solvers.timestep import compute_inv_dt_mhd_packed
+
+    config = ConfigMap(text=OT3D_INI.format(nx=32, ny=16, nz=8))
+    params = params_from_config(config)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    g = params.ghost_width
+    P = pack_state(params, U[:, g:-g, g:-g, g:-g])
+    inv = compute_inv_dt_mhd_packed(params, P, y0=YB)
+    assert float(params.cfl / inv) == float(compute_dt(params, U))
+
+
 @pytest.mark.parametrize("dims,solver", [
     ((32, 16, 16), "hllc"),
     ((16, 24, 8), "hll"),

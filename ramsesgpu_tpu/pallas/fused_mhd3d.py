@@ -344,3 +344,212 @@ def make_pallas_step_fn(params: RunParams) -> Callable:
             return U_new, dt
 
     return step
+
+
+# --------------------------------------------------------------------------- #
+# shearing-box / rotating-frame (MRI) fused kernel
+# --------------------------------------------------------------------------- #
+def pallas_shear_supported(params: RunParams) -> bool:
+    """Fused-kernel coverage for the shearing-box step (the reference's
+    flagship MRI workload, README.md:5-7): rotating-frame trace/EMF terms run
+    inside the kernel; the conservative flux/emfY remap at the domain x-faces
+    stays outside (it needs global y interpolation). Stratified gravity and
+    z-boundaries stay on the whole-array path this round."""
+    from ..core.constants import BoundaryConditionType as BCT
+
+    return (
+        params.dim == 3
+        and params.mhd
+        and params.omega0 > 0
+        and params.boundary_xmin == BCT.BC_SHEARINGBOX
+        and params.boundary_xmax == BCT.BC_SHEARINGBOX
+        and params.boundary_ymin == BCT.BC_PERIODIC
+        and params.boundary_ymax == BCT.BC_PERIODIC
+        and params.boundary_zmin == BCT.BC_PERIODIC
+        and params.boundary_zmax == BCT.BC_PERIODIC
+        and params.ny % 8 == 0
+        and params.dtype == "float32"
+    )
+
+
+def make_fused_mhd_shear(
+    params: RunParams,
+    tiles: tuple[int, int] | None = None,
+    interpret: bool = False,
+) -> Callable:
+    """Build ``update(U_ghosted, dt) -> (U_int_new, fpl, eypl, ezpl)`` for
+    the rotating-frame step: the full primitives -> rotating trace -> HLLD ->
+    EMF -> CT pipeline per VMEM window (x stays ghosted + lane-padded — the
+    shear BC is not an in-row wrap), plus the interior-extent x-face planes
+    the conservative shear remap needs (mhd_3d_interior_update docstring)."""
+    if not pallas_shear_supported(params):
+        raise ValueError("configuration outside the fused shear kernel")
+    from ..solvers.godunov_mhd import mhd_3d_interior_update
+
+    g = params.ghost_width
+    nz, ny, nx = params.nz, params.ny, params.nx
+    bz, by = tiles or _pick_tiles(params)
+    if nz % bz or ny % by:
+        raise ValueError(f"tiles {(bz, by)} must divide {(nz, ny)}")
+    m = g
+    wz = bz + 2 * m
+    wy = -(-(by + 2 * m) // 8) * 8          # sublane-aligned window height
+    wx = -(-(nx + 2 * m) // 128) * 128       # lane-aligned ghosted rows
+    grid = (nz // bz, ny // by)
+    pad_y = wy - (by + 2 * m)
+
+    tile_params = params.replace(
+        ny=by,
+        nz=bz,
+        ymax=params.ymin + by * params.dy,
+        zmax=params.zmin + bz * params.dz,
+    )
+
+    def kernel(dt_ref, u_hbm, out_ref, win, sem):
+        from ..ops.backend import BOX, BoxField
+
+        zi = pl.program_id(0)
+        yi = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds(zi * bz, wz), pl.ds(yi * by, wy), :],
+            win,
+            sem,
+        )
+        copy.start()
+        copy.wait()
+        U = BoxField(win[...], 0, 0)
+        U_new, fpl, eypl, ezpl = mhd_3d_interior_update(
+            tile_params, U, dt_ref[0, 0], margin=(m, m, m), xp=BOX,
+            shear_planes=True,
+        )
+        # the five remap planes ride along as extra output channels, each
+        # lane-broadcast across x (TPU BlockSpec tiling can't express small
+        # [bz, by] plane blocks, and Mosaic can't concat lane slices with
+        # mismatched offsets — a broadcast-from-slice per plane lowers fine;
+        # the extra write is ~5/8 of one variable, trivial)
+        row = (bz, by, nx)
+        pl_chans = [
+            jnp.broadcast_to(p[..., None], row)[None]
+            for p in (fpl[0], fpl[1], eypl[0], eypl[1], ezpl)
+        ]
+        out_ref[...] = jnp.concatenate([U_new] + pl_chans, axis=0)
+
+    dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+    nv1 = params.nb_var + 5
+    out_shape = jax.ShapeDtypeStruct((nv1, nz, ny, nx), dtype)
+
+    fused = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (nv1, bz, by, nx), lambda zi, yi: (0, zi, yi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((params.nb_var, wz, wy, wx), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    nb = params.nb_var
+
+    def update(U_ghosted, dt):
+        dt_arr = jnp.reshape(dt, (1, 1)).astype(U_ghosted.dtype)
+        pad = wx - U_ghosted.shape[-1]
+        U_padded = jnp.pad(
+            U_ghosted, ((0, 0), (0, 0), (0, pad_y), (0, pad))
+        )
+        U_padded, dt_arr = jax.lax.optimization_barrier((U_padded, dt_arr))
+        out = jax.lax.optimization_barrier(fused(dt_arr, U_padded))
+        new_int = out[:nb]
+        fpl = out[nb : nb + 2, :, :, 0]
+        eypl = out[nb + 2 : nb + 4, :, :, 0]
+        ezpl = out[nb + 4, :, :, 0]
+        return new_int, fpl, eypl, ezpl
+
+    return update
+
+
+def make_pallas_shear_step_fn(
+    params: RunParams, interpret: bool = False
+) -> Callable:
+    """Shearing-box ``step(U, t) -> (U', dt)`` on the ghosted state: dt and
+    the sheared boundary fill stay in XLA, the rotating-frame Godunov/CT
+    pipeline runs in the fused kernel, then the conservative flux/emfY remap
+    at the two domain x-faces is applied as a linear post-correction to the
+    border columns (the update is linear in the face flux and EMF, so
+    correcting after equals remapping before — the whole-array path's
+    ordering, _godunov_unsplit_mhd_3d). The CT update of the KEPT Bx face at
+    x = nx+g (which the sheared fill preserves, solvers/shear.py:87-91) is
+    recomputed from the kernel's emf planes with the remapped emfY."""
+    from ..core.constants import IA, IC, ID
+    from ..solvers.godunov_mhd import _shear_remap_pair
+    from ..solvers.shear import make_all_boundaries_shear
+    from ..solvers.timestep import compute_dt
+
+    fused = make_fused_mhd_shear(
+        params, tiles=params.pallas_tiles, interpret=interpret
+    )
+    g = params.ghost_width
+    nx = params.nx
+    interior = (slice(None),) + (slice(g, -g),) * 3
+    iz, iy = slice(g, -g), slice(g, -g)
+    dissip = params.nu > 0 or params.eta > 0
+
+    def step(U, t):
+        dt = compute_dt(params, U)
+        U_b = make_all_boundaries_shear(params, U, t + dt)
+        new_int, fpl, eypl, ezpl = fused(U_b, dt)
+        dtdx, dtdy, dtdz = dt / params.dx, dt / params.dy, dt / params.dz
+
+        # conservative density-flux remap at the domain x-faces
+        fmin_r, fmax_r = _shear_remap_pair(params, fpl[0], fpl[1], t, dt)
+        rho_lo = new_int[ID, :, :, 0] + dtdx * (fmin_r - fpl[0])
+        rho_hi = new_int[ID, :, :, nx - 1] - dtdx * (fmax_r - fpl[1])
+        # density floor on the two remapped border columns
+        # (shearingBox_utils.cuh:484-485)
+        new_int = new_int.at[ID, :, :, 0].set(
+            jnp.maximum(rho_lo, params.smallr)
+        )
+        new_int = new_int.at[ID, :, :, nx - 1].set(
+            jnp.maximum(rho_hi, params.smallr)
+        )
+
+        # emfY remap: corrections to the CT curl at the border columns
+        emin_r, emax_r = _shear_remap_pair(params, eypl[0], eypl[1], t, dt)
+        d_emin = emin_r - eypl[0]
+        d_emax = emax_r - eypl[1]
+        # dbx = -dtdz * (d_emf_y(z+1) - d_emf_y) at the xmin face (periodic z)
+        new_int = new_int.at[IA, :, :, 0].add(
+            -dtdz * (jnp.roll(d_emin, -1, axis=0) - d_emin)
+        )
+        # dbz = +dtdx * (d_emf_y(x+1) - d_emf_y): touches the two border cells
+        new_int = new_int.at[IC, :, :, 0].add(-dtdx * d_emin)
+        new_int = new_int.at[IC, :, :, nx - 1].add(dtdx * d_emax)
+
+        U_new = U_b.at[interior].set(new_int)
+
+        # the KEPT Bx face at x = nx+g: CT update from the kernel's planes,
+        # with the REMAPPED emfY (the sheared fill preserves this face)
+        dbx_keep = dtdy * (jnp.roll(ezpl, -1, axis=1) - ezpl) - dtdz * (
+            jnp.roll(emax_r, -1, axis=0) - emax_r
+        )
+        U_new = U_new.at[IA, iz, iy, nx + g].add(dbx_keep)
+
+        if dissip:
+            from ..solvers.dissipation import apply_dissipation_mhd
+
+            U_new = make_all_boundaries_shear(params, U_new, t + dt)
+            U_new = apply_dissipation_mhd(params, U_new, dt)
+        return U_new, dt
+
+    return step

@@ -350,10 +350,17 @@ def init_mhd_mri(params: RunParams, config: ConfigMap) -> np.ndarray:
     return U
 
 
-def mri_gravity_field(params: RunParams, config: ConfigMap) -> np.ndarray:
-    """Static vertical gravity for stratified MRI: g_z = -Omega0^2 z, with an
+def mri_gravity_field(params: RunParams, config: ConfigMap):
+    """Static vertical gravity for STRATIFIED MRI: g_z = -Omega0^2 z, with an
     optional smooth cutoff near the vertical boundaries
-    (MHDRunBase.cpp:3163-3245 init_mhd_mri_grav_field)."""
+    (MHDRunBase.cpp:3163-3245 init_mhd_mri_grav_field). Plain MRI runs have
+    no static gravity (same [gravity] gate as init_mhd_mri's stratified
+    branch; the reference only builds h_gravity when gravity is enabled)."""
+    if not (
+        config.get_bool("gravity", "enabled", False)
+        or config.has("gravity", "static")
+    ):
+        return None
     from .grid import cell_centers_1d
 
     z = cell_centers_1d(params, "z")

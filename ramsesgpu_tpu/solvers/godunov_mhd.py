@@ -180,8 +180,20 @@ def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt, xp=None):
     if xp is None:
         from ..ops.backend import JNP as xp
 
-    # xpos feeds only the omega0 > 0 branches (never taken in box mode)
-    xpos = xpos_array(params, U.dtype) if params.omega0 > 0 else None
+    # xpos feeds only the omega0 > 0 branches. Width must match U's row
+    # width: params.isize for the whole-array path, the (possibly padded)
+    # window row width inside a Pallas kernel tile — values beyond the
+    # ghosted extent land in pad lanes that are never consumed.
+    xpos = None
+    if params.omega0 > 0:
+        import jax as _jax
+
+        row_w = (U.value if hasattr(U, "value") else U).shape[-1]
+        i = _jax.lax.broadcasted_iota(jnp.int32, (1, 1, row_w), 2).astype(
+            U.dtype
+        )
+        g_ = params.ghost_width
+        xpos = params.xmin + params.dx / 2 + (i - g_) * params.dx
 
     Q, _c = constoprim_mhd(params, U, dt, xp=xp)
     # lazy face/edge state builders: each [8, ...] stack is assembled right
@@ -252,8 +264,9 @@ def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt, xp=None):
 
 
 def mhd_3d_interior_update(
-    params: RunParams, U, dt, margin: tuple[int, int, int] | None = None, xp=None
-) -> jnp.ndarray:
+    params: RunParams, U, dt, margin: tuple[int, int, int] | None = None,
+    xp=None, shear_planes: bool = False,
+):
     """Scatter-free variant returning ONLY the updated interior
     [8, nz, ny, nx] — the form consumed by the fused Pallas kernel
     (no .at[] indexed updates, which don't lower on TPU Pallas).
@@ -264,6 +277,12 @@ def mhd_3d_interior_update(
     the margins absorb; with xp=BOX (U a BoxField over a kernel window)
     every intermediate carries its validity box instead — no z/y wrap at
     all, and each stage computes only the extent later stages consume.
+
+    ``shear_planes=True`` (shearing-box runs) additionally returns the raw
+    quantities the conservative x-border remap needs, as interior-extent
+    planes: (U_new, fpl [2, nz, ny] density flux at the two domain x-faces,
+    eypl [2, nz, ny] emfY there, ezpl [nz, ny] emfZ at the xmax face — the
+    last feeds the CT update of the KEPT Bx face, solvers/shear.py:87-91).
     """
     if xp is None:
         from ..ops.backend import JNP as xp
@@ -280,6 +299,9 @@ def mhd_3d_interior_update(
     def crop(f):
         return xp.crop(f, z0, z1, y0, y1, x0, x1)
 
+    def face_plane(f, xf):
+        return xp.crop(f, z0, z1, y0, y1, xf, xf + 1)[..., 0]
+
     dU = (
         dtdx * crop(flux_x - xp.shift_p(flux_x, _X))
         + dtdy * crop(flux_y - xp.shift_p(flux_y, _Y))
@@ -295,7 +317,7 @@ def mhd_3d_interior_update(
         xp.shift_p(emf_x, _Y) - emf_x
     ) * dtdy
     Ui = crop(U)
-    return jnp.stack(
+    U_new = jnp.stack(
         [
             Ui[ID] + dU[ID],
             Ui[IP] + dU[IP],
@@ -307,6 +329,14 @@ def mhd_3d_interior_update(
             Ui[IC] + dbz,
         ]
     )
+    if not shear_planes:
+        return U_new
+    fpl = jnp.stack(
+        [face_plane(flux_x[ID], x0), face_plane(flux_x[ID], x1)]
+    )
+    eypl = jnp.stack([face_plane(emf_y, x0), face_plane(emf_y, x1)])
+    ezpl = face_plane(emf_z, x1)
+    return U_new, fpl, eypl, ezpl
 
 
 def _uses_shear(params: RunParams) -> bool:

@@ -76,16 +76,33 @@ def make_step_fn(params: RunParams, config=None) -> Callable:
     if params.mhd:
         from .godunov_mhd import godunov_unsplit_mhd
 
+        backend_ok = params.kernel == "pallas" or (
+            params.kernel == "auto" and jax.default_backend() == "tpu"
+        )
+        if (
+            backend_ok
+            and params.dim == 3
+            and gravity is None
+            and shear
+        ):
+            from ..pallas.fused_mhd3d import pallas_shear_supported
+
+            if pallas_shear_supported(params):
+                from ..pallas.fused_mhd3d import make_pallas_shear_step_fn
+
+                return make_pallas_shear_step_fn(params)
+
         use_pallas = False
-        if params.kernel in ("auto", "pallas") and params.dim == 3 and gravity is None:
+        if (
+            backend_ok
+            and params.kernel in ("auto", "pallas")
+            and params.dim == 3
+            and gravity is None
+            and not shear
+        ):
             from ..pallas.fused_mhd3d import pallas_supported
 
-            backend_ok = True
-            if params.kernel == "auto":
-                import jax as _jax
-
-                backend_ok = _jax.default_backend() == "tpu"
-            use_pallas = backend_ok and pallas_supported(params)
+            use_pallas = pallas_supported(params)
 
         if use_pallas:
             from ..pallas.fused_mhd3d import make_pallas_step_fn

@@ -1,0 +1,106 @@
+"""Fused shearing-box (MRI) kernel vs the whole-array path (interpret mode).
+
+Multi-step comparison so the kept-Bx face, the flux/emfY remap corrections,
+and the sheared ghost refill all interact across steps (the reference needed
+two bugfix releases exactly here, ChangeLog:75-79).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ramsesgpu_tpu.config.configmap import ConfigMap
+from ramsesgpu_tpu.config.params import params_from_config
+from ramsesgpu_tpu.problems import init_problem
+from ramsesgpu_tpu.pallas.fused_mhd3d import (
+    make_pallas_shear_step_fn,
+    pallas_shear_supported,
+)
+from ramsesgpu_tpu.solvers.shear import make_all_boundaries_shear
+from ramsesgpu_tpu.solvers.step import make_step_fn
+
+MRI_INI = """
+[run]
+tend=630000
+[mesh]
+nx={nx}
+ny={ny}
+nz={nz}
+xmin=-0.5
+xmax=0.5
+ymin=-2.0
+ymax=2.0
+zmin=-0.5
+zmax=0.5
+boundary_xmin=4
+boundary_xmax=4
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=3
+boundary_zmax=3
+[hydro]
+problem=MRI
+cfl=0.7
+slope_type=2.0
+riemannSolver=hlld
+gamma0=1.001
+smallr=1e-9
+smallc=1e-9
+cIso=0.001
+[MHD]
+enable=true
+omega0=0.001
+magRiemannSolver=hlld
+implementationVersion=4
+[MRI]
+density=1.0
+beta=400.0
+[implementation]
+kernel=jnp
+"""
+
+
+@pytest.mark.parametrize("dims,tiles", [
+    ((32, 16, 8), (4, 8)),
+    ((16, 32, 16), (8, 8)),
+])
+def test_shear_kernel_matches_whole_array_multistep(dims, tiles):
+    nx, ny, nz = dims
+    config = ConfigMap(text=MRI_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config)
+    assert pallas_shear_supported(params)
+
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+
+    step_ref = make_step_fn(params)        # whole-array ([implementation] jnp)
+    step_ker = make_pallas_shear_step_fn(
+        params.replace(pallas_tiles=tiles), interpret=True
+    )
+
+    Ur = Uk = U0
+    t_r = t_k = jnp.asarray(0.0, U0.dtype)
+    g = params.ghost_width
+    # float32 roundoff differs between the box-sliced kernel and the
+    # whole-array rolls, so the comparison loosens step over step
+    for n, atol in enumerate((2e-6, 1e-5, 5e-5)):
+        Ur, dt_r = step_ref(Ur, t_r)
+        Uk, dt_k = step_ker(Uk, t_k)
+        np.testing.assert_allclose(float(dt_k), float(dt_r), rtol=1e-5)
+        t_r = t_r + dt_r
+        t_k = t_k + dt_k
+        np.testing.assert_allclose(
+            np.asarray(Uk)[:, g:-g, g:-g, g:-g],
+            np.asarray(Ur)[:, g:-g, g:-g, g:-g],
+            rtol=0, atol=atol,
+            err_msg=f"interior mismatch at step {n}",
+        )
+        # the kept Bx face (ghost column nx+g) must match too — the next
+        # sheared fill preserves it (solvers/shear.py:87-91)
+        from ramsesgpu_tpu.core.constants import IA
+
+        np.testing.assert_allclose(
+            np.asarray(Uk)[IA, g:-g, g:-g, nx + g],
+            np.asarray(Ur)[IA, g:-g, g:-g, nx + g],
+            rtol=0, atol=atol,
+            err_msg=f"kept Bx face mismatch at step {n}",
+        )

@@ -405,19 +405,37 @@ def make_fused_mhd_shear(
         zmax=params.zmin + bz * params.dz,
     )
 
+    nzb, nyb = grid
+
     def kernel(dt_ref, u_hbm, out_ref, win, sem):
         from ..ops.backend import BOX, BoxField
 
         zi = pl.program_id(0)
         yi = pl.program_id(1)
-        copy = pltpu.make_async_copy(
-            u_hbm.at[:, pl.ds(zi * bz, wz), pl.ds(yi * by, wy), :],
-            win,
-            sem,
-        )
-        copy.start()
-        copy.wait()
-        U = BoxField(win[...], 0, 0)
+        i = zi * nyb + yi
+        slot = jax.lax.rem(i, 2)
+
+        def in_dma(z, y, s):
+            return pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(z * bz, wz), pl.ds(y * by, wy), :],
+                win.at[s],
+                sem.at[s],
+            )
+
+        # double-buffered input: prefetch the next window during compute
+        @pl.when(i == 0)
+        def _():
+            in_dma(zi, yi, slot).start()
+
+        @pl.when(i + 1 < nzb * nyb)
+        def _():
+            yn = yi + 1
+            zn = jnp.where(yn == nyb, zi + 1, zi)
+            yn = jnp.where(yn == nyb, 0, yn)
+            in_dma(zn, yn, 1 - slot).start()
+
+        in_dma(zi, yi, slot).wait()
+        U = BoxField(win[slot], 0, 0)
         U_new, fpl, eypl, ezpl = mhd_3d_interior_update(
             tile_params, U, dt_ref[0, 0], margin=(m, m, m), xp=BOX,
             shear_planes=True,
@@ -451,8 +469,8 @@ def make_fused_mhd_shear(
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((params.nb_var, wz, wy, wx), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, params.nb_var, wz, wy, wx), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
@@ -494,56 +512,76 @@ def make_pallas_shear_step_fn(
     from ..core.constants import IA, IC, ID
     from ..solvers.godunov_mhd import _shear_remap_pair
     from ..solvers.shear import make_all_boundaries_shear
-    from ..solvers.timestep import compute_dt
+    from ..solvers.timestep import compute_inv_dt_mhd_ghosted
 
     fused = make_fused_mhd_shear(
         params, tiles=params.pallas_tiles, interpret=interpret
     )
     g = params.ghost_width
     nx = params.nx
-    interior = (slice(None),) + (slice(g, -g),) * 3
-    iz, iy = slice(g, -g), slice(g, -g)
+    core = (slice(None), slice(g, -g), slice(g, -g))
     dissip = params.nu > 0 or params.eta > 0
+    nb = params.nb_var
 
     def step(U, t):
-        dt = compute_dt(params, U)
+        # slice-based inv-dt (no rolls); MRI configs have no jet dt term
+        dt = params.cfl / compute_inv_dt_mhd_ghosted(params, U)
         U_b = make_all_boundaries_shear(params, U, t + dt)
         new_int, fpl, eypl, ezpl = fused(U_b, dt)
         dtdx, dtdy, dtdz = dt / params.dx, dt / params.dy, dt / params.dz
 
         # conservative density-flux remap at the domain x-faces
+        # (shearingBox_utils.cuh:484-485 incl. the density floor)
         fmin_r, fmax_r = _shear_remap_pair(params, fpl[0], fpl[1], t, dt)
-        rho_lo = new_int[ID, :, :, 0] + dtdx * (fmin_r - fpl[0])
-        rho_hi = new_int[ID, :, :, nx - 1] - dtdx * (fmax_r - fpl[1])
-        # density floor on the two remapped border columns
-        # (shearingBox_utils.cuh:484-485)
-        new_int = new_int.at[ID, :, :, 0].set(
-            jnp.maximum(rho_lo, params.smallr)
-        )
-        new_int = new_int.at[ID, :, :, nx - 1].set(
-            jnp.maximum(rho_hi, params.smallr)
-        )
-
         # emfY remap: corrections to the CT curl at the border columns
         emin_r, emax_r = _shear_remap_pair(params, eypl[0], eypl[1], t, dt)
         d_emin = emin_r - eypl[0]
         d_emax = emax_r - eypl[1]
-        # dbx = -dtdz * (d_emf_y(z+1) - d_emf_y) at the xmin face (periodic z)
-        new_int = new_int.at[IA, :, :, 0].add(
-            -dtdz * (jnp.roll(d_emin, -1, axis=0) - d_emin)
-        )
-        # dbz = +dtdx * (d_emf_y(x+1) - d_emf_y): touches the two border cells
-        new_int = new_int.at[IC, :, :, 0].add(-dtdx * d_emin)
-        new_int = new_int.at[IC, :, :, nx - 1].add(dtdx * d_emax)
 
-        U_new = U_b.at[interior].set(new_int)
+        # corrected border columns, assembled component-wise [8, nz, ny]
+        # (the update is linear in the face flux/EMF, so correcting after
+        # equals remapping before — the whole-array ordering)
+        col_lo = new_int[:, :, :, 0]
+        col_hi = new_int[:, :, :, nx - 1]
+        col_lo = col_lo.at[ID].set(jnp.maximum(
+            col_lo[ID] + dtdx * (fmin_r - fpl[0]), params.smallr))
+        col_hi = col_hi.at[ID].set(jnp.maximum(
+            col_hi[ID] - dtdx * (fmax_r - fpl[1]), params.smallr))
+        # dbx = -dtdz*(d_emf_y(z+1) - d_emf_y) at the xmin face (periodic z)
+        col_lo = col_lo.at[IA].add(
+            -dtdz * (jnp.roll(d_emin, -1, axis=0) - d_emin))
+        # dbz = +dtdx*(d_emf_y(x+1) - d_emf_y): the two border cells
+        col_lo = col_lo.at[IC].add(-dtdx * d_emin)
+        col_hi = col_hi.at[IC].add(dtdx * d_emax)
 
-        # the KEPT Bx face at x = nx+g: CT update from the kernel's planes,
-        # with the REMAPPED emfY (the sheared fill preserves this face)
+        # right x-ghost slab with the KEPT Bx face CT-updated from the
+        # kernel's planes using the REMAPPED emfY (the sheared fill
+        # preserves this face, solvers/shear.py kept-Bx)
         dbx_keep = dtdy * (jnp.roll(ezpl, -1, axis=1) - ezpl) - dtdz * (
             jnp.roll(emax_r, -1, axis=0) - emax_r
         )
-        U_new = U_new.at[IA, iz, iy, nx + g].add(dbx_keep)
+        gR = U_b[core + (slice(nx + g, None),)]
+        gR = gR.at[IA, :, :, 0].add(dbx_keep)
+
+        # ONE nested-concat assembly instead of chained full-array
+        # .at[].set passes (each of which materializes a copy on TPU)
+        mid_x = jnp.concatenate(
+            [
+                U_b[core + (slice(0, g),)],
+                col_lo[..., None],
+                new_int[:, :, :, 1 : nx - 1],
+                col_hi[..., None],
+                gR,
+            ],
+            axis=-1,
+        )
+        mid_y = jnp.concatenate(
+            [U_b[:, g:-g, :g, :], mid_x, U_b[:, g:-g, params.ny + g :, :]],
+            axis=-2,
+        )
+        U_new = jnp.concatenate(
+            [U_b[:, :g], mid_y, U_b[:, params.nz + g :]], axis=-3
+        )
 
         if dissip:
             from ..solvers.dissipation import apply_dissipation_mhd

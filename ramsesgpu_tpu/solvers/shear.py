@@ -50,22 +50,26 @@ def make_boundaries_shear(params: RunParams, U: jnp.ndarray, t) -> jnp.ndarray:
     smin = _border_slopes(params, bmin)
     smax = _border_slopes(params, bmax)
 
-    jsize = U.shape[_Y]
-    j = jnp.arange(jsize)
-
-    def remap(buf, slopes, jremap, eps, lam, sign):
-        """Interpolated remap of a border slab to ghost y-positions.
+    def remap(buf, slopes, shift, eps, lam, sign):
+        """Interpolated remap of a border slab to ghost y-positions: row j of
+        the result samples interior row (j - g + shift) mod ny (the
+        reference's jremap double-wrap collapses to one modular shift, which
+        lowers as a dynamic roll — slice+concat — instead of a TPU gather).
         sign=+1: XMIN formula (slope[jr]-slope[jr+1]); -1: XMAX."""
-        jremapp1 = jremap + 1
-        jremap = jnp.where(jremap < g, jremap + ny, jremap)
-        jremap = jnp.where(jremap > ny + g - 1, jremap - ny, jremap)
-        jremapp1 = jnp.where(jremapp1 < g, jremapp1 + ny, jremapp1)
-        jremapp1 = jnp.where(jremapp1 > ny + g - 1, jremapp1 - ny, jremapp1)
+        iy = (slice(None),) * (buf.ndim + _Y) + (slice(g, g + ny),)
 
-        b_r = jnp.take(buf, jremap, axis=_Y)
-        b_rp1 = jnp.take(buf, jremapp1, axis=_Y)
-        s_r = jnp.take(slopes, jremap, axis=_Y)
-        s_rp1 = jnp.take(slopes, jremapp1, axis=_Y)
+        def sampled(a, sh):
+            rolled = jnp.roll(a[iy], -sh, axis=_Y)
+            return jnp.pad(
+                rolled,
+                ((0, 0),) * (a.ndim + _Y) + ((g, g),) + ((0, 0),),
+                mode="wrap",
+            )
+
+        b_r = sampled(buf, shift)
+        b_rp1 = sampled(buf, shift + 1)
+        s_r = sampled(slopes, shift)
+        s_rp1 = sampled(slopes, shift + 1)
 
         interp = (1.0 - eps) * b_r + eps * b_rp1 + lam * sign * (s_r - s_rp1)
         by_form = b_r + eps * s_r  # conservative form for face-centered By
@@ -76,13 +80,13 @@ def make_boundaries_shear(params: RunParams, U: jnp.ndarray, t) -> jnp.ndarray:
     # XMIN ghosts <- XMAX border shifted down (make_boundary_shear.h:213-247)
     eps_min = 1.0 - epsi / dy
     lam_min = 0.5 * eps_min * (eps_min - 1.0)
-    ghost_min = remap(bmax, smax, j - jplus - 1, eps_min, lam_min, +1.0)
+    ghost_min = remap(bmax, smax, -jplus - 1, eps_min, lam_min, +1.0)
     U = U.at[..., 0:g].set(ghost_min)
 
     # XMAX ghosts <- XMIN border shifted up (make_boundary_shear.h:251-299)
     eps_max = epsi / dy
     lam_max = 0.5 * eps_max * (eps_max - 1.0)
-    ghost_max = remap(bmin, smin, j + jplus, eps_max, lam_max, -1.0)
+    ghost_max = remap(bmin, smin, jplus, eps_max, lam_max, -1.0)
     if params.mhd:
         # do NOT overwrite Bx in the first outer ghost column: that face
         # belongs to the last interior cell (make_boundary_shear.h:276-288)
@@ -94,11 +98,77 @@ def make_boundaries_shear(params: RunParams, U: jnp.ndarray, t) -> jnp.ndarray:
     return U
 
 
+def _shear_ghost_slabs(params: RunParams, U: jnp.ndarray, t):
+    """Interior-extent (z, y) sheared x-ghost slabs [nvar, nz, ny, g]: the
+    same remap math as make_boundaries_shear, restricted to interior rows so
+    the periodic-y/z fast path can assemble the whole fill in one pass."""
+    g = params.ghost_width
+    nx, ny = params.nx, params.ny
+    dy = params.dy
+    Lx = params.dx * nx
+    Ly = dy * ny
+
+    deltay = jnp.mod(1.5 * params.omega0 * Lx * t, Ly)
+    jplus = jnp.floor(deltay / dy).astype(jnp.int32)
+    epsi = jnp.mod(deltay, dy)
+
+    core = (slice(None), slice(g, -g), slice(g, -g))
+    bmin = U[core + (slice(g, 2 * g),)]
+    bmax = U[core + (slice(nx, nx + g),)]
+
+    def slopes_of(buf):
+        padded = jnp.pad(
+            buf, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap"
+        )
+        return _border_slopes(params, padded)[:, :, 1:-1, :]
+
+    def remap(buf, slopes, shift, eps, lam, sign):
+        b_r = jnp.roll(buf, -shift, axis=_Y)
+        b_rp1 = jnp.roll(buf, -(shift + 1), axis=_Y)
+        s_r = jnp.roll(slopes, -shift, axis=_Y)
+        s_rp1 = jnp.roll(slopes, -(shift + 1), axis=_Y)
+        interp = (1.0 - eps) * b_r + eps * b_rp1 + lam * sign * (s_r - s_rp1)
+        by_form = b_r + eps * s_r
+        if params.mhd:
+            interp = interp.at[IB].set(by_form[IB])
+        return interp
+
+    eps_min = 1.0 - epsi / dy
+    lam_min = 0.5 * eps_min * (eps_min - 1.0)
+    gmin = remap(bmax, slopes_of(bmax), -jplus - 1, eps_min, lam_min, +1.0)
+    eps_max = epsi / dy
+    lam_max = 0.5 * eps_max * (eps_max - 1.0)
+    gmax = remap(bmin, slopes_of(bmin), jplus, eps_max, lam_max, -1.0)
+    if params.mhd:
+        # kept Bx face: the first XMAX ghost column of Bx is the interior's
+        # own face (make_boundary_shear.h:276-288)
+        gmax = gmax.at[IA, :, :, 0].set(U[(IA,) + core[1:] + (nx + g,)])
+    return gmin, gmax
+
+
 def make_all_boundaries_shear(params: RunParams, U: jnp.ndarray, t) -> jnp.ndarray:
     """Full ghost fill for shearing-box runs, with the reference's ordering:
     Y first, then the shear X remap, then Z, then Y again
-    (MHDRunGodunov.cpp make_all_boundaries_shear)."""
+    (MHDRunGodunov.cpp make_all_boundaries_shear).
+
+    Periodic-y/z 3D fast path: the sequential per-side fills cost ~9 full-
+    array materializations; instead the sheared x-ghost slabs are computed on
+    interior extents and the whole fill assembles as one concat + one wrap
+    pad (identical values — the sequencing only matters for corners, which a
+    wrap pad of the x-assembled interior reproduces)."""
     bts = params.boundary_types
+    if params.dim == 3 and all(
+        b == BCT.BC_PERIODIC for b in (bts[2], bts[3], bts[4], bts[5])
+    ):
+        g = params.ghost_width
+        gmin, gmax = _shear_ghost_slabs(params, U, t)
+        mid = jnp.concatenate(
+            [gmin, U[:, g:-g, g:-g, g : params.nx + g], gmax], axis=_X
+        )
+        return jnp.pad(
+            mid, ((0, 0), (g, g), (g, g), (0, 0)), mode="wrap"
+        )
+
     U = _fill_side(params, U, _Y, False, bts[2])
     U = _fill_side(params, U, _Y, True, bts[3])
     U = make_boundaries_shear(params, U, t)

@@ -91,6 +91,35 @@ def compute_inv_dt_mhd(
     return jnp.max(_interior(params, inv, ghost))
 
 
+def _inv_dt_mhd_fields(params: RunParams, rho, eP, u, v, w, bx, by, bz):
+    """Max inverse dt from interior-extent fields (cell-centered B)."""
+    rho = jnp.maximum(rho, params.smallr)
+    if params.c_iso > 0:
+        p = rho * params.c_iso**2
+    else:
+        eken = 0.5 * (u * u + v * v + w * w)
+        emag = 0.5 * (bx * bx + by * by + bz * bz)
+        eint = (eP - emag) / rho - eken
+        p = jnp.maximum((params.gamma0 - 1.0) * rho * eint, rho * params.smallp)
+
+    b2 = bx * bx + by * by + bz * bz
+    c2 = params.gamma0 * p / rho
+    d2 = 0.5 * (b2 / rho + c2)
+
+    def cf(bn):
+        return jnp.sqrt(d2 + jnp.sqrt(jnp.maximum(d2 * d2 - c2 * bn * bn / rho, 0.0)))
+
+    vy = v
+    if params.omega0 > 0:
+        vy = vy + 1.5 * params.omega0 * params.dx / 2.0
+    inv = (
+        (cf(bx) + jnp.abs(u)) / params.dx
+        + (cf(by) + jnp.abs(vy)) / params.dy
+        + (cf(bz) + jnp.abs(w)) / params.dz
+    )
+    return jnp.max(inv)
+
+
 def compute_inv_dt_mhd_packed(
     params: RunParams, P: jnp.ndarray, y0: int | None = None
 ) -> jnp.ndarray:
@@ -112,37 +141,42 @@ def compute_inv_dt_mhd_packed(
 
     zi, yi = slice(g, g + nz), slice(y0, y0 + ny)
     rho = jnp.maximum(P[ID, zi, yi, :], params.smallr)
-    u = P[IU, zi, yi, :] / rho
-    v = P[IV, zi, yi, :] / rho
-    w = P[IW, zi, yi, :] / rho
     ia = P[IA, zi, yi, :]
-    bx = 0.5 * (ia + jnp.roll(ia, -1, -1))
-    by = 0.5 * (P[IB, zi, yi, :] + P[IB, zi, y0 + 1 : y0 + ny + 1, :])
-    bz = 0.5 * (P[IC, zi, yi, :] + P[IC, g + 1 : g + nz + 1, yi, :])
-    if params.c_iso > 0:
-        p = rho * params.c_iso**2
-    else:
-        eken = 0.5 * (u * u + v * v + w * w)
-        emag = 0.5 * (bx * bx + by * by + bz * bz)
-        eint = (P[IP, zi, yi, :] - emag) / rho - eken
-        p = jnp.maximum((params.gamma0 - 1.0) * rho * eint, rho * params.smallp)
-
-    b2 = bx * bx + by * by + bz * bz
-    c2 = params.gamma0 * p / rho
-    d2 = 0.5 * (b2 / rho + c2)
-
-    def cf(bn):
-        return jnp.sqrt(d2 + jnp.sqrt(jnp.maximum(d2 * d2 - c2 * bn * bn / rho, 0.0)))
-
-    vy = v
-    if params.omega0 > 0:
-        vy = vy + 1.5 * params.omega0 * params.dx / 2.0
-    inv = (
-        (cf(bx) + jnp.abs(u)) / params.dx
-        + (cf(by) + jnp.abs(vy)) / params.dy
-        + (cf(bz) + jnp.abs(w)) / params.dz
+    return _inv_dt_mhd_fields(
+        params,
+        P[ID, zi, yi, :],
+        P[IP, zi, yi, :],
+        P[IU, zi, yi, :] / rho,
+        P[IV, zi, yi, :] / rho,
+        P[IW, zi, yi, :] / rho,
+        0.5 * (ia + jnp.roll(ia, -1, -1)),
+        0.5 * (P[IB, zi, yi, :] + P[IB, zi, y0 + 1 : y0 + ny + 1, :]),
+        0.5 * (P[IC, zi, yi, :] + P[IC, g + 1 : g + nz + 1, yi, :]),
     )
-    return jnp.max(inv)
+
+
+def compute_inv_dt_mhd_ghosted(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
+    """compute_inv_dt_mhd on a fully-ghosted 3D state with EVERY +1 face-B
+    shift taken as a slice of the ghost frame (no rolls at all — the rolls
+    in compute_inv_dt_mhd each materialize a full-array copy on TPU).
+    Bit-identical to ``compute_inv_dt_mhd(params, U)``."""
+    g = params.ghost_width
+    nz, ny, nx = params.nz, params.ny, params.nx
+    from ..core.constants import IA, IB, IC
+
+    zi, yi, xi = slice(g, g + nz), slice(g, g + ny), slice(g, g + nx)
+    rho = jnp.maximum(U[ID, zi, yi, xi], params.smallr)
+    return _inv_dt_mhd_fields(
+        params,
+        U[ID, zi, yi, xi],
+        U[IP, zi, yi, xi],
+        U[IU, zi, yi, xi] / rho,
+        U[IV, zi, yi, xi] / rho,
+        U[IW, zi, yi, xi] / rho,
+        0.5 * (U[IA, zi, yi, xi] + U[IA, zi, yi, g + 1 : g + nx + 1]),
+        0.5 * (U[IB, zi, yi, xi] + U[IB, zi, g + 1 : g + ny + 1, xi]),
+        0.5 * (U[IC, zi, yi, xi] + U[IC, g + 1 : g + nz + 1, yi, xi]),
+    )
 
 
 def compute_dt(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:

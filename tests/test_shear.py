@@ -166,3 +166,29 @@ def test_mri_history_has_stresses():
     assert "reynoldsStress" in sample
     assert "alpha" in sample
     assert np.isfinite(sample["alpha"])
+
+
+def test_fast_fill_matches_sequential():
+    """The periodic-y/z one-pass fill (concat + wrap pad) must reproduce the
+    sequential Y -> shear-X -> Z -> Y fill exactly, at several shear phases."""
+    from ramsesgpu_tpu.solvers.boundary import _fill_side
+
+    config, params, U = _setup()
+    U = make_all_boundaries_shear(params, U, 0.0)  # consistent starting ghosts
+    bts = params.boundary_types
+
+    def sequential(U, t):
+        V = _fill_side(params, U, -2, False, bts[2])
+        V = _fill_side(params, V, -2, True, bts[3])
+        V = make_boundaries_shear(params, V, t)
+        V = _fill_side(params, V, -3, False, bts[4])
+        V = _fill_side(params, V, -3, True, bts[5])
+        V = _fill_side(params, V, -2, False, bts[2])
+        V = _fill_side(params, V, -2, True, bts[3])
+        return V
+
+    for t in (0.0, 0.1234, 0.77, 3.5):
+        t = jnp.asarray(t, U.dtype)
+        fast = np.asarray(make_all_boundaries_shear(params, U, t))
+        seq = np.asarray(sequential(U, t))
+        np.testing.assert_array_equal(fast, seq)

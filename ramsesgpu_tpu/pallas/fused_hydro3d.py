@@ -19,6 +19,12 @@ from ..config.params import RunParams
 from ..core.constants import BoundaryConditionType as BCT
 
 
+
+def _interpret_flag() -> bool:
+    from .. import pallas as _pkg
+
+    return bool(getattr(_pkg, "INTERPRET", False))
+
 def _pick_tiles(params: RunParams) -> tuple[int, int]:
     for bz, by in ((8, 32), (8, 16), (8, 8), (4, 8), (2, 8), (1, 8)):
         if params.nz % bz == 0 and params.ny % by == 0:
@@ -118,7 +124,7 @@ def make_fused_hydro_update(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or _interpret_flag(),
     )
 
     def update(U_ghosted, dt):

@@ -31,6 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config.params import RunParams
 
 
+
+def _interpret_flag() -> bool:
+    from .. import pallas as _pkg
+
+    return bool(getattr(_pkg, "INTERPRET", False))
+
 def _pick_tiles(params: RunParams) -> tuple[int, int]:
     """Pick (bz, by) tiles. x is never tiled: lane-dim DMA slices must be
     128-aligned, and full rows keep the stencil's x-halo free. by must be a
@@ -169,7 +175,7 @@ def make_fused_mhd_update(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or _interpret_flag(),
     )
 
     def update(U_ghosted, dt):
@@ -475,7 +481,7 @@ def make_fused_mhd_shear(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or _interpret_flag(),
     )
 
     nb = params.nb_var

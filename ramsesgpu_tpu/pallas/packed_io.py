@@ -30,6 +30,12 @@ from ..config.params import RunParams
 YB = 8  # packed-layout y ghost band width
 
 
+
+def _interpret_flag() -> bool:
+    from .. import pallas as _pkg
+
+    return bool(getattr(_pkg, "INTERPRET", False))
+
 def pack_state(params: RunParams, interior: jnp.ndarray) -> jnp.ndarray:
     """Interior-only [nvar, nz, ny, nx] -> packed layout (wrap ghosts)."""
     g = params.ghost_width
@@ -207,7 +213,7 @@ def make_packed_io_step(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or _interpret_flag(),
     )
 
     def step_packed(P, dt):

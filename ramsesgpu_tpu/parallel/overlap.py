@@ -83,13 +83,17 @@ def overlapped_interior_update(
     U_local: jnp.ndarray,       # interior-only local block [nvar, nz, ny, nx]
     U_ghosted: jnp.ndarray,     # fully halo'd block (post-ppermute)
     update_region: Callable,    # (window, (nz,ny,nx) extents) -> new region
+    deep_fn: Callable | None = None,  # optional override: (U_local) -> deep
 ) -> jnp.ndarray:
     """New interior of a shard, deep/shell split (3D).
 
     ``update_region(win, ext)`` must return the updated interior of a
     window carrying ghost_width cells of context on every side (margin =
     ghost_width — the same window contract as the fused Pallas kernel's
-    tiles, fused_mhd3d.py).
+    tiles, fused_mhd3d.py). ``deep_fn`` overrides the deep-region update
+    (e.g. the fused Pallas kernel, parallel/sharded_step.py) — it receives
+    the raw local block and must return the [nz-2g, ny-2g, nx-2g] deep
+    interior.
     """
     g = params.ghost_width
     r = g  # stencil reach == ghost width
@@ -98,7 +102,10 @@ def overlapped_interior_update(
 
     # deep region [r, n-r): its window with margin g is exactly U_local —
     # in-window roll wrap corrupts only cells the deep slice never keeps
-    deep = update_region(U_local, (nz - 2 * r, ny - 2 * r, nx - 2 * r))
+    if deep_fn is not None:
+        deep = deep_fn(U_local)
+    else:
+        deep = update_region(U_local, (nz - 2 * r, ny - 2 * r, nx - 2 * r))
 
     out = jnp.zeros((nv, nz, ny, nx), U_local.dtype)
     out = out.at[:, r:-r, r:-r, r:-r].set(deep)

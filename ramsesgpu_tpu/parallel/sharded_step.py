@@ -39,6 +39,81 @@ def _state_spec(params: RunParams):
     return P(None, AXIS_Z, AXIS_Y, AXIS_X)
 
 
+def _make_pallas_deep_fn(params: RunParams, local_dims):
+    """Fused-kernel deep-region update for the overlapped sharded step, or
+    None when the configuration/backend is outside kernel coverage.
+
+    Returns ``deep(U_local, dt) -> [nvar, lnz-2g, lny-2g, lnx-2g]``. The
+    deep extents rarely hit the kernel's tile-divisibility constraints, so
+    the kernel is built for extents rounded UP to sublane multiples and the
+    local block padded with junk rows: an output cell k consumes window rows
+    [k, k+2g], so every KEPT cell (k < ln-2g) reads only real local data —
+    the junk feeds exactly the rows the slice drops.
+    """
+    import jax as _jax
+
+    from ..core.constants import BoundaryConditionType as BCT
+
+    backend_ok = params.kernel == "pallas" or (
+        params.kernel == "auto" and _jax.default_backend() == "tpu"
+    )
+    # pallas INTERPRET mode (CPU tests) also counts as a viable backend
+    from .. import pallas as _pkg
+
+    if not (backend_ok or getattr(_pkg, "INTERPRET", False)):
+        return None
+    if params.kernel not in ("auto", "pallas") or params.dim != 3:
+        return None
+
+    g = params.ghost_width
+    lnz, lny, lnx = local_dims
+    dzp = -(-(lnz - 2 * g) // 8) * 8
+    dyp = -(-(lny - 2 * g) // 8) * 8
+    dxp = lnx - 2 * g
+    if dzp <= 0 or dyp <= 0 or dxp <= 0:
+        return None
+    # BC_COPY markers force the kernel's ghosted-x mode: the local block's
+    # in-row wrap is NOT the local boundary condition under sharding
+    deep_params = params.replace(
+        nz=dzp, ny=dyp, nx=dxp,
+        zmax=params.zmin + dzp * params.dz,
+        ymax=params.ymin + dyp * params.dy,
+        xmax=params.xmin + dxp * params.dx,
+        boundary_xmin=BCT.BC_COPY, boundary_xmax=BCT.BC_COPY,
+    )
+    try:
+        if params.mhd:
+            from ..pallas.fused_mhd3d import make_fused_mhd_update, pallas_supported
+
+            if not pallas_supported(deep_params.replace(
+                boundary_xmin=params.boundary_xmin,
+                boundary_xmax=params.boundary_xmax,
+            )):
+                return None
+            fused = make_fused_mhd_update(deep_params)
+        else:
+            from ..pallas.fused_hydro3d import (
+                hydro_pallas_supported,
+                make_fused_hydro_update,
+            )
+
+            if not hydro_pallas_supported(deep_params):
+                return None
+            fused = make_fused_hydro_update(deep_params)
+    except ValueError:
+        return None
+
+    pad_z = dzp + 2 * g - lnz
+    pad_y = dyp + 2 * g - lny
+
+    def deep(U_local, dt):
+        W = jnp.pad(U_local, ((0, 0), (0, pad_z), (0, pad_y), (0, 0)))
+        out = fused(W, dt)
+        return out[:, : lnz - 2 * g, : lny - 2 * g, :]
+
+    return deep
+
+
 def make_local_step(
     params: RunParams, mesh: Mesh | None = None, config=None
 ) -> tuple[Callable, bool]:
@@ -202,12 +277,11 @@ def make_local_step(
     # halo-exchange / compute overlap (parallel/overlap.py): dt from a thin
     # dedicated exchange, deep interior from the local block while the bulk
     # ppermutes fly, shells patched from the halo'd block. Bitwise-identical
-    # to the synchronous path below. The fused Pallas kernel path takes
-    # precedence (it consumes the whole ghosted block; splitting it is a
-    # round-2 item).
+    # to the synchronous path below. When the fused Pallas kernel covers the
+    # configuration, it computes the deep region (the FLOP bulk) while the
+    # thin shells stay whole-array — kernel speed AND overlap compose.
     if (
         params.halo_overlap
-        and not use_pallas
         and not wants_gravity
         and not dissip
         and local_dims is not None
@@ -225,6 +299,7 @@ def make_local_step(
             else:
                 from ..solvers.godunov import hydro_3d_interior_update as _region
             g = params.ghost_width
+            deep_kernel = _make_pallas_deep_fn(params, local_dims)
 
             def local_step_overlapped(U, G, t):
                 inv = local_inv_dt(params, U)
@@ -237,7 +312,14 @@ def make_local_step(
                     return _region(_ext_params(params, ext), win, dt,
                                    margin=(g, g, g))
 
-                return overlapped_interior_update(params, U, Ug, upd), dt
+                dfn = (
+                    (lambda ul: deep_kernel(ul, dt))
+                    if deep_kernel is not None else None
+                )
+                return (
+                    overlapped_interior_update(params, U, Ug, upd, deep_fn=dfn),
+                    dt,
+                )
 
             return local_step_overlapped, False
 

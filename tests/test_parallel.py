@@ -177,6 +177,47 @@ def test_hydro_3d_halo_overlap_parity():
     np.testing.assert_allclose(over, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_mhd_3d_halo_overlap_pallas_deep_parity():
+    """Overlap + fused kernel composition: the Pallas kernel computes the
+    deep region (padded to tile multiples, junk rows never consumed by kept
+    cells) while the shells stay whole-array. Must match the plain sharded
+    path to roundoff (interpret-mode kernels on the virtual mesh)."""
+    import ramsesgpu_tpu.pallas as pallas_pkg
+
+    params, config, U0, ref, t1, k1 = _single_device_reference(MHD3D_INI, 6)
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    plain, tp, kp = _sharded(params, config, U0, mesh, 6)
+    pallas_pkg.INTERPRET = True
+    try:
+        over, to, ko = _sharded(
+            params.replace(halo_overlap=True, kernel="pallas"),
+            config, U0, mesh, 6,
+        )
+    finally:
+        pallas_pkg.INTERPRET = False
+    assert kp == ko
+    np.testing.assert_allclose(over, plain, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(over, ref, rtol=0, atol=1e-5)
+
+
+def test_hydro_3d_halo_overlap_pallas_deep_parity():
+    import ramsesgpu_tpu.pallas as pallas_pkg
+
+    params, config, U0, ref, t1, k1 = _single_device_reference(HYDRO3D_INI, 8)
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    plain, tp, kp = _sharded(params, config, U0, mesh, 8)
+    pallas_pkg.INTERPRET = True
+    try:
+        over, to, ko = _sharded(
+            params.replace(halo_overlap=True, kernel="pallas"),
+            config, U0, mesh, 8,
+        )
+    finally:
+        pallas_pkg.INTERPRET = False
+    assert kp == ko
+    np.testing.assert_allclose(over, plain, rtol=1e-5, atol=1e-5)
+
+
 def test_hydro_3d_sharded_gravity_parity():
     """Per-shard ghosted gravity windows: uniform [gravity] field, sharded
     vs single-device (predictor kick + conservative source term)."""

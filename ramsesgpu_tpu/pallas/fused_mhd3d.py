@@ -413,7 +413,7 @@ def make_fused_mhd_shear(
 
     nzb, nyb = grid
 
-    def kernel(dt_ref, u_hbm, out_ref, win, sem):
+    def kernel(dt_ref, x0_ref, u_hbm, out_ref, win, sem):
         from ..ops.backend import BOX, BoxField
 
         zi = pl.program_id(0)
@@ -442,9 +442,13 @@ def make_fused_mhd_shear(
 
         in_dma(zi, yi, slot).wait()
         U = BoxField(win[slot], 0, 0)
+        # per-shard global cell-center x coordinates: x0 = the ghosted
+        # block's xmin (sharded runs pass each shard's offset)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wx), 2).astype(dtype)
+        xpos = x0_ref[0, 0] + params.dx / 2 + (ix - g) * params.dx
         U_new, fpl, eypl, ezpl = mhd_3d_interior_update(
             tile_params, U, dt_ref[0, 0], margin=(m, m, m), xp=BOX,
-            shear_planes=True,
+            shear_planes=True, xpos=xpos,
         )
         # the five remap planes ride along as extra output channels, each
         # lane-broadcast across x (TPU BlockSpec tiling can't express small
@@ -466,7 +470,8 @@ def make_fused_mhd_shear(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dt
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 (shard x offset)
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -486,14 +491,21 @@ def make_fused_mhd_shear(
 
     nb = params.nb_var
 
-    def update(U_ghosted, dt):
+    def update(U_ghosted, dt, x0=None):
         dt_arr = jnp.reshape(dt, (1, 1)).astype(U_ghosted.dtype)
+        if x0 is None:
+            x0 = params.xmin
+        x0_arr = jnp.reshape(
+            jnp.asarray(x0, U_ghosted.dtype), (1, 1)
+        )
         pad = wx - U_ghosted.shape[-1]
         U_padded = jnp.pad(
             U_ghosted, ((0, 0), (0, 0), (0, pad_y), (0, pad))
         )
-        U_padded, dt_arr = jax.lax.optimization_barrier((U_padded, dt_arr))
-        out = jax.lax.optimization_barrier(fused(dt_arr, U_padded))
+        U_padded, dt_arr, x0_arr = jax.lax.optimization_barrier(
+            (U_padded, dt_arr, x0_arr)
+        )
+        out = jax.lax.optimization_barrier(fused(dt_arr, x0_arr, U_padded))
         new_int = out[:nb]
         fpl = out[nb : nb + 2, :, :, 0]
         eypl = out[nb + 2 : nb + 4, :, :, 0]

@@ -366,12 +366,81 @@ def _make_sharded_advance_shear(params: RunParams, mesh: Mesh) -> Callable:
     spec = _state_spec(params)
     t_end = params.t_end
 
+    # fused shear kernel per shard when covered (pallas/fused_mhd3d): the
+    # rotating-frame pipeline runs in the kernel with this shard's global
+    # x offset; the conservative flux/emfY remap at the DOMAIN x-faces is
+    # applied as a post-correction through the comm collectives (identity
+    # deltas on interior shards)
+    fused_shear = None
+    if params.kernel in ("auto", "pallas"):
+        from .. import pallas as _pkg
+        from ..pallas.fused_mhd3d import (
+            make_fused_mhd_shear,
+            pallas_shear_supported,
+        )
+
+        backend_ok = (
+            params.kernel == "pallas"
+            or jax.default_backend() == "tpu"
+            or getattr(_pkg, "INTERPRET", False)
+        )
+        if backend_ok and pallas_shear_supported(local_params):
+            try:
+                fused_shear = make_fused_mhd_shear(local_params)
+            except ValueError:
+                fused_shear = None
+
     def local_advance(U, t, n_steps):
         i = jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, lnx + 2 * g), 2
         ).astype(U.dtype)
         xi = lax.axis_index(AXIS_X).astype(U.dtype)
         xpos = params.xmin + params.dx / 2 + (xi * lnx + i - g) * params.dx
+        x0_shard = params.xmin + xi * lnx * params.dx
+
+        def kernel_update(Ub, dt, t_c):
+            from ..core.constants import IA, IC, ID
+            from .halo import _ring_shift
+
+            new_int, fpl, eypl, ezpl = fused_shear(Ub, dt, x0_shard)
+            fmin_r, fmax_r = comm.remap_pair(
+                local_params, fpl[0], fpl[1], t_c, dt
+            )
+            emin_r, emax_r = comm.remap_pair(
+                local_params, eypl[0], eypl[1], t_c, dt
+            )
+            d_emin = emin_r - eypl[0]
+            d_emax = emax_r - eypl[1]
+            dtdx, dtdz = dt / params.dx, dt / params.dz
+            xi_i = lax.axis_index(AXIS_X)
+            mxs = lax.axis_size(AXIS_X)
+
+            col_lo = new_int[:, :, :, 0]
+            col_hi = new_int[:, :, :, lnx - 1]
+            rho_lo = col_lo[ID] + dtdx * (fmin_r - fpl[0])
+            rho_hi = col_hi[ID] - dtdx * (fmax_r - fpl[1])
+            # density floor only on the domain-edge columns (the remap
+            # deltas vanish on interior shards, the floor must not apply)
+            col_lo = col_lo.at[ID].set(jnp.where(
+                xi_i == 0, jnp.maximum(rho_lo, params.smallr), rho_lo))
+            col_hi = col_hi.at[ID].set(jnp.where(
+                xi_i == mxs - 1, jnp.maximum(rho_hi, params.smallr), rho_hi))
+            # dbx = -dtdz*(d_emf_y(z+1) - d_emf_y) at the xmin face; the
+            # z+1 row at the local top comes over the z ring
+            nxt = _ring_shift(d_emin[0:1, :], AXIS_Z, up=False)
+            d_emin_zp1 = jnp.concatenate([d_emin[1:], nxt], axis=0)
+            col_lo = col_lo.at[IA].add(-dtdz * (d_emin_zp1 - d_emin))
+            # dbz = +dtdx*(d_emf_y(x+1) - d_emf_y) at the two border cells
+            col_lo = col_lo.at[IC].add(-dtdx * d_emin)
+            col_hi = col_hi.at[IC].add(dtdx * d_emax)
+
+            inner = jnp.concatenate(
+                [col_lo[..., None], new_int[:, :, :, 1 : lnx - 1],
+                 col_hi[..., None]],
+                axis=-1,
+            )
+            sl = (slice(None),) + (slice(g, -g),) * 3
+            return Ub.at[sl].set(inner)
 
         def cond(carry):
             _, t_c, k = carry
@@ -387,10 +456,13 @@ def _make_sharded_advance_shear(params: RunParams, mesh: Mesh) -> Callable:
             interior = strip_halos(local_params, Ug)
             Ub = attach_halos_shear(local_params, params, interior, t_c + dt,
                                     comm)
-            U_new = _mhd_update(
-                local_params, Ub, dt, t=t_c, shear_comm=comm, xpos=xpos,
-                apply_dissipation=False,
-            )
+            if fused_shear is not None:
+                U_new = kernel_update(Ub, dt, t_c)
+            else:
+                U_new = _mhd_update(
+                    local_params, Ub, dt, t=t_c, shear_comm=comm, xpos=xpos,
+                    apply_dissipation=False,
+                )
             if params.nu > 0 or params.eta > 0:
                 from ..solvers.dissipation import apply_dissipation_mhd
 

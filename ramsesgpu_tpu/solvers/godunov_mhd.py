@@ -169,7 +169,8 @@ def _godunov_unsplit_mhd_2d(
     return U_new
 
 
-def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt, xp=None):
+def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt, xp=None,
+                        xpos=None):
     """The compute core of the 3D step: face fluxes and edge EMFs.
     Shared by the XLA whole-array update (xp=JNP, roll shifts absorbed by
     ghost margins) and the fused Pallas kernel (xp=BOX: intermediates carry
@@ -183,9 +184,9 @@ def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt, xp=None):
     # xpos feeds only the omega0 > 0 branches. Width must match U's row
     # width: params.isize for the whole-array path, the (possibly padded)
     # window row width inside a Pallas kernel tile — values beyond the
-    # ghosted extent land in pad lanes that are never consumed.
-    xpos = None
-    if params.omega0 > 0:
+    # ghosted extent land in pad lanes that are never consumed. An explicit
+    # ``xpos`` overrides (sharded shear: per-shard global coordinates).
+    if xpos is None and params.omega0 > 0:
         import jax as _jax
 
         row_w = (U.value if hasattr(U, "value") else U).shape[-1]
@@ -265,7 +266,7 @@ def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt, xp=None):
 
 def mhd_3d_interior_update(
     params: RunParams, U, dt, margin: tuple[int, int, int] | None = None,
-    xp=None, shear_planes: bool = False,
+    xp=None, shear_planes: bool = False, xpos=None,
 ):
     """Scatter-free variant returning ONLY the updated interior
     [8, nz, ny, nx] — the form consumed by the fused Pallas kernel
@@ -290,7 +291,7 @@ def mhd_3d_interior_update(
     mz, my, mx = margin if margin is not None else (g, g, g)
     dtdx, dtdy, dtdz = dt / params.dx, dt / params.dy, dt / params.dz
     (flux_x, flux_y, flux_z), (emf_z, emf_y, emf_x) = _mhd_3d_fluxes_emfs(
-        params, U, dt, xp=xp
+        params, U, dt, xp=xp, xpos=xpos
     )
     z0, z1 = mz, mz + params.nz
     y0, y1 = my, my + params.ny

@@ -391,6 +391,28 @@ def test_mri_3d_sharded_shear_parity(topo):
     assert np.abs(inner).max() < 2e-3 * scale
 
 
+def test_mri_3d_sharded_shear_pallas_parity():
+    """Sharded MRI with the fused shear kernel per shard (remap corrections
+    through the comm collectives) matches the whole-array sharded path.
+    Small drift allowed: the kernel path's carried ghosts skip the border
+    CT touches the whole-array update applies (next fill rebuilds them),
+    so the one-fill-stale dt differs at roundoff."""
+    import ramsesgpu_tpu.pallas as pallas_pkg
+
+    params, config, U0, ref, t1, k1 = _single_device_reference(MRI_INI, 4)
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    plain, tp, kp = _sharded(params, config, U0, mesh, 4)
+    pallas_pkg.INTERPRET = True
+    try:
+        kern, tk, kk = _sharded(
+            params.replace(kernel="pallas"), config, U0, mesh, 4
+        )
+    finally:
+        pallas_pkg.INTERPRET = False
+    assert kp == kk
+    np.testing.assert_allclose(kern, plain, rtol=1e-4, atol=5e-5)
+
+
 def test_distributed_run_driver(tmp_path):
     """DistributedRun: INI-driven ([mpi] mx/my/mz) end-to-end loop with
     gathered I/O + history matches the single-device Run."""

@@ -143,14 +143,17 @@ def make_local_step(
             raise NotImplementedError(
                 "distributed shearing box covers 3D MHD with an explicit mesh"
             )
-        if not all(
-            b == BCT.BC_PERIODIC
-            for b in (params.boundary_ymin, params.boundary_ymax,
-                      params.boundary_zmin, params.boundary_zmax)
+        if not (
+            params.boundary_ymin == BCT.BC_PERIODIC
+            and params.boundary_ymax == BCT.BC_PERIODIC
+            and all(
+                b in (BCT.BC_PERIODIC, BCT.BC_Z_STRATIFIED)
+                for b in (params.boundary_zmin, params.boundary_zmax)
+            )
         ):
             raise NotImplementedError(
-                "distributed shearing box assumes periodic y/z "
-                "(stratified-z MRI: run single-device this round)"
+                "distributed shearing box assumes periodic y and "
+                "periodic/stratified z"
             )
         from ..solvers.godunov_mhd import godunov_unsplit_mhd as _mhd_update
         from .shear_dist import ShardedShearComm, attach_halos_shear
@@ -164,12 +167,6 @@ def make_local_step(
             zmax=params.zmin + lnz * params.dz,
         )
         g = params.ghost_width
-
-        if wants_gravity:
-            raise NotImplementedError(
-                "distributed shear + gravity (stratified MRI): run "
-                "single-device this round"
-            )
 
         def local_step_shear(U, G, t):
             # dt from a fresh sheared fill at time t (the reference reads
@@ -188,8 +185,8 @@ def make_local_step(
             xi = lax.axis_index(AXIS_X).astype(U.dtype)
             xpos = params.xmin + params.dx / 2 + (xi * lnx + i - g) * params.dx
             U_new = _mhd_update(
-                local_params, Ug, dt, t=t, shear_comm=comm, xpos=xpos,
-                apply_dissipation=False,
+                local_params, Ug, dt, gravity=G, t=t, shear_comm=comm,
+                xpos=xpos, apply_dissipation=False,
             )
             U_int = strip_halos(local_params, U_new)
             if dissip:
@@ -202,7 +199,7 @@ def make_local_step(
                 )
             return U_int, dt
 
-        return local_step_shear, False
+        return local_step_shear, wants_gravity
 
     if params.mhd:
         from ..solvers.godunov_mhd import godunov_unsplit_mhd
@@ -342,11 +339,16 @@ def make_local_step(
     return local_step, wants_gravity
 
 
-def _make_sharded_advance_shear(params: RunParams, mesh: Mesh) -> Callable:
+def _make_sharded_advance_shear(
+    params: RunParams, mesh: Mesh, config=None
+) -> Callable:
     """Shearing-box advance: the loop carries the GHOSTED local block so the
     dt reduction reads one-fill-stale ghosts — exactly the single-device /
     reference ordering (compute_dt before make_boundaries); the fresh
-    sheared fill at t+dt happens inside the step."""
+    sheared fill at t+dt happens inside the step. Stratified MRI (static
+    vertical gravity + BC_Z_STRATIFIED) is covered: gravity arrives as the
+    per-shard ghosted windows of _gravity_windows, the stratified z fill
+    rides inside attach_halos_shear."""
     from ..core.constants import BoundaryConditionType as BCT
     from ..solvers.godunov_mhd import godunov_unsplit_mhd as _mhd_update
     from .shear_dist import ShardedShearComm, attach_halos_shear
@@ -365,6 +367,11 @@ def _make_sharded_advance_shear(params: RunParams, mesh: Mesh) -> Callable:
     names = _axis_names(params)
     spec = _state_spec(params)
     t_end = params.t_end
+    wants_gravity = make_gravity_field(params, config) is not None
+    Gdev, gspec = (
+        _gravity_windows(params, config, mesh) if wants_gravity
+        else (None, None)
+    )
 
     # fused shear kernel per shard when covered (pallas/fused_mhd3d): the
     # rotating-frame pipeline runs in the kernel with this shard's global
@@ -384,13 +391,15 @@ def _make_sharded_advance_shear(params: RunParams, mesh: Mesh) -> Callable:
             or jax.default_backend() == "tpu"
             or getattr(_pkg, "INTERPRET", False)
         )
-        if backend_ok and pallas_shear_supported(local_params):
+        if backend_ok and not wants_gravity and pallas_shear_supported(
+            local_params
+        ):
             try:
                 fused_shear = make_fused_mhd_shear(local_params)
             except ValueError:
                 fused_shear = None
 
-    def local_advance(U, t, n_steps):
+    def local_advance(U, G, t, n_steps):
         i = jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, lnx + 2 * g), 2
         ).astype(U.dtype)
@@ -460,8 +469,8 @@ def _make_sharded_advance_shear(params: RunParams, mesh: Mesh) -> Callable:
                 U_new = kernel_update(Ub, dt, t_c)
             else:
                 U_new = _mhd_update(
-                    local_params, Ub, dt, t=t_c, shear_comm=comm, xpos=xpos,
-                    apply_dissipation=False,
+                    local_params, Ub, dt, gravity=G, t=t_c, shear_comm=comm,
+                    xpos=xpos, apply_dissipation=False,
                 )
             if params.nu > 0 or params.eta > 0:
                 from ..solvers.dissipation import apply_dissipation_mhd
@@ -479,14 +488,28 @@ def _make_sharded_advance_shear(params: RunParams, mesh: Mesh) -> Callable:
         )
         return strip_halos(local_params, Ug_f), t_f, k_f
 
-    sharded = shard_map(
+    if Gdev is None:
+        sharded = shard_map(
+            lambda U, t, n: local_advance(U, None, t, n),
+            mesh=mesh,
+            in_specs=(spec, P(), P()),
+            out_specs=(spec, P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    sharded = jax.jit(shard_map(
         local_advance,
         mesh=mesh,
-        in_specs=(spec, P(), P()),
+        in_specs=(spec, gspec, P(), P()),
         out_specs=(spec, P(), P()),
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+
+    def advance(U, t, n_steps):
+        return sharded(U, Gdev, t, n_steps)
+
+    return advance
 
 
 def _gravity_windows(params: RunParams, config, mesh: Mesh):
@@ -538,7 +561,7 @@ def make_sharded_advance_n(
         params.boundary_xmin == BCT.BC_SHEARINGBOX
         or params.boundary_xmax == BCT.BC_SHEARINGBOX
     ):
-        return _make_sharded_advance_shear(params, mesh)
+        return _make_sharded_advance_shear(params, mesh, config)
 
     local_step, wants_gravity = make_local_step(params, mesh, config)
     spec = _state_spec(params)

@@ -222,10 +222,15 @@ class ShardedShearComm:
 def attach_halos_shear(params: RunParams, gparams: RunParams, U, t,
                        comm: ShardedShearComm):
     """Ghosted local block for a shearing-box step: periodic Y ring, X ring
-    with the sheared remap overriding the domain-edge ghosts, then periodic
-    Z ring (reference ordering: make_all_boundaries_shear =
-    Y -> shear X -> Z)."""
+    with the sheared remap overriding the domain-edge ghosts, then the Z
+    exchange (reference ordering: make_all_boundaries_shear =
+    Y -> shear X -> Z). The Z boundary may be periodic or the stratified-MRI
+    special fill (BC_Z_STRATIFIED): the ring exchange runs either way and
+    the z-edge shards override their outer ghosts with the stratified fill,
+    evaluated with the GLOBAL domain z bounds (the hydrostatic extrapolation
+    ratios depend on zmin/zmax, which the local params view rescales)."""
     from ..core.constants import BoundaryConditionType as BCT
+    from ..solvers.boundary import _fill_side
     from .halo import attach_halos_axis
 
     Ug = attach_halos_axis(params, U, _Y, BCT.BC_PERIODIC, BCT.BC_PERIODIC)
@@ -235,4 +240,26 @@ def attach_halos_shear(params: RunParams, gparams: RunParams, U, t,
         Ug = attach_halos_axis(params, Ug, _Z, BCT.BC_PERIODIC, BCT.BC_PERIODIC)
     if params.mhd:
         Ug = comm.fix_xmax_bx_face(Ug)
+    if params.dim == 3:
+        # the stratified z override comes last, matching the single-device
+        # Y -> shear X -> Z ordering where the Z fill covers the x-ghost
+        # columns (and the reconstructed face column's z-ghost bands)
+        zi = lax.axis_index(AXIS_Z)
+        mz = lax.axis_size(AXIS_Z)
+        if gparams.boundary_zmin == BCT.BC_Z_STRATIFIED:
+            # params view whose z window ENDS at the global bound while the
+            # derived dz stays that of the global grid (dz = (zmax-zmin)/nz)
+            pmin = params.replace(
+                zmin=gparams.zmin,
+                zmax=gparams.zmin + params.nz * gparams.dz,
+            )
+            filled = _fill_side(pmin, Ug, _Z, False, BCT.BC_Z_STRATIFIED)
+            Ug = jnp.where(zi == 0, filled, Ug)
+        if gparams.boundary_zmax == BCT.BC_Z_STRATIFIED:
+            pmax = params.replace(
+                zmin=gparams.zmax - params.nz * gparams.dz,
+                zmax=gparams.zmax,
+            )
+            filled = _fill_side(pmax, Ug, _Z, True, BCT.BC_Z_STRATIFIED)
+            Ug = jnp.where(zi == mz - 1, filled, Ug)
     return Ug

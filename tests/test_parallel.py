@@ -84,7 +84,7 @@ def _single_device_reference(ini: str, n_steps: int):
     params = params_from_config(config)
     U0 = init_problem(params, config)
     U = make_boundaries(params, jnp.asarray(U0))
-    advance = make_advance_n(params)
+    advance = make_advance_n(params, config)
     U, t, k = advance(U, jnp.asarray(0.0, U.dtype), jnp.array(n_steps, jnp.int32))
     g = params.ghost_width
     sl = (slice(None),) + (slice(g, -g),) * params.dim
@@ -389,6 +389,67 @@ def test_mri_3d_sharded_shear_parity(topo):
     inner = div[g : -g - 1, g : -g - 1, g : -g - 1]
     scale = max(np.abs(bz).max(), 1e-10) / params.dx
     assert np.abs(inner).max() < 2e-3 * scale
+
+
+STRAT_MRI_INI = """
+[run]
+tend=10.0
+[mesh]
+nx=16
+ny=32
+nz=16
+xmin=-0.5
+xmax=0.5
+ymin=0.0
+ymax=2.0
+zmin=-1.0
+zmax=1.0
+boundary_xmin=4
+boundary_xmax=4
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=6
+boundary_zmax=6
+[hydro]
+problem=MRI
+cfl=0.4
+gamma0=1.001
+cIso=0.3
+slope_type=2.0
+riemannSolver=hlld
+smallr=1e-8
+smallc=1e-8
+[MHD]
+enable=true
+magRiemannSolver=hlld
+omega0=1.0
+[MRI]
+density=1.0
+beta=100.0
+type=none
+amp=0.01
+seed=12
+smoothGravity=true
+zFloor=4.0
+[gravity]
+static=yes
+"""
+
+
+@pytest.mark.parametrize("topo", [(2, 2, 2), (2, 1, 4)])
+def test_mri_stratified_sharded_parity(topo):
+    """Distributed STRATIFIED MRI: static vertical gravity windows + the
+    BC_Z_STRATIFIED fill on the z-edge shards + the sheared x borders, all
+    under shard_map, must match the single-device stratified run."""
+    mx, my, mz = topo
+    params, config, U0, ref, t1, k1 = _single_device_reference(
+        STRAT_MRI_INI, 6
+    )
+    validate_decomposition(params, mx, my, mz)
+    mesh = make_mesh(mx=mx, my=my, mz=mz)
+    out, t2, k2 = _sharded(params, config, U0, mesh, 6)
+    assert k1 == k2
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-5)
 
 
 def test_mri_3d_sharded_shear_pallas_parity():

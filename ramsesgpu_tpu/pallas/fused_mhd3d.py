@@ -240,7 +240,8 @@ def pallas_packed_supported(params: RunParams) -> bool:
 
     bz, by = params.pallas_tiles or _pick_tiles(params)
     return (
-        pallas_supported(params)
+        # dissipative runs append a second packed-io launch per step
+        pallas_supported(params.replace(nu=0.0, eta=0.0))
         and all(b == BCT.BC_PERIODIC for b in params.boundary_types)
         and params.nx % 128 == 0
         and params.problem not in ("jet", "Jet")
@@ -269,6 +270,20 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     ny = params.ny
     bz, by = params.pallas_tiles or _pick_tiles(params)
     fused = make_fused_mhd_packed_io(params, tiles=(bz, by))
+    fused_dissip = None
+    if params.nu > 0 or params.eta > 0:
+        # dissipative sub-step as a SECOND packed-io launch: the first
+        # launch's in-kernel wrap-ghost bands ARE the inter-phase refill
+        from .packed_io import make_packed_io_step
+        from ..ops.backend import BOX
+        from ..solvers.dissipation import mhd_dissipation_interior_update
+
+        def _dissip_update(tile_params, Ubox, dt, margin):
+            return mhd_dissipation_interior_update(
+                tile_params, Ubox, dt, margin=margin, xp=BOX
+            )
+
+        fused_dissip = make_packed_io_step(params, (bz, by), _dissip_update)
     t_end = params.t_end
 
     def pack(interior):
@@ -295,7 +310,10 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
         def body(carry):
             P, t_c, k = carry
             dt = dt_of(P)
-            return (fused(P, dt), t_c + dt, k + 1)
+            P1 = fused(P, dt)
+            if fused_dissip is not None:
+                P1 = fused_dissip(P1, dt)
+            return (P1, t_c + dt, k + 1)
 
         P_f, t_f, k_f = jax.lax.while_loop(
             cond, body, (P0, t, jnp.array(0, jnp.int32))
@@ -331,6 +349,14 @@ def make_pallas_step_fn(params: RunParams) -> Callable:
     all_periodic = all(
         b == BCT.BC_PERIODIC for b in params.boundary_types
     )
+    dissip = params.nu > 0 or params.eta > 0
+    fused_dissip = None
+    if dissip:
+        from .fused_dissip3d import make_fused_mhd_dissipation
+
+        fused_dissip = make_fused_mhd_dissipation(
+            params, tiles=params.pallas_tiles
+        )
 
     if all_periodic:
 
@@ -338,6 +364,12 @@ def make_pallas_step_fn(params: RunParams) -> Callable:
             dt = compute_dt(params, U)
             new_int = fused(U, dt)
             U_new = jnp.pad(new_int, ((0, 0),) + ((g, g),) * 3, mode="wrap")
+            if fused_dissip is not None:
+                # the wrap pad IS the inter-phase boundary refill
+                new2 = fused_dissip(U_new, dt)
+                U_new = jnp.pad(
+                    new2, ((0, 0),) + ((g, g),) * 3, mode="wrap"
+                )
             return U_new, dt
 
     else:
@@ -347,6 +379,9 @@ def make_pallas_step_fn(params: RunParams) -> Callable:
             U_b = make_boundaries(params, U)
             new_int = fused(U_b, dt)
             U_new = U_b.at[interior].set(new_int)
+            if fused_dissip is not None:
+                U_b2 = make_boundaries(params, U_new)
+                U_new = U_b2.at[interior].set(fused_dissip(U_b2, dt))
             return U_new, dt
 
     return step
@@ -540,6 +575,16 @@ def make_pallas_shear_step_fn(
     core = (slice(None), slice(g, -g), slice(g, -g))
     dissip = params.nu > 0 or params.eta > 0
     nb = params.nb_var
+    fused_dissip = None
+    if dissip:
+        from .fused_dissip3d import make_fused_mhd_dissipation
+
+        # eta > 0: the resistive CT also touches the KEPT Bx face — the
+        # kernel hands back the resistive emfY/emfZ planes at the xmax face
+        fused_dissip = make_fused_mhd_dissipation(
+            params, tiles=params.pallas_tiles, interpret=interpret,
+            shear_planes=params.eta > 0,
+        )
 
     def step(U, t):
         # slice-based inv-dt (no rolls); MRI configs have no jet dt term
@@ -602,10 +647,19 @@ def make_pallas_shear_step_fn(
         )
 
         if dissip:
-            from ..solvers.dissipation import apply_dissipation_mhd
-
-            U_new = make_all_boundaries_shear(params, U_new, t + dt)
-            U_new = apply_dissipation_mhd(params, U_new, dt)
+            U_b2 = make_all_boundaries_shear(params, U_new, t + dt)
+            interior = (slice(None),) + (slice(g, -g),) * 3
+            if params.eta > 0:
+                new2, eypl2, ezpl2 = fused_dissip(U_b2, dt)
+                U_new = U_b2.at[interior].set(new2)
+                # resistive CT on the kept Bx face (apply_resistivity_ct's
+                # curl range reaches the first xmax ghost face)
+                dbx2 = dtdy * (jnp.roll(ezpl2, -1, axis=1) - ezpl2) - dtdz * (
+                    jnp.roll(eypl2, -1, axis=0) - eypl2
+                )
+                U_new = U_new.at[IA, g:-g, g:-g, nx + g].add(dbx2)
+            else:
+                U_new = U_b2.at[interior].set(fused_dissip(U_b2, dt))
         return U_new, dt
 
     return step

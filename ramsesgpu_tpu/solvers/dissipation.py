@@ -8,34 +8,47 @@ feeds the same CT curl so divB stays exact.
 
 All fluxes here are pre-scaled by dt/dh exactly like the reference's
 kernels, so the update is U[c] += flux[c] - flux[c+1] per direction.
+
+Every compute function takes the pluggable ``xp`` backend (ops/backend.py):
+xp=JNP (default) is the whole-array path; xp=BOX runs the same formulas on
+box-tracked VMEM windows inside the fused dissipation kernel
+(pallas/fused_dissip3d.py).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from ..config.params import RunParams
-from ..core.constants import IA, IB, IC, ID, IP, IU, IV, IW
+from ..core.constants import IA, IB, IC, ID, IP, IU, IW, IV
 from ..ops.stencil import shift_m, shift_p
 
 _X, _Y, _Z = -1, -2, -3
 
 
-def _favg(f, axis):
+def _default_xp(xp):
+    if xp is None:
+        from ..ops.backend import JNP
+
+        return JNP
+    return xp
+
+
+def _favg(f, axis, xp):
     """Average to the left face along axis: 0.5*(f[i] + f[i-1])."""
-    return 0.5 * (f + shift_m(f, axis))
+    return 0.5 * (f + xp.shift_m(f, axis))
 
 
-def _bdiff(f, axis, d):
+def _bdiff(f, axis, d, xp):
     """Backward difference at the left face along axis: (f[i]-f[i-1])/d."""
-    return (f - shift_m(f, axis)) / d
+    return (f - xp.shift_m(f, axis)) / d
 
 
-def _tavg4(f, face_axis, t_axis, dt_, ):
+def _tavg4(f, face_axis, t_axis, dt_, xp):
     """Transverse derivative at a face: centered difference along t_axis of
     the face-averaged field, i.e. ((f[i]+f[i-1])[t+1] - (..)[t-1]) / (4*dt)
     (viscosity.cuh:128-141 pattern)."""
-    g = f + shift_m(f, face_axis)
-    return (shift_p(g, t_axis) - shift_m(g, t_axis)) / (4.0 * dt_)
+    g = f + xp.shift_m(f, face_axis)
+    return (xp.shift_p(g, t_axis) - xp.shift_m(g, t_axis)) / (4.0 * dt_)
 
 
 def _apply_flux_update(params: RunParams, U, fluxes, var_slots):
@@ -53,8 +66,9 @@ def _apply_flux_update(params: RunParams, U, fluxes, var_slots):
 # --------------------------------------------------------------------------- #
 # viscosity
 # --------------------------------------------------------------------------- #
-def compute_viscosity_fluxes(params: RunParams, U: jnp.ndarray, dt):
+def compute_viscosity_fluxes(params: RunParams, U, dt, xp=None):
     """Navier-Stokes stress fluxes (viscosity.cuh:51-400 2D, :412+ 3D)."""
+    xp = _default_xp(xp)
     nu = params.nu
     dx, dy, dz = params.dx, params.dy, params.dz
     two3rd = 2.0 / 3.0
@@ -67,47 +81,47 @@ def compute_viscosity_fluxes(params: RunParams, U: jnp.ndarray, dt):
     fluxes: dict = {}
     if params.dim == 2:
         # x-face flux
-        rho_f = _favg(rho, _X)
-        dudx_x = _bdiff(u, _X, dx)
-        dvdx_x = _bdiff(v, _X, dx)
-        dudy_x = _tavg4(u, _X, _Y, dy)
-        dvdy_x = _tavg4(v, _X, _Y, dy)
+        rho_f = _favg(rho, _X, xp)
+        dudx_x = _bdiff(u, _X, dx, xp)
+        dvdx_x = _bdiff(v, _X, dx, xp)
+        dudy_x = _tavg4(u, _X, _Y, dy, xp)
+        dvdy_x = _tavg4(v, _X, _Y, dy, xp)
         txx = -two3rd * nu * rho_f * (2.0 * dudx_x - dvdy_x)
         txy = -nu * rho_f * (dudy_x + dvdx_x)
         fx = {IU: txx * dt / dx, IV: txy * dt / dx}
         if with_energy:
-            fx[IP] = (_favg(u, _X) * txx + _favg(v, _X) * txy) * dt / dx
+            fx[IP] = (_favg(u, _X, xp) * txx + _favg(v, _X, xp) * txy) * dt / dx
         fluxes[_X] = fx
 
         # y-face flux
-        rho_f = _favg(rho, _Y)
-        dudy_y = _bdiff(u, _Y, dy)
-        dvdy_y = _bdiff(v, _Y, dy)
-        dudx_y = _tavg4(u, _Y, _X, dx)
-        dvdx_y = _tavg4(v, _Y, _X, dx)
+        rho_f = _favg(rho, _Y, xp)
+        dudy_y = _bdiff(u, _Y, dy, xp)
+        dvdy_y = _bdiff(v, _Y, dy, xp)
+        dudx_y = _tavg4(u, _Y, _X, dx, xp)
+        dvdx_y = _tavg4(v, _Y, _X, dx, xp)
         tyy = -two3rd * nu * rho_f * (2.0 * dvdy_y - dudx_y)
         txy = -nu * rho_f * (dudy_y + dvdx_y)
         fy = {IU: txy * dt / dy, IV: tyy * dt / dy}
         if with_energy:
-            fy[IP] = (_favg(u, _Y) * txy + _favg(v, _Y) * tyy) * dt / dy
+            fy[IP] = (_favg(u, _Y, xp) * txy + _favg(v, _Y, xp) * tyy) * dt / dy
         fluxes[_Y] = fy
         return fluxes
 
     # --- 3D ---
     w = U[IW] / rho
     for axis, dh, nvel in ((_X, dx, 0), (_Y, dy, 1), (_Z, dz, 2)):
-        rho_f = _favg(rho, axis)
+        rho_f = _favg(rho, axis, xp)
         vels = (u, v, w)
         dhs = (dx, dy, dz)
         axes = (_X, _Y, _Z)
         # normal derivative of each velocity component at the face
-        dnorm = [_bdiff(q, axis, dh) for q in vels]
+        dnorm = [_bdiff(q, axis, dh, xp) for q in vels]
         # transverse derivatives of each velocity at the face
         dtrans = {}
         for t_i, (t_axis, t_dh) in enumerate(zip(axes, dhs)):
             if t_axis == axis:
                 continue
-            dtrans[t_i] = [_tavg4(q, axis, t_axis, t_dh) for q in vels]
+            dtrans[t_i] = [_tavg4(q, axis, t_axis, t_dh, xp) for q in vels]
 
         # divergence-complement term: sum of the two transverse normal
         # derivatives dq_t/dt
@@ -123,7 +137,9 @@ def compute_viscosity_fluxes(params: RunParams, U: jnp.ndarray, dt):
             comp[vel_slots[t_i]] = t_shear * dt / dh
             shear_stresses[t_i] = t_shear
         if with_energy:
-            e_flux = sum(_favg(vels[k], axis) * s for k, s in shear_stresses.items())
+            e_flux = sum(
+                _favg(vels[k], axis, xp) * s for k, s in shear_stresses.items()
+            )
             comp[IP] = e_flux * dt / dh
         fluxes[axis] = comp
     return fluxes
@@ -137,20 +153,21 @@ def apply_viscosity(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 # resistivity
 # --------------------------------------------------------------------------- #
-def compute_resistivity_emf(params: RunParams, U: jnp.ndarray):
+def compute_resistivity_emf(params: RunParams, U, xp=None):
     """Resistive EMF at edges: -eta * J (resistivity.cuh:44-115, 233-330).
     Returns (emf_z, emf_y, emf_x); in 2D only emf_z (others None)."""
+    xp = _default_xp(xp)
     eta = params.eta
     dx, dy, dz = params.dx, params.dy, params.dz
     bx, by, bz = U[IA], U[IB], U[IC]
 
     if params.dim == 2:
-        jz = _bdiff(by, _X, dx) - _bdiff(bx, _Y, dy)
+        jz = _bdiff(by, _X, dx, xp) - _bdiff(bx, _Y, dy, xp)
         return -eta * jz, None, None
 
-    jx = _bdiff(bz, _Y, dy) - _bdiff(by, _Z, dz)
-    jy = _bdiff(bx, _Z, dz) - _bdiff(bz, _X, dx)
-    jz = _bdiff(by, _X, dx) - _bdiff(bx, _Y, dy)
+    jx = _bdiff(bz, _Y, dy, xp) - _bdiff(by, _Z, dz, xp)
+    jy = _bdiff(bx, _Z, dz, xp) - _bdiff(bz, _X, dx, xp)
+    jz = _bdiff(by, _X, dx, xp) - _bdiff(bx, _Y, dy, xp)
     return -eta * jz, -eta * jy, -eta * jx
 
 
@@ -181,43 +198,51 @@ def apply_resistivity_ct(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
     return U
 
 
-def compute_resistivity_energy_fluxes(params: RunParams, U: jnp.ndarray, dt):
+def compute_resistivity_energy_fluxes(params: RunParams, U, dt, xp=None):
     """Resistive Poynting energy fluxes at faces
     (resistivity.cuh:124-212 2D, and the 3D twin)."""
+    xp = _default_xp(xp)
     eta = params.eta
     dx, dy, dz = params.dx, params.dy, params.dz
     bx, by, bz = U[IA], U[IB], U[IC]
 
     def edge_avg_pair(j_edge, axis):
         """Average an edge-centered current to the face: (j + j[axis+1])/2."""
-        return 0.5 * (j_edge + shift_p(j_edge, axis))
+        return 0.5 * (j_edge + xp.shift_p(j_edge, axis))
 
     if params.dim == 2:
-        jz_edge = _bdiff(by, _X, dx) - _bdiff(bx, _Y, dy)  # at (i-1/2, j-1/2)
+        jz_edge = _bdiff(by, _X, dx, xp) - _bdiff(bx, _Y, dy, xp)
 
         # x-face
-        By_f = 0.25 * (by + shift_m(by, _X) + shift_p(by, _Y) + shift_p(shift_m(by, _X), _Y))
-        Bz_f = _favg(bz, _X)
-        jy_f = -_bdiff(bz, _X, dx)
+        By_f = 0.25 * (
+            by + xp.shift_m(by, _X) + xp.shift_p(by, _Y)
+            + xp.shift_p(xp.shift_m(by, _X), _Y)
+        )
+        Bz_f = _favg(bz, _X, xp)
+        jy_f = -_bdiff(bz, _X, dx, xp)
         jz_f = edge_avg_pair(jz_edge, _Y)
         fx = {IP: -eta * (jy_f * Bz_f - jz_f * By_f) * dt / dx}
 
         # y-face
-        Bx_f = 0.25 * (bx + shift_m(bx, _Y) + shift_p(bx, _X) + shift_p(shift_m(bx, _Y), _X))
-        Bz_f2 = _favg(bz, _Y)
-        jx_f = _bdiff(bz, _Y, dy)
+        Bx_f = 0.25 * (
+            bx + xp.shift_m(bx, _Y) + xp.shift_p(bx, _X)
+            + xp.shift_p(xp.shift_m(bx, _Y), _X)
+        )
+        Bz_f2 = _favg(bz, _Y, xp)
+        jx_f = _bdiff(bz, _Y, dy, xp)
         jz_f2 = edge_avg_pair(jz_edge, _X)
         fy = {IP: -eta * (jz_f2 * Bx_f - jx_f * Bz_f2) * dt / dy}
         return {_X: fx, _Y: fy}
 
     # --- 3D (resistivity.cuh kernel_resistivity_energy_flux_3d) ---
-    jx_edge = _bdiff(bz, _Y, dy) - _bdiff(by, _Z, dz)  # at (i, j-1/2, k-1/2)
-    jy_edge = _bdiff(bx, _Z, dz) - _bdiff(bz, _X, dx)  # at (i-1/2, j, k-1/2)
-    jz_edge = _bdiff(by, _X, dx) - _bdiff(bx, _Y, dy)  # at (i-1/2, j-1/2, k)
+    jx_edge = _bdiff(bz, _Y, dy, xp) - _bdiff(by, _Z, dz, xp)
+    jy_edge = _bdiff(bx, _Z, dz, xp) - _bdiff(bz, _X, dx, xp)
+    jz_edge = _bdiff(by, _X, dx, xp) - _bdiff(bx, _Y, dy, xp)
 
     def quad_avg(f, face_axis, t_axis):
         return 0.25 * (
-            f + shift_m(f, face_axis) + shift_p(f, t_axis) + shift_p(shift_m(f, face_axis), t_axis)
+            f + xp.shift_m(f, face_axis) + xp.shift_p(f, t_axis)
+            + xp.shift_p(xp.shift_m(f, face_axis), t_axis)
         )
 
     # x-face
@@ -255,3 +280,71 @@ def apply_dissipation_mhd(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
     if params.nu > 0:
         U = apply_viscosity(params, U, dt)
     return U
+
+
+def mhd_dissipation_interior_update(
+    params: RunParams, U, dt, margin: tuple[int, int, int] | None = None,
+    xp=None, shear_planes: bool = False,
+):
+    """Scatter-free 3D dissipative update returning ONLY the new interior
+    [8, nz, ny, nx] — the form the fused dissipation kernel consumes
+    (pallas/fused_dissip3d.py). Composition matches apply_dissipation_mhd
+    exactly: resistive CT first, THEN energy fluxes from the CT-updated B,
+    then viscous fluxes (which read only rho/velocities, untouched by CT).
+
+    ``shear_planes=True`` additionally returns the resistive emfY and emfZ
+    planes at the domain xmax face — the CT update of the KEPT Bx face in
+    shearing-box runs (solvers/shear.py) also gets the resistive curl.
+    """
+    xp = _default_xp(xp)
+    g = params.ghost_width
+    mz, my, mx = margin if margin is not None else (g, g, g)
+    dtdx, dtdy, dtdz = dt / params.dx, dt / params.dy, dt / params.dz
+    z0, z1 = mz, mz + params.nz
+    y0, y1 = my, my + params.ny
+    x0, x1 = mx, mx + params.nx
+
+    def crop(f):
+        return xp.crop(f, z0, z1, y0, y1, x0, x1)
+
+    U2 = U
+    eypl = ezpl = None
+    if params.eta > 0:
+        emf_z, emf_y, emf_x = compute_resistivity_emf(params, U, xp=xp)
+        # CT on the full (box-shrinking) extent: later stages consume the
+        # UPDATED B up to their own stencil reach
+        dbx = (xp.shift_p(emf_z, _Y) - emf_z) * dtdy - (
+            xp.shift_p(emf_y, _Z) - emf_y
+        ) * dtdz
+        dby = (xp.shift_p(emf_x, _Z) - emf_x) * dtdz - (
+            xp.shift_p(emf_z, _X) - emf_z
+        ) * dtdx
+        dbz = (xp.shift_p(emf_y, _X) - emf_y) * dtdx - (
+            xp.shift_p(emf_x, _Y) - emf_x
+        ) * dtdy
+        U2 = xp.set_component(U2, IA, U2[IA] + dbx)
+        U2 = xp.set_component(U2, IB, U2[IB] + dby)
+        U2 = xp.set_component(U2, IC, U2[IC] + dbz)
+        if shear_planes:
+            eypl = xp.crop(emf_y, z0, z1, y0, y1, x1, x1 + 1)[..., 0]
+            ezpl = xp.crop(emf_z, z0, z1, y0, y1, x1, x1 + 1)[..., 0]
+
+    dU = {}
+    if params.eta > 0 and params.c_iso <= 0:
+        efl = compute_resistivity_energy_fluxes(params, U2, dt, xp=xp)
+        for axis, comp in efl.items():
+            for slot, flx in comp.items():
+                dU[slot] = dU.get(slot, 0.0) + crop(flx - xp.shift_p(flx, axis))
+    if params.nu > 0:
+        vfl = compute_viscosity_fluxes(params, U2, dt, xp=xp)
+        for axis, comp in vfl.items():
+            for slot, flx in comp.items():
+                dU[slot] = dU.get(slot, 0.0) + crop(flx - xp.shift_p(flx, axis))
+
+    Ui = [crop(U2[c]) for c in range(params.nb_var)]
+    for slot, d in dU.items():
+        Ui[slot] = Ui[slot] + d
+    out = jnp.stack(Ui)
+    if shear_planes:
+        return out, eypl, ezpl
+    return out

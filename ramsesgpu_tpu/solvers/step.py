@@ -102,7 +102,9 @@ def make_step_fn(params: RunParams, config=None) -> Callable:
         ):
             from ..pallas.fused_mhd3d import pallas_supported
 
-            use_pallas = pallas_supported(params)
+            # dissipative runs compose the Godunov kernel with the fused
+            # dissipation kernel (make_pallas_step_fn appends it)
+            use_pallas = pallas_supported(params.replace(nu=0.0, eta=0.0))
 
         if use_pallas:
             from ..pallas.fused_mhd3d import make_pallas_step_fn

@@ -104,3 +104,53 @@ def test_shear_kernel_matches_whole_array_multistep(dims, tiles):
             rtol=0, atol=atol,
             err_msg=f"kept Bx face mismatch at step {n}",
         )
+
+
+def test_shear_kernel_dissipative_matches_whole_array():
+    """Viscous-resistive MRI (the reference's headline Re=25000/Pm=4 class):
+    shear kernel + fused dissipation kernel vs the whole-array path,
+    including the resistive CT on the kept Bx face."""
+    nx, ny, nz = 16, 16, 8
+    config = ConfigMap(text=MRI_INI.format(nx=nx, ny=ny, nz=nz))
+    config.set_float("hydro", "nu", 2e-3)
+    config.set_float("MHD", "eta", 1e-3)
+    params = params_from_config(config)
+    assert params.nu > 0 and params.eta > 0
+    assert pallas_shear_supported(params)
+
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+
+    step_ref = make_step_fn(params)        # [implementation] kernel=jnp
+    step_ker = make_pallas_shear_step_fn(
+        params.replace(pallas_tiles=(4, 8)), interpret=True
+    )
+
+    from ramsesgpu_tpu.core.constants import IA
+
+    Ur = Uk = U0
+    t_r = t_k = jnp.asarray(0.0, U0.dtype)
+    g = params.ghost_width
+    # step 0 is the real check (same-input single-step diff is f32 ULP,
+    # ~1.2e-7); step 1 sees a legitimate dt divergence — the whole-array
+    # path's resistive CT touches ghost faces that feed the one-fill-stale
+    # dt reads, the kernel path's ghosts come from the fill alone — so the
+    # trajectories drift by dt_diff * velocity scales
+    for n, atol in enumerate((2e-6, 5e-4)):
+        Ur, dt_r = step_ref(Ur, t_r)
+        Uk, dt_k = step_ker(Uk, t_k)
+        np.testing.assert_allclose(
+            float(dt_k), float(dt_r), rtol=1e-5 if n == 0 else 3e-3
+        )
+        t_r = t_r + dt_r
+        t_k = t_k + dt_k
+        np.testing.assert_allclose(
+            np.asarray(Uk)[:, g:-g, g:-g, g:-g],
+            np.asarray(Ur)[:, g:-g, g:-g, g:-g],
+            rtol=0, atol=atol, err_msg=f"interior step {n}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(Uk)[IA, g:-g, g:-g, nx + g],
+            np.asarray(Ur)[IA, g:-g, g:-g, nx + g],
+            rtol=0, atol=atol, err_msg=f"kept Bx face step {n}",
+        )

@@ -217,12 +217,18 @@ def make_local_step(
                 ymax=params.ymin + local_dims[1] * params.dy,
                 zmax=params.zmin + local_dims[0] * params.dz,
             )
-            backend_ok = params.kernel == "pallas" or (
-                jax.default_backend() == "tpu"
+            from .. import pallas as _pkg
+
+            backend_ok = (
+                params.kernel == "pallas"
+                or jax.default_backend() == "tpu"
+                or getattr(_pkg, "INTERPRET", False)
             )
+            # dissipative runs pair the Godunov kernel with the fused
+            # dissipation kernel (the per-shard dissipate below)
             use_pallas = (
                 backend_ok and not wants_gravity
-                and pallas_supported(local_params)
+                and pallas_supported(local_params.replace(nu=0.0, eta=0.0))
             )
 
         if use_pallas:
@@ -253,10 +259,35 @@ def make_local_step(
 
         inv_dt_fn = compute_inv_dt_mhd
 
-        def dissipate(Ug2, dt):
-            from ..solvers.dissipation import apply_dissipation_mhd
+        # dissipative sub-step: fused kernel per shard when covered (the
+        # ghosted-block contract matches; the sharded fill rebuilds ghost
+        # faces so no kept-face handling is needed here)
+        fused_dissip = None
+        if dissip and local_dims is not None and use_pallas:
+            from ..pallas.fused_dissip3d import (
+                dissip_pallas_supported,
+                make_fused_mhd_dissipation,
+            )
 
-            return apply_dissipation_mhd(params, Ug2, dt)
+            if dissip_pallas_supported(local_params):
+                try:
+                    fused_dissip = make_fused_mhd_dissipation(local_params)
+                except ValueError:
+                    fused_dissip = None
+
+        if fused_dissip is not None:
+            gd = params.ghost_width
+            _isl = (slice(None),) + (slice(gd, -gd),) * 3
+
+            def dissipate(Ug2, dt):
+                return Ug2.at[_isl].set(fused_dissip(Ug2, dt))
+
+        else:
+
+            def dissipate(Ug2, dt):
+                from ..solvers.dissipation import apply_dissipation_mhd
+
+                return apply_dissipation_mhd(params, Ug2, dt)
 
     else:
         use_pallas = False
@@ -379,6 +410,7 @@ def _make_sharded_advance_shear(
     # applied as a post-correction through the comm collectives (identity
     # deltas on interior shards)
     fused_shear = None
+    fused_dissip = None
     if params.kernel in ("auto", "pallas"):
         from .. import pallas as _pkg
         from ..pallas.fused_mhd3d import (
@@ -398,6 +430,17 @@ def _make_sharded_advance_shear(
                 fused_shear = make_fused_mhd_shear(local_params)
             except ValueError:
                 fused_shear = None
+        if backend_ok and (params.nu > 0 or params.eta > 0):
+            from ..pallas.fused_dissip3d import (
+                dissip_pallas_supported,
+                make_fused_mhd_dissipation,
+            )
+
+            if dissip_pallas_supported(local_params):
+                try:
+                    fused_dissip = make_fused_mhd_dissipation(local_params)
+                except ValueError:
+                    fused_dissip = None
 
     def local_advance(U, G, t, n_steps):
         i = jax.lax.broadcasted_iota(
@@ -473,13 +516,17 @@ def _make_sharded_advance_shear(
                     xpos=xpos, apply_dissipation=False,
                 )
             if params.nu > 0 or params.eta > 0:
-                from ..solvers.dissipation import apply_dissipation_mhd
-
                 U_new = attach_halos_shear(
                     local_params, params,
                     strip_halos(local_params, U_new), t_c + dt, comm,
                 )
-                U_new = apply_dissipation_mhd(local_params, U_new, dt)
+                if fused_dissip is not None:
+                    isl = (slice(None),) + (slice(g, -g),) * 3
+                    U_new = U_new.at[isl].set(fused_dissip(U_new, dt))
+                else:
+                    from ..solvers.dissipation import apply_dissipation_mhd
+
+                    U_new = apply_dissipation_mhd(local_params, U_new, dt)
             return (U_new, t_c + dt, k + 1)
 
         Ug0 = attach_halos_shear(local_params, params, U, t, comm)

@@ -244,6 +244,28 @@ def test_mhd_3d_sharded_dissipation_parity():
     np.testing.assert_allclose(out, ref, rtol=0, atol=5e-6)
 
 
+def test_mhd_3d_sharded_dissipation_pallas_parity():
+    """Sharded Godunov + dissipation kernels per shard (interpret mode)
+    match the whole-array sharded path."""
+    import ramsesgpu_tpu.pallas as pallas_pkg
+
+    ini = MHD3D_INI.replace("enable=true", "enable=true\neta=0.005").replace(
+        "cfl=0.4", "cfl=0.4\nnu=0.003"
+    )
+    params, config, U0, ref, t1, k1 = _single_device_reference(ini, 4)
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    plain, tp, kp = _sharded(params, config, U0, mesh, 4)
+    pallas_pkg.INTERPRET = True
+    try:
+        kern, tk, kk = _sharded(
+            params.replace(kernel="pallas"), config, U0, mesh, 4
+        )
+    finally:
+        pallas_pkg.INTERPRET = False
+    assert kp == kk
+    np.testing.assert_allclose(kern, plain, rtol=0, atol=1e-5)
+
+
 @pytest.mark.parametrize("problem_block", [
     "problem=turbulence\nriemannSolver=hllc\ncfl=0.5\n"
     "[turbulence]\ndensity=1.0\npressure=1.0\nmachNumber=1.0\nedot=0.5",

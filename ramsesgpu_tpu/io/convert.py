@@ -3,8 +3,8 @@
 Successor of the reference's ioConvert tool
 (reference: src/utils/IO/ioConvert.cpp — NetCDF<->HDF5 collective
 conversion): converts between this framework's HDF5 snapshots and
-VTI / NRRD / npz (NetCDF is gated on the optional netCDF4 package, which is
-not shipped in this environment).
+VTI / NRRD / npz / NetCDF (classic NC3 via scipy when the optional netCDF4
+package is absent).
 """
 from __future__ import annotations
 
@@ -41,16 +41,9 @@ def convert(params, src: str, fmt: str, out: str | None = None) -> Path:
         np.savez(base, **{n: Ui[i] for i, n in enumerate(dn(params))},
                  time=t, step=step)
     elif fmt == "nc":
-        try:
-            import netCDF4  # noqa: F401
-        except ImportError as exc:
-            raise SystemExit(
-                "NetCDF output requires the optional netCDF4 package "
-                "(not available in this environment)"
-            ) from exc
         from .netcdf import output_netcdf
 
-        output_netcdf(params, U, step, str(base))
+        output_netcdf(params, U, step, str(base), total_time=t)
     else:
         raise ValueError(f"unknown target format {fmt!r}")
     return base

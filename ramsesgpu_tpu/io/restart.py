@@ -28,15 +28,23 @@ def load_restart(params: RunParams, config: ConfigMap):
     if not path.exists():
         raise FileNotFoundError(f"restart file not found: {filename}")
 
+    # dispatch on file suffix: .nc restarts come from the NetCDF writer
+    # (reference: inputPnetcdf vs inputHdf5 chosen by format flag inside
+    # init_simulation, HydroRunBaseMpi.cpp:10440-10442)
+    if path.suffix == ".nc":
+        from .netcdf import input_netcdf as _reader
+    else:
+        _reader = input_hdf5
+
     if config.get_bool("run", "restart_upscale", False):
         half = params.replace(
             nx=params.nx // 2, ny=params.ny // 2,
             nz=params.nz // 2 if params.dim == 3 else 1,
         )
-        coarse, total_time, time_step = input_hdf5(half, path)
+        coarse, total_time, time_step = _reader(half, path)
         U = upscale(params, coarse)
     else:
-        U, total_time, time_step = input_hdf5(params, path)
+        U, total_time, time_step = _reader(params, path)
 
     if config.get_bool("run", "restart_reset_totaltime", False):
         total_time = 0.0

@@ -43,6 +43,11 @@ class Run:
         self.output_xsm = config.get_bool("output", "outputXsm", False)
         self.output_bin = config.get_bool("output", "outputBin", False)
         self.output_faces = config.get_bool("output", "outputFaces", False)
+        # reference key [output] outputNetcdf4 (HydroParameters.h:470);
+        # also accept the MPI-side spelling outputNetcdf
+        self.output_netcdf = config.get_bool(
+            "output", "outputNetcdf4", False
+        ) or config.get_bool("output", "outputNetcdf", False)
         self.ghost_included = config.get_bool("output", "ghostIncluded", False)
         self.n_log = config.get_integer("run", "nlog", 0)
         self.sf_enabled = config.get_bool("structureFunctions", "enabled", False)
@@ -137,6 +142,18 @@ class Run:
                     total_time=self.t,
                     output_dir=self.output_dir,
                     prefix=self.output_prefix,
+                    ghost_included=self.ghost_included,
+                )
+            if self.output_netcdf:
+                from ..io.netcdf import output_netcdf
+
+                output_netcdf(
+                    self.params,
+                    U_host,
+                    self.n_step,
+                    f"{self.output_dir}/{self.output_prefix}"
+                    f"_{self.n_step:07d}.nc",
+                    total_time=self.t,
                     ghost_included=self.ghost_included,
                 )
             if self._forced and self.params.problem == "turbulence-Ornstein-Uhlenbeck":

@@ -24,11 +24,48 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------- #
+# Quick smoke tier: `pytest -m quick` runs one fast representative test
+# per subsystem (<5 min total on the CPU backend) so every commit can
+# afford a full smoke pass; the unmarked remainder is the thorough tier
+# (~55 min).  Centralized here instead of per-file decorators.
+_QUICK = {
+    ("test_configmap.py", "test_typed_getters"),
+    ("test_configmap.py", "test_params_derivation"),
+    ("test_configmap.py", "test_reference_ini_corpus"),
+    ("test_godunov_sod.py", "test_conservation_periodic"),
+    ("test_mhd.py", "test_orszag_tang_divb_and_conservation"),
+    ("test_io.py", "test_hdf5_roundtrip_ghosted"),
+    ("test_io.py", "test_netcdf_roundtrip"),
+    ("test_native.py", "test_vti_blob_layout"),
+    ("test_pallas.py", "test_pallas_supported_guards"),
+    ("test_parallel.py", "test_hydro_2d_sharded_parity[topo2]"),
+    ("test_shear.py", "test_shear_fill_at_t0_is_periodic"),
+    ("test_zslab.py", "test_zslab_invalid_count"),
+    ("test_forcing.py", "test_turbulence_static_field_properties"),
+    ("test_utils.py", "test_randomgen"),
+    ("test_utils.py", "test_memory_planner"),
+    ("test_analysis.py", "test_power_spectrum_single_mode"),
+    ("test_alt_schemes.py", "test_kurganov_tadmor_sod"),
+    ("test_ini_sweep.py", "test_corpus_is_self_contained"),
+    ("test_ini_sweep.py", "test_shipped_ini_runs[hydro_sod2d.ini]"),
+    ("test_ini_sweep.py", "test_shipped_ini_runs[orszag-tang.ini]"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        key = (os.path.basename(str(item.fspath)), item.name)
+        if key in _QUICK:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
-def reference_data_dir():
-    """Path to the reference's shipped .ini corpus, if present."""
-    path = "/root/reference/data"
-    if not os.path.isdir(path):
-        pytest.skip("reference data directory not available")
+def data_dir():
+    """Path to the framework's shipped .ini problem corpus (data/*.ini,
+    ported from the reference's config zoo, /root/reference/data)."""
+    path = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "data")
+    )
+    assert os.path.isdir(path), "repo data/ corpus missing"
     return path

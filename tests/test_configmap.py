@@ -83,12 +83,12 @@ def test_mhd_forces_ghostwidth3():
     assert params.nb_var == 8
 
 
-def test_reference_ini_corpus(reference_data_dir):
+def test_reference_ini_corpus(data_dir):
     """Every shipped reference .ini must parse into a valid RunParams."""
     import glob
     import os
 
-    files = glob.glob(os.path.join(reference_data_dir, "*.ini"))
+    files = glob.glob(os.path.join(data_dir, "*.ini"))
     assert len(files) > 50
     for path in files:
         params = params_from_config(ConfigMap(path))

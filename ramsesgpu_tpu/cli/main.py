@@ -55,11 +55,28 @@ def main(argv: list[str] | None = None) -> int:
     params = params_from_config(config)
 
     if args.profile:
-        from ..utils.profile import format_profile, profile_step
+        from ..parallel.mesh import topology_from_config as _topo
 
         print(f"problem        : {params.problem}")
         print(f"mesh           : {params.nx} x {params.ny} x {params.nz}")
-        print(format_profile(profile_step(params, config)))
+        if _topo(config) != (1, 1, 1):
+            import math
+
+            from ..utils.profile import (
+                format_profile_distributed,
+                profile_step_distributed,
+            )
+
+            n_dev = math.prod(_topo(config))
+            print(
+                format_profile_distributed(
+                    profile_step_distributed(params, config), n_dev
+                )
+            )
+        else:
+            from ..utils.profile import format_profile, profile_step
+
+            print(format_profile(profile_step(params, config)))
         return 0
 
     scheme = args.scheme or "godunov"

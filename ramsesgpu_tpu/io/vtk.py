@@ -122,3 +122,78 @@ def output_vtk(
         binary=binary,
     )
     return path
+
+
+def read_vti(filename: str | Path):
+    """Read a .vti file written by write_vti (ascii or appended-raw).
+
+    Returns (fields: dict[name -> ndarray], extent: (x0,x1,y0,y1,z0,z1)).
+    Arrays come back [nz,ny,nx] (or [ny,nx] when nz == 1)."""
+    import re
+
+    raw = Path(filename).read_bytes()
+    head_end = raw.find(b"<AppendedData")
+    head = raw[: head_end if head_end >= 0 else len(raw)].decode()
+    m = re.search(r'WholeExtent="([\d\-\s]+)"', head)
+    extent = tuple(int(v) for v in m.group(1).split())
+    x0, x1, y0, y1, z0, z1 = extent
+    nx, ny, nz = x1 - x0, y1 - y0, z1 - z0
+    shape = (ny, nx) if nz <= 1 else (nz, ny, nx)
+    np_types = {"Float32": np.float32, "Float64": np.float64,
+                "Int32": np.int32, "Int64": np.int64}
+
+    fields = {}
+    if head_end >= 0:  # appended raw binary
+        blob = raw[raw.index(b"_", raw.index(b'encoding="raw">')) + 1:]
+        for m in re.finditer(
+            r'<DataArray type="(\w+)" Name="(\w+)" format="appended" '
+            r'offset="(\d+)"', head
+        ):
+            dtype = np_types[m.group(1)]
+            off = int(m.group(3))
+            nbytes = int(np.frombuffer(blob[off:off + 4], np.uint32)[0])
+            fields[m.group(2)] = np.frombuffer(
+                blob[off + 4:off + 4 + nbytes], dtype
+            ).reshape(shape)
+    else:  # ascii
+        for m in re.finditer(
+            r'<DataArray type="(\w+)" Name="(\w+)" format="ascii">\s*([^<]*)',
+            head,
+        ):
+            fields[m.group(2)] = np.fromstring(
+                m.group(3), dtype=np_types[m.group(1)], sep=" "
+            ).reshape(shape)
+    return fields, extent
+
+
+def read_pvti(filename: str | Path):
+    """Assemble a .pvti master + its .vti pieces into global arrays.
+
+    Successor of reading the reference's per-rank piece output
+    (HydroRunBaseMpi.cpp:4206-4227). Returns dict[name -> ndarray] of the
+    full interior, [nz,ny,nx] (or [ny,nx])."""
+    import re
+
+    path = Path(filename)
+    text = path.read_text()
+    m = re.search(r'WholeExtent="([\d\-\s]+)"', text)
+    x0, x1, y0, y1, z0, z1 = (int(v) for v in m.group(1).split())
+    nx, ny, nz = x1 - x0, y1 - y0, z1 - z0
+    dim2 = nz <= 1
+    out = None
+    for pm in re.finditer(r'<Piece Extent="([\d\-\s]+)" Source="([^"]+)"', text):
+        px0, px1, py0, py1, pz0, pz1 = (int(v) for v in pm.group(1).split())
+        fields, _ = read_vti(path.parent / pm.group(2))
+        if out is None:
+            shape = (ny, nx) if dim2 else (nz, ny, nx)
+            out = {
+                name: np.zeros(shape, a.dtype) for name, a in fields.items()
+            }
+        sl = (
+            (slice(py0, py1), slice(px0, px1))
+            if dim2
+            else (slice(pz0, pz1), slice(py0, py1), slice(px0, px1))
+        )
+        for name, a in fields.items():
+            out[name][sl] = a
+    return out

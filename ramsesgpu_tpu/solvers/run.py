@@ -276,12 +276,17 @@ class Run:
         if do_output:
             self.output()
 
+        print(self.perf_summary(wall.total))
+
+    def perf_summary(self, elapsed: float) -> str:
+        """End-of-run throughput report (overridden by DistributedRun to
+        add the reference's per-rank/aggregate MPI lines,
+        HydroRunGodunovMpi.cpp:3834-3839)."""
+        p = self.params
         n_cells = p.nx * p.ny * (p.nz if p.dim == 3 else 1)
-        print(
-            perf_report(
-                self.n_step, n_cells, wall.total, io_time=self.io_timer.total,
-                phases=self.phases if self.phases.timers else None,
-            )
+        return perf_report(
+            self.n_step, n_cells, elapsed, io_time=self.io_timer.total,
+            phases=self.phases if self.phases.timers else None,
         )
 
     # ------------------------------------------------------------------ #

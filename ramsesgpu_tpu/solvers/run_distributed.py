@@ -9,10 +9,14 @@ lays the interior-only global state over a device Mesh and the whole time
 loop runs as one SPMD program (parallel/sharded_step.py).
 
 Differences from the reference worth knowing:
-- I/O is gathered: the reference writes one file per rank (or uses
-  parallel HDF5); here the driver gathers to host and writes the same
-  single-file formats as the serial Run, which is the natural model when
-  one controller addresses all chips.
+- Snapshot I/O streams one device shard at a time (io/sharded.py): VTI
+  becomes per-shard pieces + a ``.pvti`` master (the reference's per-rank
+  VTK model, HydroRunBaseMpi.cpp:4206-4227) and HDF5 writes shard
+  hyperslabs into one global-shape file (the PHDF5 successor,
+  HydroRunBaseMpi.cpp:4835-5557) — the global array is never materialized
+  on the host. ``[output] gatherOutput=yes`` restores the gathered
+  single-file path; formats without a streaming writer (PNG/NRRD/...)
+  always gather.
 - dt is a ``pmax`` collective inside the step, not a host allReduce
   (HydroRunBaseMpi.cpp:501-518).
 - [implementation] haloOverlap=yes enables halo-exchange/compute overlap
@@ -46,6 +50,7 @@ class DistributedRun(Run):
         self.mesh = mesh if mesh is not None else make_mesh(mx=mx, my=my, mz=mz)
 
         super().__init__(config, base)
+        self._gather_output = config.get_bool("output", "gatherOutput", False)
 
         if self._forced:
             # swap the single-device forced advance for the sharded one
@@ -86,6 +91,62 @@ class DistributedRun(Run):
                     "(see parallel/overlap.py:overlap_supported)",
                     file=sys.stderr,
                 )
+
+    # ------------------------------------------------------------------ #
+    def output(self) -> None:
+        """Sharded snapshot output: stream shards to per-piece VTI and
+        HDF5 hyperslabs; gather only for formats that need it."""
+        if self._gather_output or self.ghost_included:
+            super().output()
+            return
+
+        from ..io.sharded import output_hdf5_sharded, output_vtk_pieces
+
+        with self.io_timer:
+            if self.output_vtk:
+                output_vtk_pieces(
+                    self.params, self.U, self.n_step,
+                    output_dir=self.output_dir, prefix=self.output_prefix,
+                )
+            if self.output_hdf5:
+                output_hdf5_sharded(
+                    self.params, self.U, self.n_step, total_time=self.t,
+                    output_dir=self.output_dir, prefix=self.output_prefix,
+                )
+        rest = (
+            self.output_png or self.output_nrrd or self.output_xsm
+            or self.output_bin or self.output_faces or self.output_netcdf
+            or self.sf_enabled
+            or (self._forced
+                and self.params.problem == "turbulence-Ornstein-Uhlenbeck")
+        )
+        if rest:
+            saved = self.output_vtk, self.output_hdf5
+            self.output_vtk = self.output_hdf5 = False
+            try:
+                super().output()
+            finally:
+                self.output_vtk, self.output_hdf5 = saved
+
+    def perf_summary(self, elapsed: float) -> str:
+        """Aggregate + per-device throughput, the reference's MPI report
+        (HydroRunGodunovMpi.cpp:3834-3839 prints per-rank then aggregate)."""
+        lines = [super().perf_summary(elapsed)]
+        n_dev = self.mesh.devices.size
+        p = self.params
+        n_cells = p.nx * p.ny * (p.nz if p.dim == 3 else 1)
+        compute = max(elapsed - self.io_timer.total, 1e-30)
+        ups = self.n_step * n_cells / compute
+        mz, my, mx = (self.mesh.shape.get(k, 1) for k in ("z", "y", "x"))
+        lines.append(
+            f"device mesh            : {mx} x {my} x {mz} ({n_dev} devices, "
+            "SPMD lockstep)"
+        )
+        lines.append(
+            f"per-device throughput  : {ups / n_dev:.4e} cell updates/s "
+            f"({n_cells // n_dev} cells/device)"
+        )
+        return "\n".join(lines)
 
     # ------------------------------------------------------------------ #
     def _host_ghosted(self):

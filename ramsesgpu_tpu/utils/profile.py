@@ -104,3 +104,99 @@ def format_profile(phases: dict[str, float]) -> str:
             f"{phases['full fused step'] * 1e3:8.2f} ms (XLA/Pallas-fused)"
         )
     return "\n".join(lines)
+
+
+def profile_step_distributed(
+    params: RunParams, config, mesh=None, reps: int = 5
+) -> dict[str, float]:
+    """Per-phase profile of the DISTRIBUTED step + measured halo overlap.
+
+    Times, on the device mesh selected by [mpi] mx/my/mz:
+      - "halo exchange" — the ppermute ghost-ring fill alone,
+      - "sync step"     — the full step with synchronous exchange,
+      - "overlap step"  — the same step with halo/compute overlap
+                          ([implementation] haloOverlap) when supported,
+      - "overlap %"     — fraction of the halo-exchange time hidden by
+                          overlap: (sync - overlap) / halo, clamped to
+                          [0, 1].  The reference's overlap is 0%
+                          (BASELINE.md; HydroRunBaseMpi.cpp:3530-3661 is a
+                          synchronous pack/sendrecv/unpack chain).
+    """
+    from jax import shard_map
+
+    from ..parallel.halo import attach_halos
+    from ..parallel.mesh import (
+        make_mesh,
+        state_sharding,
+        topology_from_config,
+        validate_decomposition,
+    )
+    from ..parallel.overlap import overlap_supported
+    from ..parallel.sharded_step import make_sharded_advance_n, shard_global_state
+    from ..problems import init_problem
+    from ..solvers.boundary import make_boundaries
+    from ..solvers.step import uses_shear
+
+    mx, my, mz = topology_from_config(config)
+    validate_decomposition(params, mx, my, mz)
+    if mesh is None:
+        mesh = make_mesh(mx=mx, my=my, mz=mz)
+
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    U = shard_global_state(params, mesh, U0)
+    one = jnp.array(1, jnp.int32)
+
+    spec = state_sharding(params, mesh).spec
+    halo_fn = jax.jit(
+        shard_map(
+            lambda u: attach_halos(params, u),
+            mesh=mesh, in_specs=spec, out_specs=spec,
+            check_vma=False,
+        )
+    )
+    phases: dict[str, float] = {}
+    phases["halo exchange"] = _time(
+        lambda u: jnp.sum(halo_fn(u)), U, reps=reps
+    )
+
+    t0 = jnp.asarray(0.0, U.dtype)
+
+    def step_time(p):
+        adv = make_sharded_advance_n(p, mesh, config)
+        return _time(lambda u: adv(u, t0, one)[0], U, reps=reps)
+
+    phases["sync step"] = step_time(params.replace(halo_overlap=False))
+
+    local_dims = (
+        params.nz // mz if params.dim == 3 else 1,
+        params.ny // my, params.nx // mx,
+    )
+    can_overlap = (
+        params.dim == 3
+        and not uses_shear(params)
+        and overlap_supported(params, local_dims)
+    )
+    if can_overlap:
+        phases["overlap step"] = step_time(params.replace(halo_overlap=True))
+        hidden = phases["sync step"] - phases["overlap step"]
+        phases["overlap %"] = max(
+            0.0, min(1.0, hidden / max(phases["halo exchange"], 1e-30))
+        )
+    return phases
+
+
+def format_profile_distributed(phases: dict[str, float], n_devices: int) -> str:
+    lines = [f"distributed step profile ({n_devices} devices, best-of-N):"]
+    for k, v in phases.items():
+        if k == "overlap %":
+            lines.append(
+                f"  {'halo overlap':18s}: {100 * v:5.1f} % of exchange time "
+                "hidden (reference: 0 %)"
+            )
+        else:
+            lines.append(f"  {k:18s}: {v * 1e3:8.2f} ms")
+    if "overlap step" not in phases:
+        lines.append(
+            "  halo overlap      : not supported for this configuration"
+        )
+    return "\n".join(lines)

@@ -351,13 +351,44 @@ def make_local_step(
 
             return local_step_overlapped, False
 
+    # z-slab pipelining under distribution: bound the per-shard scratch by
+    # running the (unchanged) local update on z-windows of the halo'd block
+    # — the composition the reference implements as the Zslab+Mpi class
+    # quartet (MHDRunGodunovZslabMpi.cpp:479-805: halo exchange outside,
+    # slab loop inside).  The fused Pallas kernel already streams VMEM-sized
+    # windows, so zSlabNb only drives the whole-array path.
+    use_zslab = (
+        params.dim == 3 and params.z_slab_nb > 1 and not use_pallas
+    )
+    if use_zslab and local_dims is not None:
+        lnz = local_dims[0]
+        if lnz % params.z_slab_nb:
+            raise ValueError(
+                f"local nz={lnz} (nz={params.nz} over mz shards) not "
+                f"divisible by zSlabNb={params.z_slab_nb}"
+            )
+
     def local_step(U, G, t):
         Ug = attach_halos(params, U)
         inv = inv_dt_fn(params, Ug)
         for name in names:
             inv = lax.pmax(inv, name)
         dt = params.cfl / inv
-        U_new = update(Ug, dt, G)
+        if use_zslab:
+            from ..solvers.zslab import zslab_apply
+
+            if G is None:
+                U_new = zslab_apply(
+                    params, Ug, lambda w: update(w, dt, None),
+                    params.z_slab_nb,
+                )
+            else:
+                U_new = zslab_apply(
+                    params, Ug, lambda w, gw: update(w, dt, gw),
+                    params.z_slab_nb, aux=(G,),
+                )
+        else:
+            U_new = update(Ug, dt, G)
         U_int = strip_halos(params, U_new)
         if dissip:
             # dedicated exchange for the dissipative sub-step (the reference

@@ -29,19 +29,24 @@ _Z = -3
 def zslab_apply(
     params: RunParams,
     U: jnp.ndarray,
-    update_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    update_fn: Callable[..., jnp.ndarray],
     n_slabs: int,
+    aux: tuple[jnp.ndarray, ...] = (),
 ) -> jnp.ndarray:
     """Apply ``update_fn`` (a whole-array ghosted update like the Godunov
     step) slab-by-slab along z.
 
     ``update_fn`` must write only the ghost-interior of its input (which is
     what the Godunov/CT updates do); reads extend ghost_width cells beyond.
+
+    ``aux`` arrays (e.g. a static ghosted gravity field, the reference's
+    gravity_zslab.cuh window argument) are sliced to the same z-window and
+    passed as extra positional arguments: ``update_fn(window, *aux_windows)``.
     """
     g = params.ghost_width
     nz = U.shape[_Z] - 2 * g
     if n_slabs <= 1:
-        return update_fn(U)
+        return update_fn(U, *aux)
     if nz % n_slabs:
         raise ValueError(f"nz={nz} not divisible by zSlabNb={n_slabs}")
     bz = nz // n_slabs
@@ -49,7 +54,11 @@ def zslab_apply(
     def body(s, U_new):
         k0 = g + s * bz
         window = lax.dynamic_slice_in_dim(U, k0 - g, bz + 2 * g, axis=_Z)
-        updated = update_fn(window)
+        aux_windows = tuple(
+            lax.dynamic_slice_in_dim(a, k0 - g, bz + 2 * g, axis=_Z)
+            for a in aux
+        )
+        updated = update_fn(window, *aux_windows)
         slab = lax.dynamic_slice_in_dim(updated, g, bz, axis=_Z)
         return lax.dynamic_update_slice_in_dim(U_new, slab, k0, axis=_Z)
 

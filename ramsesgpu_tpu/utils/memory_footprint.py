@@ -49,6 +49,23 @@ def estimate(params: RunParams) -> dict[str, float]:
     }
 
 
+def estimate_sharded(
+    params: RunParams, topo: tuple[int, int, int]
+) -> dict[str, float]:
+    """Per-shard footprint under an (mx, my, mz) domain decomposition,
+    with and without z-slab pipelining — predicts the saving of composing
+    zSlabNb with the sharded step (the reference's Zslab+Mpi quartet,
+    MHDRunGodunovZslabMpi.cpp)."""
+    mx, my, mz = topo
+    local = params.replace(
+        nx=params.nx // mx,
+        ny=params.ny // my,
+        nz=params.nz // mz if params.dim == 3 else params.nz,
+    )
+    est = estimate(local)
+    return {f"per_shard_{k}": v for k, v in est.items()}
+
+
 def main(argv=None) -> int:
     import argparse
 
@@ -81,6 +98,14 @@ zSlabNb={args.zslabs}
 
     for key, value in estimate(params).items():
         print(f"{key:32s}: {value:8.3f}")
+    if args.param:
+        from ..parallel.mesh import topology_from_config
+
+        topo = topology_from_config(ConfigMap(args.param))
+        if topo != (1, 1, 1):
+            print(f"[mpi] topology {topo[0]}x{topo[1]}x{topo[2]}:")
+            for key, value in estimate_sharded(params, topo).items():
+                print(f"{key:32s}: {value:8.3f}")
     return 0
 
 

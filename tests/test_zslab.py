@@ -125,3 +125,76 @@ def test_zslab_invalid_count():
     U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
     with pytest.raises(ValueError):
         make_advance_n(params)(U, jnp.asarray(0.0, U.dtype), jnp.array(1, jnp.int32))
+
+
+# --------------------------------------------------------------------- #
+# z-slab UNDER DISTRIBUTION (the reference's Zslab+Mpi quartet,
+# MHDRunGodunovZslabMpi.cpp:479-805: halo exchange outside, slab loop
+# inside). Sharded+zslab must match plain sharded bit-for-bit.
+
+def _run_sharded(ini_extra, topo, n_steps, n_slabs):
+    from ramsesgpu_tpu.parallel.mesh import make_mesh, validate_decomposition
+    from ramsesgpu_tpu.parallel.sharded_step import (
+        make_sharded_advance_n,
+        shard_global_state,
+    )
+
+    config = ConfigMap(text=ini_extra)
+    config.set_integer("implementation", "zSlabNb", n_slabs)
+    params = params_from_config(config)
+    assert params.z_slab_nb == n_slabs
+    mx, my, mz = topo
+    validate_decomposition(params, mx, my, mz)
+    U0 = init_problem(params, config)
+    mesh = make_mesh(mx=mx, my=my, mz=mz)
+    Ug = shard_global_state(params, mesh, U0)
+    advance = make_sharded_advance_n(params, mesh, config)
+    U, t, k = advance(Ug, jnp.asarray(0.0, Ug.dtype), jnp.array(n_steps, jnp.int32))
+    return np.asarray(jax.device_get(U)), int(k)
+
+
+@pytest.mark.parametrize("topo", [(2, 2, 2), (1, 2, 4)])
+def test_zslab_sharded_parity_mhd(topo):
+    # single step: bitwise; multiple steps: the two programs (windowed vs
+    # monolithic XLA code) may round reductions differently once fields
+    # roughen, so roundoff tolerance (same policy as the single-device
+    # multi-step parity test above)
+    plain1, _ = _run_sharded(MHD3D_INI, topo, 1, 1)
+    slab1, _ = _run_sharded(MHD3D_INI, topo, 1, 2)
+    np.testing.assert_array_equal(slab1, plain1)
+
+    plain, k1 = _run_sharded(MHD3D_INI, topo, 6, 1)
+    slabbed, k2 = _run_sharded(MHD3D_INI, topo, 6, 2)
+    assert k1 == k2
+    np.testing.assert_allclose(slabbed, plain, rtol=0, atol=1e-9)
+
+
+def test_zslab_sharded_parity_hydro_gravity():
+    """zSlabNb composes with per-shard gravity windows (the aux-slicing
+    path of zslab_apply)."""
+    ini = HYDRO3D_INI + "\n[gravity]\nstatic_field_z=-0.5\n"
+    plain, k1 = _run_sharded(ini, (2, 2, 2), 6, 1)
+    slabbed, k2 = _run_sharded(ini, (2, 2, 2), 6, 4)
+    assert k1 == k2
+    np.testing.assert_array_equal(slabbed, plain)
+
+
+def test_zslab_sharded_indivisible_raises():
+    with pytest.raises(ValueError, match="zSlabNb"):
+        _run_sharded(MHD3D_INI, (1, 1, 4), 1, 3)  # local nz=8, 3 slabs
+
+
+def test_memory_planner_sharded_zslab_entry():
+    """The planner predicts the per-shard z-slab saving (VERDICT item 7)."""
+    from ramsesgpu_tpu.utils.memory_footprint import estimate_sharded
+
+    config = ConfigMap(text=MHD3D_INI)
+    config.set_integer("mesh", "nx", 256)
+    config.set_integer("mesh", "ny", 256)
+    config.set_integer("mesh", "nz", 256)
+    config.set_integer("implementation", "zSlabNb", 8)
+    params = params_from_config(config)
+    est = estimate_sharded(params, (2, 2, 2))
+    assert est["per_shard_zslab_pipeline_GiB"] < est[
+        "per_shard_whole_array_pipeline_GiB"
+    ]

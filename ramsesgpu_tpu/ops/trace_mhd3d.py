@@ -22,6 +22,62 @@ from .slopes import slope_1d
 _X, _Y, _Z = -1, -2, -3
 
 
+def _corner_avg4(f, ax1, ax2, xp):
+    return 0.25 * (
+        f
+        + xp.shift_m(f, ax1)
+        + xp.shift_m(f, ax2)
+        + xp.shift_m(xp.shift_m(f, ax1), ax2)
+    )
+
+
+def trace_mhd3d_shared_precursors(
+    params: RunParams, Q, bfx, bfy, bfz, xpos, xp=None
+):
+    """Trace precursor fields consumed at BOTH z and z+1 by the in-plane
+    state assembly (trace_mhd3d_state_parts): the x/y edge-centered electric
+    fields (trace_mhd.h:850-905) and the in-plane transverse slopes of bfz.
+    Split out so the z-streaming kernel (pallas/zstream_mhd3d.py) computes
+    each plane once and carries it in a VMEM ring. z-stencil reach:
+    Q/bf at z-1..z."""
+    if xp is None:
+        from .backend import JNP as xp
+    omega0 = params.omega0
+
+    # Ex at (i, j-1/2, k-1/2)
+    v4 = _corner_avg4(Q[IV], _Y, _Z, xp)
+    w4 = _corner_avg4(Q[IW], _Y, _Z, xp)
+    B_e = 0.5 * (bfy + xp.shift_m(bfy, _Z))
+    C_e = 0.5 * (bfz + xp.shift_m(bfz, _Y))
+    ExC = v4 * C_e - w4 * B_e
+    if omega0 > 0:
+        ExC = ExC + (-1.5 * omega0 * xpos) * C_e
+
+    # Ey at (i-1/2, j, k-1/2)
+    u4 = _corner_avg4(Q[IU], _X, _Z, xp)
+    w4b = _corner_avg4(Q[IW], _X, _Z, xp)
+    A_e = 0.5 * (bfx + xp.shift_m(bfx, _Z))
+    C_e2 = 0.5 * (bfz + xp.shift_m(bfz, _X))
+    EyC = w4b * A_e - u4 * C_e2
+
+    # transverse TVD slopes of bfz (slope_mhd.h:598-704): consumed at z
+    # (dCLx/dCLy) and at z+1 (dCRx/dCRy)
+    s_bz_x = slope_1d(params, bfz, _X, xp=xp)
+    s_bz_y = slope_1d(params, bfz, _Y, xp=xp)
+    return ExC, EyC, s_bz_x, s_bz_y
+
+
+def trace_mhd3d_local_precursors(params: RunParams, Q, bfx, bfy, xp=None):
+    """z-local trace precursors (consumed only at their own plane, but with
+    z-stencil reach z-1..z+1): the z slopes of Q, bfx, bfy."""
+    if xp is None:
+        from .backend import JNP as xp
+    s_qz = slope_1d(params, Q, _Z, xp=xp)
+    s_bx_z = slope_1d(params, bfx, _Z, xp=xp)
+    s_by_z = slope_1d(params, bfy, _Z, xp=xp)
+    return s_qz, s_bx_z, s_by_z
+
+
 def trace_unsplit_mhd_3d_parts(
     params: RunParams,
     Q: jnp.ndarray,
@@ -36,36 +92,54 @@ def trace_unsplit_mhd_3d_parts(
     state stacks. Consuming one stack at a time keeps peak VMEM liveness low
     inside the fused Pallas kernel — Mosaic allocates roughly in trace
     order, and materializing all 15 stacks at once (each a full window
-    [8, wz, wy, wx]) is what capped the tile size at (8, 32)."""
+    [8, wz, wy, wx]) is what capped the tile size at (8, 32).
+
+    Composition of the precursor stages + the in-plane state assembly; the
+    z-streaming kernel calls the stages per plane with ring-carried
+    precursors instead."""
+    if xp is None:
+        from .backend import JNP as xp
+    shared = trace_mhd3d_shared_precursors(params, Q, bfx, bfy, bfz, xpos, xp=xp)
+    shared_p = tuple(xp.shift_p(f, _Z) for f in shared)
+    local = trace_mhd3d_local_precursors(params, Q, bfx, bfy, xp=xp)
+    return trace_mhd3d_state_parts(
+        params, Q, bfx, bfy, bfz, xp.shift_p(bfz, _Z),
+        shared, shared_p, local, dt, xpos, xp=xp,
+    )
+
+
+def trace_mhd3d_state_parts(
+    params: RunParams,
+    Q,
+    bfx,
+    bfy,
+    bfz,
+    bfz_p,
+    shared,
+    shared_p,
+    local,
+    dt,
+    xpos,
+    xp=None,
+):
+    """In-plane half-step state assembly: everything downstream of the
+    precursors touches only x/y neighbours of the current z plane.
+    ``bfz_p`` is bfz at z+1; ``shared``/``shared_p`` are
+    trace_mhd3d_shared_precursors at z and z+1; ``local`` is
+    trace_mhd3d_local_precursors at z."""
     if xp is None:
         from .backend import JNP as xp
     smallr, smallp, gamma = params.smallr, params.smallp, params.gamma0
     omega0 = params.omega0
     dtdx, dtdy, dtdz = dt / params.dx, dt / params.dy, dt / params.dz
 
-    def corner_avg4(f, ax1, ax2):
-        return 0.25 * (f + xp.shift_m(f, ax1) + xp.shift_m(f, ax2) + xp.shift_m(xp.shift_m(f, ax1), ax2))
+    ExC, EyC, s_bz_x, s_bz_y = shared
+    ExC_p, EyC_p, s_bz_x_p, s_bz_y_p = shared_p
+    s_qz, s_bx_z, s_by_z = local
 
-    # ---- edge-centered electric fields (trace_mhd.h:850-940) ----
-    # Ex at (i, j-1/2, k-1/2)
-    v4 = corner_avg4(Q[IV], _Y, _Z)
-    w4 = corner_avg4(Q[IW], _Y, _Z)
-    B_e = 0.5 * (bfy + xp.shift_m(bfy, _Z))
-    C_e = 0.5 * (bfz + xp.shift_m(bfz, _Y))
-    ExC = v4 * C_e - w4 * B_e
-    if omega0 > 0:
-        ExC = ExC + (-1.5 * omega0 * xpos) * C_e
-
-    # Ey at (i-1/2, j, k-1/2)
-    u4 = corner_avg4(Q[IU], _X, _Z)
-    w4b = corner_avg4(Q[IW], _X, _Z)
-    A_e = 0.5 * (bfx + xp.shift_m(bfx, _Z))
-    C_e2 = 0.5 * (bfz + xp.shift_m(bfz, _X))
-    EyC = w4b * A_e - u4 * C_e2
-
-    # Ez at (i-1/2, j-1/2, k)
-    u4c = corner_avg4(Q[IU], _X, _Y)
-    v4c = corner_avg4(Q[IV], _X, _Y)
+    # Ez at (i-1/2, j-1/2, k) — purely in-plane (trace_mhd.h:906-940)
+    u4c = _corner_avg4(Q[IU], _X, _Y, xp)
+    v4c = _corner_avg4(Q[IV], _X, _Y, xp)
     A_e2 = 0.5 * (bfx + xp.shift_m(bfx, _Y))
     B_e2 = 0.5 * (bfy + xp.shift_m(bfy, _X))
     EzC = u4c * B_e2 - v4c * A_e2
@@ -73,10 +147,10 @@ def trace_unsplit_mhd_3d_parts(
         EzC = EzC - (-1.5 * omega0 * (xpos - params.dx / 2)) * A_e2
 
     # the 2x2 stencils around the current cell (E**: L=this, R=next)
-    ELL, ELR = ExC, xp.shift_p(ExC, _Z)
-    ERL, ERR = xp.shift_p(ExC, _Y), xp.shift_p(xp.shift_p(ExC, _Y), _Z)
-    FLL, FLR = EyC, xp.shift_p(EyC, _Z)
-    FRL, FRR = xp.shift_p(EyC, _X), xp.shift_p(xp.shift_p(EyC, _X), _Z)
+    ELL, ELR = ExC, ExC_p
+    ERL, ERR = xp.shift_p(ExC, _Y), xp.shift_p(ExC_p, _Y)
+    FLL, FLR = EyC, EyC_p
+    FRL, FRR = xp.shift_p(EyC, _X), xp.shift_p(EyC_p, _X)
     GLL, GLR = EzC, xp.shift_p(EzC, _Y)
     GRL, GRR = xp.shift_p(EzC, _X), xp.shift_p(xp.shift_p(EzC, _X), _Y)
 
@@ -87,11 +161,11 @@ def trace_unsplit_mhd_3d_parts(
 
     AL, AR = bfx, xp.shift_p(bfx, _X)
     BL, BR = bfy, xp.shift_p(bfy, _Y)
-    CL, CR = bfz, xp.shift_p(bfz, _Z)
+    CL, CR = bfz, bfz_p
 
     hx = 0.5 * slope_1d(params, Q, _X, xp=xp)
     hy = 0.5 * slope_1d(params, Q, _Y, xp=xp)
-    hz = 0.5 * slope_1d(params, Q, _Z, xp=xp)
+    hz = 0.5 * s_qz
     drx, dpx, dux, dvx, dwx = hx[ID], hx[IP], hx[IU], hx[IV], hx[IW]
     dBx, dCx = hx[IB], hx[IC]
     dry, dpy, duy, dvy, dwy = hy[ID], hy[IP], hy[IU], hy[IV], hy[IW]
@@ -100,19 +174,17 @@ def trace_unsplit_mhd_3d_parts(
     dAz, dBz = hz[IA], hz[IB]
 
     # transverse TVD slopes of the face-centered fields (slope_mhd.h:598-704)
+    # (the in-plane ones computed here; the z-reaching ones arrive as
+    # precursors: s_bx_z/s_by_z local, s_bz_x/s_bz_y shared + shared_p)
     s_bx_y = slope_1d(params, bfx, _Y, xp=xp)
-    s_bx_z = slope_1d(params, bfx, _Z, xp=xp)
     s_by_x = slope_1d(params, bfy, _X, xp=xp)
-    s_by_z = slope_1d(params, bfy, _Z, xp=xp)
-    s_bz_x = slope_1d(params, bfz, _X, xp=xp)
-    s_bz_y = slope_1d(params, bfz, _Y, xp=xp)
 
     dALy, dALz = 0.5 * s_bx_y, 0.5 * s_bx_z
     dARy, dARz = 0.5 * xp.shift_p(s_bx_y, _X), 0.5 * xp.shift_p(s_bx_z, _X)
     dBLx, dBLz = 0.5 * s_by_x, 0.5 * s_by_z
     dBRx, dBRz = 0.5 * xp.shift_p(s_by_x, _Y), 0.5 * xp.shift_p(s_by_z, _Y)
     dCLx, dCLy = 0.5 * s_bz_x, 0.5 * s_bz_y
-    dCRx, dCRy = 0.5 * xp.shift_p(s_bz_x, _Z), 0.5 * xp.shift_p(s_bz_y, _Z)
+    dCRx, dCRy = 0.5 * s_bz_x_p, 0.5 * s_bz_y_p
 
     dAx = 0.5 * (AR - AL)
     dBy = 0.5 * (BR - BL)

@@ -1,0 +1,389 @@
+"""z-plane-streaming Pallas kernel for the fully-periodic 3D MHD+CT step.
+
+TPU analogue of the reference's 4-plane shared-memory ring
+(reference: godunov_unsplit_mhd.cuh:753-800 — the CUDA kernels march in z
+keeping a ring of trace planes in shared memory so nothing is recomputed).
+The packed-IO kernel (pallas/packed_io.py) tiles (z, y) with halo'd windows;
+its stencil margins cost a measured **2.08x FLOP recompute** at the (8, 32)
+tile (scripts/margin_flops.py). This kernel instead runs ONE grid iteration
+per z plane over full-width y rows and carries every cross-plane
+intermediate in persistent VMEM ring buffers, so each plane's primitives /
+precursors / trace states / fluxes / EMFs are computed exactly once
+(overhead ~1.05x: two prologue planes + slab-edge waste in cheap stages).
+
+Pipeline schedule at grid step i (one z plane per step, g = ghost_width):
+
+    DMA in   : packed plane i               (prefetched one step ahead)
+    Q        : plane i-1   = constoprim on the U(i-1..i) slab
+    shared   : plane i-2   = trace_mhd3d_shared_precursors (ExC/EyC/s_bz_*)
+    trace    : plane i-3   = in-plane state assembly (+ local z-slopes)
+    fluxes   : plane i-3   = 1D Riemann faces + 2D corner EMFs, using the
+                             ring-carried z-1 trace planes
+    update   : plane i-4   = conservative + CT update from the flux rings
+    DMA out  : plane i-4   interior + wrap ghost bands (y in-plane, z via
+                             duplicate plane writes)
+
+Same packed loop-state contract as make_packed_io_step: state
+[nvar, nz+2g, ny+2*YB, nx], x ghost-free (in-row roll wrap = periodic BC),
+z wrap-ghosted by g, y wrap-ghosted by YB.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config.params import RunParams
+from .packed_io import YB
+
+
+def _interpret_flag() -> bool:
+    from .. import pallas as _pkg
+
+    return bool(getattr(_pkg, "INTERPRET", False))
+
+
+def zstream_vmem_bytes(params: RunParams) -> int:
+    """Rough persistent-scratch budget of the streaming kernel (ring
+    buffers + staging), used to gate applicability."""
+    nv = params.nb_var
+    wy = params.ny + 2 * YB
+    nx = params.nx
+    itemsize = 8 if params.dtype == "float64" else 4
+    ch = (
+        6 * nv      # U ring
+        + 4 * nv    # Q ring
+        + 5 * 2 * nv  # trace-state carries
+        + 3 * 2 * nv  # flux_x / flux_y / flux_z rings
+        + 3 * 2       # emf rings
+        + 4 * 2       # shared precursor rings
+        + 2 * nv      # output staging
+    )
+    return ch * wy * nx * itemsize
+
+
+def pallas_zstream_supported(params: RunParams) -> bool:
+    """Streaming applies wherever the packed-IO loop applies (fully
+    periodic, lane-exact x, float32) and the full-row rings fit VMEM."""
+    from .fused_mhd3d import pallas_packed_supported
+
+    return (
+        pallas_packed_supported(params)
+        and params.nz >= 2 * params.ghost_width
+        and zstream_vmem_bytes(params) <= 100 * 1024 * 1024
+    )
+
+
+def make_zstream_mhd_packed_io(
+    params: RunParams, interpret: bool = False
+) -> Callable:
+    """Build ``step_packed(P, dt) -> P_new`` (packed layout) running the
+    whole MHD+CT step as a z-plane-streaming kernel."""
+    from ..core.constants import IA, IB, IC
+    from ..ops.backend import BOX, BoxField
+    from ..ops.eos import constoprim_mhd
+    from ..ops.trace_mhd3d import (
+        trace_mhd3d_local_precursors,
+        trace_mhd3d_shared_precursors,
+        trace_mhd3d_state_parts,
+    )
+    from ..solvers.godunov_mhd import (
+        mhd_apply_update,
+        mhd_fluxes_emfs_from_parts,
+    )
+
+    if params.omega0 > 0:
+        raise ValueError("z-streaming kernel does not cover the rotating frame")
+    g = params.ghost_width
+    nv = params.nb_var
+    nz, ny, nx = params.nz, params.ny, params.nx
+    wy = ny + 2 * YB
+    nzp = nz + 2 * g          # packed z extent
+    last_load = nzp - 1
+    n_iter = nzp + 1
+    dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+
+    # a params view whose nz=1 keeps dz identical (per-plane update extents)
+    plane_params = params.replace(nz=1, zmax=params.zmin + params.dz)
+
+    # ring row metadata (name -> (oy, rows)), discovered while tracing the
+    # kernel body: every put records the BoxField's static y box; gets
+    # re-wrap the stored rows with it. Population order is guaranteed by the
+    # body's program order (each ring is put before the first get that needs
+    # its metadata — same-iteration for trace/flux rings, and the
+    # cross-iteration reads reuse identical static boxes).
+    meta: dict[str, tuple[int, int]] = {}
+
+    def put(ref, name, slot, field):
+        oy, rows = field.oy, field.value.shape[-2]
+        prev = meta.setdefault(name, (oy, rows))
+        if prev != (oy, rows):
+            raise AssertionError(
+                f"ring {name}: inconsistent box {prev} vs {(oy, rows)}"
+            )
+        ref[slot, ..., 0:rows, :] = field.value
+
+    def get(ref, name, slot, oz):
+        oy, rows = meta[name]
+        return BoxField(ref[slot, ..., 0:rows, :], oz, oy)
+
+    def zslice(field, z):
+        """Restrict a BoxField to the single plane at local z coordinate
+        ``z`` (purely in-plane intermediates keep their slab's full z
+        extent — the box only shrinks through z-shifted meets)."""
+        k = z - field.oz
+        return BoxField(field.value[..., k : k + 1, :, :], z, field.oy)
+
+    def kernel(
+        dt_ref, p_hbm, out_ref,
+        u_ring, q_ring,
+        exc_ring, eyc_ring, sbzx_ring, sbzy_ring,
+        qmz_ring, qrty_ring, qlty_ring, qrtx_ring, qltx_ring,
+        fx_ring, fy_ring, fz_ring,
+        emfz_ring, emfy_ring, emfx_ring,
+        stage, sem_in, sem_out,
+    ):
+        i = pl.program_id(0)
+        dt = dt_ref[0, 0]
+
+        def in_dma(plane, sem_slot):
+            return pltpu.make_async_copy(
+                p_hbm.at[:, pl.ds(plane, 1), :, :],
+                u_ring.at[jax.lax.rem(plane, 6)],
+                sem_in.at[sem_slot],
+            )
+
+        @pl.when(i == 0)
+        def _():
+            in_dma(0, 0).start()
+
+        @pl.when(i + 1 <= last_load)
+        def _():
+            in_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+        @pl.when(i <= last_load)
+        def _():
+            in_dma(i, jax.lax.rem(i, 2)).wait()
+
+        def u_plane(plane, oz):
+            return BoxField(u_ring[jax.lax.rem(plane, 6)], oz, 0)
+
+        def u_slab(lo, n, oz):
+            # planes lo..lo+n-1 from the U ring as one BoxField slab
+            vals = [u_ring[jax.lax.rem(lo + k, 6)] for k in range(n)]
+            return BoxField(jnp.concatenate(vals, axis=-3), oz, 0)
+
+        def q_slab(lo, n, oz):
+            oy, rows = meta["q"]
+            vals = [
+                q_ring[jax.lax.rem(lo + k, 4), :, :, 0:rows, :]
+                for k in range(n)
+            ]
+            return BoxField(jnp.concatenate(vals, axis=-3), oz, oy)
+
+        # ---- Q at plane i-1 (constoprim needs U at z and z+1) ----
+        @pl.when(jnp.logical_and(i >= 1, i <= last_load))
+        def _():
+            U2 = u_slab(i - 1, 2, 0)
+            Q, _c = constoprim_mhd(params, U2, dt, xp=BOX)
+            put(q_ring, "q", jax.lax.rem(i - 1, 4), Q)
+
+        # ---- shared precursors at plane i-2 (reach: z-1..z) ----
+        @pl.when(jnp.logical_and(i >= 3, i <= last_load + 1))
+        def _():
+            Q2 = q_slab(i - 3, 2, 0)
+            bf = u_slab(i - 3, 2, 0)
+            ExC, EyC, s_bz_x, s_bz_y = trace_mhd3d_shared_precursors(
+                params, Q2, bf[IA], bf[IB], bf[IC], None, xp=BOX
+            )
+            s2 = jax.lax.rem(i - 2, 2)
+            put(exc_ring, "exc", s2, ExC)
+            put(eyc_ring, "eyc", s2, EyC)
+            put(sbzx_ring, "sbzx", s2, zslice(s_bz_x, 1))
+            put(sbzy_ring, "sbzy", s2, zslice(s_bz_y, 1))
+
+        # ---- trace states at zt = i-3; fluxes/EMFs at the same plane from
+        #      the ring-carried zt-1 states; update at p = i-4 ----
+        @pl.when(i >= g + 2)
+        def _():
+            zt = i - 3
+            Q3 = q_slab(i - 4, 3, 0)        # planes zt-1..zt+1, local z 0..2
+            bf3 = u_slab(i - 4, 3, 0)
+            local = trace_mhd3d_local_precursors(
+                params, Q3, bf3[IA], bf3[IB], xp=BOX
+            )
+            sz = jax.lax.rem(zt, 2)
+            shared = (
+                get(exc_ring, "exc", sz, 1),
+                get(eyc_ring, "eyc", sz, 1),
+                get(sbzx_ring, "sbzx", sz, 1),
+                get(sbzy_ring, "sbzy", sz, 1),
+            )
+            sz1 = jax.lax.rem(zt + 1, 2)
+            # z+1 planes enter *declared at the consuming plane's box*
+            # (the whole-array path shifts them down with shift_p(_Z))
+            shared_p = (
+                get(exc_ring, "exc", sz1, 1),
+                get(eyc_ring, "eyc", sz1, 1),
+                get(sbzx_ring, "sbzx", sz1, 1),
+                get(sbzy_ring, "sbzy", sz1, 1),
+            )
+            bfz_p = BoxField(u_ring[jax.lax.rem(zt + 1, 6)][IC], 1, 0)
+            # the state assembly is purely in-plane: hand it 1-plane slices
+            # (the 3-plane slabs would triple-compute every in-plane op)
+            Q1 = q_slab(i - 3, 1, 1)
+            bf1 = u_plane(zt, 1)
+            P = trace_mhd3d_state_parts(
+                params, Q1, bf1[IA], bf1[IB], bf1[IC], bfz_p,
+                shared, shared_p, local, dt, None, xp=BOX,
+            )
+            put(qmz_ring, "qmz", sz, P["qm_z"]())
+            put(qrty_ring, "qrty", sz, P["qRT_y"]())
+            put(qlty_ring, "qlty", sz, P["qLT_y"]())
+            put(qrtx_ring, "qrtx", sz, P["qRT_x"]())
+            put(qltx_ring, "qltx", sz, P["qLT_x"]())
+
+            @pl.when(i >= g + 3)
+            def _():
+                szm = jax.lax.rem(zt - 1, 2)
+                P2 = dict(P)
+                P2["qm_z"] = lambda: get(qmz_ring, "qmz", szm, 0)
+                P2["qRT_y"] = lambda: get(qrty_ring, "qrty", szm, 0)
+                P2["qLT_y"] = lambda: get(qlty_ring, "qlty", szm, 0)
+                P2["qRT_x"] = lambda: get(qrtx_ring, "qrtx", szm, 0)
+                P2["qLT_x"] = lambda: get(qltx_ring, "qltx", szm, 0)
+                (fx, fy, fz), (ez, ey, ex) = mhd_fluxes_emfs_from_parts(
+                    params, P2, None, xp=BOX
+                )
+                put(fx_ring, "fx", sz, fx)
+                put(fy_ring, "fy", sz, fy)
+                put(fz_ring, "fz", sz, fz)
+                put(emfz_ring, "emfz", sz, ez)
+                put(emfy_ring, "emfy", sz, ey)
+                put(emfx_ring, "emfx", sz, ex)
+
+                @pl.when(i >= g + 4)
+                def _():
+                    p = i - 4
+                    sp = jax.lax.rem(p, 2)
+
+                    def pair(ref, name):
+                        lo = get(ref, name, sp, 0)
+                        hi = get(ref, name, sz, 1)
+                        return BoxField(
+                            jnp.concatenate([lo.value, hi.value], axis=-3),
+                            0, lo.oy,
+                        )
+
+                    fluxes = (
+                        get(fx_ring, "fx", sp, 0),
+                        get(fy_ring, "fy", sp, 0),
+                        pair(fz_ring, "fz"),
+                    )
+                    emfs = (
+                        get(emfz_ring, "emfz", sp, 0),
+                        pair(emfy_ring, "emfy"),
+                        pair(emfx_ring, "emfx"),
+                    )
+                    Up = u_plane(p, 0)
+                    upd = mhd_apply_update(
+                        plane_params, Up, fluxes, emfs, dt,
+                        margin=(0, YB, 0), xp=BOX,
+                    )
+                    # full output plane: interior rows + the y wrap bands
+                    full = jnp.concatenate(
+                        [upd[:, :, ny - YB : ny, :], upd, upd[:, :, 0:YB, :]],
+                        axis=-2,
+                    )
+                    so = jax.lax.rem(p, 2)
+
+                    def out_dmas(pp, slot):
+                        dups = [
+                            (True, pp),
+                            (pp >= nz, jnp.maximum(pp - nz, 0)),
+                            (pp < 2 * g, jnp.minimum(pp + nz, nzp - 1)),
+                        ]
+                        return [
+                            (cond,
+                             pltpu.make_async_copy(
+                                 stage.at[slot],
+                                 out_ref.at[:, pl.ds(dst, 1), :, :],
+                                 sem_out.at[slot],
+                             ))
+                            for cond, dst in dups
+                        ]
+
+                    def run(lst, op):
+                        for cond, copy in lst:
+                            if cond is True:
+                                op(copy)
+                            else:
+                                pl.when(cond)(lambda c=copy: op(c))
+
+                    # drain the DMAs issued two updates ago from this slot
+                    @pl.when(p >= g + 2)
+                    def _():
+                        run(out_dmas(p - 2, so), lambda c: c.wait())
+
+                    stage[so] = full
+                    run(out_dmas(p, so), lambda c: c.start())
+
+                    # final drains: the last two planes' writes
+                    @pl.when(i == n_iter - 1)
+                    def _():
+                        run(out_dmas(p, so), lambda c: c.wait())
+
+                    @pl.when(jnp.logical_and(i == n_iter - 1, nz > 1))
+                    def _():
+                        run(
+                            out_dmas(p - 1, jax.lax.rem(p - 1, 2)),
+                            lambda c: c.wait(),
+                        )
+
+    out_shape = jax.ShapeDtypeStruct((nv, nzp, wy, nx), dtype)
+
+    def ring4(depth, ch):
+        return pltpu.VMEM((depth, ch, 1, wy, nx), dtype)
+
+    def ring3(depth):
+        return pltpu.VMEM((depth, 1, wy, nx), dtype)
+
+    fused = pl.pallas_call(
+        kernel,
+        grid=(n_iter,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1,1)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # packed state in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((6, nv, 1, wy, nx), dtype),   # U ring
+            pltpu.VMEM((4, nv, 1, wy, nx), dtype),   # Q ring
+            ring3(2), ring3(2), ring3(2), ring3(2),  # shared precursors
+            ring4(2, nv), ring4(2, nv), ring4(2, nv),  # qmz/qrty/qlty
+            ring4(2, nv), ring4(2, nv),                # qrtx/qltx
+            ring4(2, nv), ring4(2, nv), ring4(2, nv),  # flux rings
+            ring3(2), ring3(2), ring3(2),              # emf rings
+            pltpu.VMEM((2, nv, 1, wy, nx), dtype),     # output staging
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret or _interpret_flag(),
+    )
+
+    def step_packed(P, dt):
+        dt_arr = jnp.reshape(dt, (1, 1)).astype(P.dtype)
+        # keep XLA's fusion passes away from the custom call's operands
+        # (address-change fusion around pallas custom-calls crashes the
+        # 2026-08 libtpu fusion pass otherwise)
+        P, dt_arr = jax.lax.optimization_barrier((P, dt_arr))
+        return jax.lax.optimization_barrier(fused(dt_arr, P))
+
+    return step_packed

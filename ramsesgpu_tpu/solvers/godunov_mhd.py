@@ -204,6 +204,17 @@ def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt, xp=None,
     P = trace_unsplit_mhd_3d_parts(
         params, Q, U[IA], U[IB], U[IC], dt, xpos, xp=xp
     )
+    return mhd_fluxes_emfs_from_parts(params, P, xpos, xp=xp)
+
+
+def mhd_fluxes_emfs_from_parts(params: RunParams, P, xpos, xp=None):
+    """Face fluxes + edge EMFs from a trace-parts builder dict. The
+    z-streaming kernel calls this with builders whose qm_z / qRT_y / qLT_y /
+    qRT_x / qLT_x return ring-carried z-1 planes; the shift_m(_Z)
+    expressions below then align them with the current plane via the
+    BoxField frame instead of a roll."""
+    if xp is None:
+        from ..ops.backend import JNP as xp
 
     flux_x = riemann_mhd(params, xp.shift_m(P["qm_x"](), _X), P["qp_x"](), xp=xp)
     flux_y = _permute(
@@ -287,12 +298,28 @@ def mhd_3d_interior_update(
     """
     if xp is None:
         from ..ops.backend import JNP as xp
+    fluxes, emfs = _mhd_3d_fluxes_emfs(params, U, dt, xp=xp, xpos=xpos)
+    return mhd_apply_update(
+        params, U, fluxes, emfs, dt, margin=margin, xp=xp,
+        shear_planes=shear_planes,
+    )
+
+
+def mhd_apply_update(
+    params: RunParams, U, fluxes, emfs, dt,
+    margin: tuple[int, int, int] | None = None, xp=None,
+    shear_planes: bool = False,
+):
+    """Conservative + CT update of the interior from precomputed face fluxes
+    and edge EMFs (the tail of mhd_3d_interior_update; see its docstring).
+    Exposed separately so the z-streaming kernel (pallas/zstream_mhd3d.py)
+    can apply it per plane with ring-carried flux/EMF slabs."""
+    if xp is None:
+        from ..ops.backend import JNP as xp
     g = params.ghost_width
     mz, my, mx = margin if margin is not None else (g, g, g)
     dtdx, dtdy, dtdz = dt / params.dx, dt / params.dy, dt / params.dz
-    (flux_x, flux_y, flux_z), (emf_z, emf_y, emf_x) = _mhd_3d_fluxes_emfs(
-        params, U, dt, xp=xp, xpos=xpos
-    )
+    (flux_x, flux_y, flux_z), (emf_z, emf_y, emf_x) = fluxes, emfs
     z0, z1 = mz, mz + params.nz
     y0, y1 = my, my + params.ny
     x0, x1 = mx, mx + params.nx

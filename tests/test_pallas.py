@@ -173,3 +173,33 @@ def test_fused_hydro_kernel_matches_whole_array(dims, solver):
     ref = np.asarray(godunov_unsplit_hydro(params, U, dt))
     g = params.ghost_width
     np.testing.assert_allclose(out, ref[:, g:-g, g:-g, g:-g], rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("dims", [(128, 16, 8), (128, 24, 12)])
+def test_zstream_step_matches_whole_array(dims):
+    """One z-streaming kernel step (per-plane pipeline, ring-carried
+    intermediates) equals the whole-array update re-packed, over the entire
+    packed buffer. Tolerance is ulp-level: the expression graph is
+    identical to the whole-array path but XLA fuses per-plane shapes
+    differently."""
+    from ramsesgpu_tpu.pallas.zstream_mhd3d import (
+        make_zstream_mhd_packed_io,
+        pallas_zstream_supported,
+    )
+    from ramsesgpu_tpu.pallas.packed_io import pack_state
+
+    nx, ny, nz = dims
+    config = ConfigMap(text=OT3D_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config)
+    assert pallas_zstream_supported(params)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    dt = compute_dt(params, U)
+    g = params.ghost_width
+
+    step = make_zstream_mhd_packed_io(params, interpret=True)
+    P = pack_state(params, U[:, g:-g, g:-g, g:-g])
+    P_new = np.asarray(step(P, dt))
+
+    ref = np.asarray(godunov_unsplit_mhd(params, U, dt))[:, g:-g, g:-g, g:-g]
+    want = np.asarray(pack_state(params, jnp.asarray(ref)))
+    np.testing.assert_allclose(P_new, want, rtol=0, atol=1e-6)

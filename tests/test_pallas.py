@@ -198,8 +198,18 @@ def test_zstream_step_matches_whole_array(dims):
 
     step = make_zstream_mhd_packed_io(params, interpret=True)
     P = pack_state(params, U[:, g:-g, g:-g, g:-g])
-    P_new = np.asarray(step(P, dt))
+    P_new, inv_dt = step(P, dt)
+    P_new = np.asarray(P_new)
 
     ref = np.asarray(godunov_unsplit_mhd(params, U, dt))[:, g:-g, g:-g, g:-g]
     want = np.asarray(pack_state(params, jnp.asarray(ref)))
     np.testing.assert_allclose(P_new, want, rtol=0, atol=1e-6)
+
+    # the in-kernel CFL reduction == the XLA packed dt pass on the output
+    from ramsesgpu_tpu.solvers.timestep import compute_inv_dt_mhd_packed
+    from ramsesgpu_tpu.pallas.packed_io import YB
+
+    want_inv = compute_inv_dt_mhd_packed(params, jnp.asarray(want), y0=YB)
+    np.testing.assert_allclose(
+        float(inv_dt), float(want_inv), rtol=2e-7, atol=0
+    )

@@ -221,11 +221,15 @@ def make_fused_mhd_packed_io(
     launch per step."""
     if params.omega0 > 0:
         raise ValueError("packed-io kernel does not support the rotating frame")
-    from ..solvers.godunov_mhd import mhd_3d_interior_update
+    from ..solvers.godunov_mhd import mhd_3d_interior_update_staged
     from ..ops.backend import BOX
 
     def update(tile_params, U, dt, margin):
-        return mhd_3d_interior_update(tile_params, U, dt, margin=margin, xp=BOX)
+        # demand-driven stage extents: 2.08x -> 1.36x FLOP recompute at the
+        # (8, 32) tile (scripts/margin_flops.py), same values bit-for-bit
+        return mhd_3d_interior_update_staged(
+            tile_params, U, dt, margin=margin, xp=BOX
+        )
 
     return make_packed_io_step(
         params, tiles or _pick_tiles(params), update, interpret=interpret

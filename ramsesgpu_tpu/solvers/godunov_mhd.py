@@ -367,6 +367,85 @@ def mhd_apply_update(
     return U_new, fpl, eypl, ezpl
 
 
+def mhd_3d_interior_update_staged(
+    params: RunParams, U, dt,
+    margin: tuple[int, int, int] | None = None, xp=None,
+):
+    """mhd_3d_interior_update with DEMAND-DRIVEN per-stage extents (BOX
+    backend only). The box machinery shrinks intermediates forward through
+    stencil meets, but each stage still computes on its full input extents
+    until a meet trims them — at the packed kernel's (8, 32) tile that
+    leaves a measured 2.08x FLOP recompute (scripts/margin_flops.py). Here
+    every stage's inputs are pre-sliced to exactly the margin later stages
+    consume (reaches derived from the z-streaming kernel's plane-exact
+    schedule, pallas/zstream_mhd3d.py, and bounded by the ghost width):
+
+        stage            z-margin (lo, hi)   y-margin (lo, hi)
+        U / constoprim        (2, 3)              (3, 3)
+        Q                     (2, 2)              (3, 3)
+        shared precursors     (1, 2)              (1, 2)
+        local precursors      (1, 1)              (1, 1)
+        trace states          (1, 1)              (1, 1)
+        fluxes / EMFs         (0..1, 1)           (0..1, 1)
+        update                interior
+
+    Same values as mhd_3d_interior_update (slicing never changes a compute
+    graph, only its extent) — the packed-IO kernel's interpret-mode tests
+    assert bitwise equality against the whole-array step."""
+    from ..ops.backend import BoxField
+    from ..ops.trace_mhd3d import (
+        trace_mhd3d_local_precursors,
+        trace_mhd3d_shared_precursors,
+        trace_mhd3d_state_parts,
+    )
+
+    if xp is None:
+        from ..ops.backend import BOX as xp
+    if params.omega0 > 0:
+        raise ValueError("staged update does not cover the rotating frame")
+    g = params.ghost_width
+    mz, my, mx = margin if margin is not None else (g, g, g)
+    nz, ny = params.nz, params.ny
+
+    def clip(f, zlo, zhi, ylo, yhi):
+        z0 = max(mz - zlo, f.oz)
+        z1 = min(mz + nz + zhi, f.oz + f.ze)
+        y0 = max(my - ylo, f.oy)
+        y1 = min(my + ny + yhi, f.oy + f.ye)
+        return BoxField(
+            f.value[..., z0 - f.oz : z1 - f.oz, y0 - f.oy : y1 - f.oy, :],
+            z0, y0,
+        )
+
+    Ub = clip(U, 2, 3, 3, 3)
+    Q, _c = constoprim_mhd(params, Ub, dt, xp=xp)
+    Q = clip(Q, 2, 2, 3, 3)
+
+    shared = trace_mhd3d_shared_precursors(
+        params, Q, Ub[IA], Ub[IB], Ub[IC], None, xp=xp
+    )
+    shared = tuple(clip(f, 1, 2, 1, 2) for f in shared)
+    shared_p = tuple(xp.shift_p(f, _Z) for f in shared)
+
+    local = trace_mhd3d_local_precursors(
+        params, clip(Q, 2, 2, 1, 1), clip(Ub[IA], 2, 2, 1, 1),
+        clip(Ub[IB], 2, 2, 1, 1), xp=xp,
+    )
+    local = tuple(clip(f, 1, 1, 1, 1) for f in local)
+
+    Qs = clip(Q, 1, 1, 3, 3)
+    bfs = clip(Ub, 1, 1, 3, 3)
+    bfz_p = clip(xp.shift_p(Ub[IC], _Z), 1, 1, 3, 3)
+    P = trace_mhd3d_state_parts(
+        params, Qs, bfs[IA], bfs[IB], bfs[IC], bfz_p,
+        shared, shared_p, local, dt, None, xp=xp,
+    )
+    # trim each lazy state stack to the flux/EMF demand before the solvers
+    P = {k: (lambda f=v: clip(f(), 1, 1, 1, 1)) for k, v in P.items()}
+    fluxes, emfs = mhd_fluxes_emfs_from_parts(params, P, None, xp=xp)
+    return mhd_apply_update(params, U, fluxes, emfs, dt, margin=margin, xp=xp)
+
+
 def _uses_shear(params: RunParams) -> bool:
     from ..core.constants import BoundaryConditionType as BCT
 

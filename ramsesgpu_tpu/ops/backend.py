@@ -67,6 +67,34 @@ class JnpBackend:
 JNP = JnpBackend()
 
 
+class SwapXYJnpBackend(JnpBackend):
+    """JNP backend for arrays stored [..., z, x, y]: logical-x stencil ops
+    act on axis -2 and logical-y ops on axis -1. Used by the shear-packed
+    strip pass (pallas/shear_packed.py): the 18-column border strip is
+    transposed so its wide y extent rides the 128-lane minor dim — in
+    [z, y, x] order XLA pads the 18-column minor dim to 128 lanes and the
+    strip costs as much as a full-array pass."""
+
+    @staticmethod
+    def _ax(axis: int) -> int:
+        return {-1: -2, -2: -1, -3: -3}[axis]
+
+    @staticmethod
+    def shift_p(a, axis):
+        return _shift_p(a, SwapXYJnpBackend._ax(axis))
+
+    @staticmethod
+    def shift_m(a, axis):
+        return _shift_m(a, SwapXYJnpBackend._ax(axis))
+
+    @staticmethod
+    def crop(a, z0, z1, y0, y1, x0, x1):
+        return a[..., z0:z1, x0:x1, y0:y1]
+
+
+JNP_T = SwapXYJnpBackend()
+
+
 @dataclass(frozen=True, eq=False)
 class BoxField:
     """An array plus the (z, y) window box where its values are valid.

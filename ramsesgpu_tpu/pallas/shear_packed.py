@@ -1,0 +1,372 @@
+"""Packed-layout shearing-box (MRI) step: x-ghost-free main kernel + strips.
+
+The round-1 fused shear kernel (fused_mhd3d.make_fused_mhd_shear) DMAs
+x-ghosted windows: nx + 2*ghost rows pad up to the next lane multiple, so at
+the flagship nx=128 every vector op runs at ~half lane utilization (134 of
+256 lanes live). Here the MRI step instead runs on the SAME x-ghost-free
+packed layout as the periodic advance loop (packed_io.py):
+
+  P [nvar, nz+2g, ny+2YB, nx]   z/y wrap-ghosted (periodic), x ghost-free
+
+- The MAIN kernel is the periodic packed-IO kernel with the rotating-frame
+  trace/EMF terms (xpos from a static in-kernel iota): in-row rolls wrap x
+  periodically, which is WRONG only within ghost_width columns of the two
+  x borders (stencil reach), and exactly right everywhere else.
+- A thin STRIP pass (plain XLA — 18 of nx columns, bandwidth-bound, no
+  Mosaic involvement) recomputes the 2*g border columns from properly
+  sheared ghost slabs, and extracts the x-face flux/EMF planes the
+  conservative shear remap needs.
+- The remap corrections, the density floor, and the CT update of the KEPT
+  Bx face (the interior's own face at x=nx, preserved by the sheared fill —
+  solvers/shear.py:87-95) are applied to the strip columns, and the
+  corrected columns replace the main kernel's contaminated border columns
+  (one concat along lanes).
+
+Reference behavior mirrored: MHDRunGodunov.cpp:3445-3560 (sheared fill),
+shearingBox_utils.cuh:47-170+428-492 (flux/emfY remap + density floor),
+mhd_ct_update.cuh:124-213 via the extended CT range that also updates the
+kept Bx face (solvers/godunov_mhd._godunov_unsplit_mhd_3d `ct`).
+
+The packed carry is (P, kept_bx [nz, ny]); dt is the same slice-based
+reduction as the ghosted step (bit-identical: the only ghost data dt reads
+are the periodic y/z wraps, present in P, and the kept Bx face).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.params import RunParams
+from ..core.constants import IA, IB, IC, ID, IP, IU, IV, IW
+from .packed_io import YB, make_packed_io_step
+
+_X, _Y, _Z = -1, -2, -3
+
+
+def shear_packed_supported(params: RunParams) -> bool:
+    """Plain (unstratified, inviscid/ideal) MRI on the packed layout:
+    shear-periodic x, periodic y/z, float32, lane-exact nx, tile-divisible
+    ny/nz. Dissipative and stratified runs keep the round-1 ghosted-window
+    path (fused_mhd3d.make_pallas_shear_step_fn)."""
+    from ..core.constants import BoundaryConditionType as BCT
+
+    bz, by = params.pallas_tiles or (8, 32)
+    return (
+        params.dim == 3
+        and params.mhd
+        and params.omega0 > 0
+        and params.nu == 0.0
+        and params.eta == 0.0
+        and params.boundary_xmin == BCT.BC_SHEARINGBOX
+        and params.boundary_xmax == BCT.BC_SHEARINGBOX
+        and params.boundary_ymin == BCT.BC_PERIODIC
+        and params.boundary_ymax == BCT.BC_PERIODIC
+        and params.boundary_zmin == BCT.BC_PERIODIC
+        and params.boundary_zmax == BCT.BC_PERIODIC
+        and params.dtype == "float32"
+        and params.nx % 128 == 0
+        and params.nz % bz == 0
+        and params.ny % by == 0
+        and by >= YB
+        and bz >= params.ghost_width
+        and params.nx >= 4 * params.ghost_width
+    )
+
+
+def _make_main_kernel(params: RunParams, tiles, interpret: bool) -> Callable:
+    """Periodic packed-IO kernel with the rotating-frame terms: the x
+    coordinate enters the trace/EMF source terms as a static per-column
+    iota (x is ghost-free and lane-exact, so window column == global
+    column)."""
+    from ..ops.backend import BOX
+    from ..solvers.godunov_mhd import mhd_3d_interior_update
+
+    dx = params.dx
+    xmin = params.xmin
+    nx = params.nx
+
+    def update(tile_params, U, dt, margin):
+        i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2).astype(
+            U.value.dtype
+        )
+        xpos = xmin + dx / 2 + i * dx
+        return mhd_3d_interior_update(
+            tile_params, U, dt, margin=margin, xp=BOX, xpos=xpos
+        )
+
+    return make_packed_io_step(params, tiles, update, interpret=interpret)
+
+
+def _shear_slabs_from_interior(params: RunParams, interior, kept_bx, t):
+    """Sheared x-ghost slabs [nvar, nz, ny, g] from the interior-only state
+    (same math as solvers/shear._shear_ghost_slabs, which slices a ghosted
+    array; here the packed interior is already ghost-free)."""
+    from ..ops.slopes import slope_1d
+
+    g = params.ghost_width
+    nx = params.nx
+    dy = params.dy
+    Lx = params.dx * nx
+    Ly = dy * params.ny
+
+    deltay = jnp.mod(1.5 * params.omega0 * Lx * t, Ly)
+    jplus = jnp.floor(deltay / dy).astype(jnp.int32)
+    epsi = jnp.mod(deltay, dy)
+
+    bmin = interior[..., 0:g]
+    bmax = interior[..., nx - g : nx]
+
+    def slopes_of(buf):
+        padded = jnp.pad(buf, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap")
+        return slope_1d(params, padded, _Y)[:, :, 1:-1, :]
+
+    def remap(buf, slopes, shift, eps, lam, sign):
+        b_r = jnp.roll(buf, -shift, axis=_Y)
+        b_rp1 = jnp.roll(buf, -(shift + 1), axis=_Y)
+        s_r = jnp.roll(slopes, -shift, axis=_Y)
+        s_rp1 = jnp.roll(slopes, -(shift + 1), axis=_Y)
+        interp = (1.0 - eps) * b_r + eps * b_rp1 + lam * sign * (s_r - s_rp1)
+        return interp.at[IB].set(b_r[IB] + eps * s_r[IB])
+
+    eps_min = 1.0 - epsi / dy
+    lam_min = 0.5 * eps_min * (eps_min - 1.0)
+    gmin = remap(bmax, slopes_of(bmax), -jplus - 1, eps_min, lam_min, +1.0)
+    eps_max = epsi / dy
+    lam_max = 0.5 * eps_max * (eps_max - 1.0)
+    gmax = remap(bmin, slopes_of(bmin), jplus, eps_max, lam_max, -1.0)
+    # kept Bx face: the first XMAX ghost column of Bx is the interior's own
+    # face (make_boundary_shear.h:276-288)
+    gmax = gmax.at[IA, :, :, 0].set(kept_bx)
+    return gmin, gmax
+
+
+def make_shear_packed_step(
+    params: RunParams, tiles=None, interpret: bool = False
+) -> Callable:
+    """Build ``step(P, kept_bx, t) -> (P', kept_bx', dt)`` on the packed
+    carry."""
+    from .fused_mhd3d import _pick_tiles
+    from ..solvers.godunov_mhd import (
+        _mhd_3d_fluxes_emfs,
+        _shear_remap_pair,
+        mhd_apply_update,
+    )
+    from ..solvers.timestep import _inv_dt_mhd_fields
+
+    g = params.ghost_width
+    nz, ny, nx = params.nz, params.ny, params.nx
+    dx, dy, dz = params.dx, params.dy, params.dz
+    main = _make_main_kernel(params, tiles or _pick_tiles(params), interpret)
+
+    # combined strip column -> global column map: [right(9) | left(9)] —
+    # stencil reach is ghost_width=3, so every extracted value (the 2*3
+    # border columns and the x-face planes at global faces 0 and nx) stays
+    # 3+ columns away from the strip junction and the strip ends
+    w = 3 * g  # 9 columns per side
+    cols = np.concatenate([np.arange(nx - 2 * g, nx + g),
+                           np.arange(-g, 2 * g)])
+
+    def inv_dt_of(P, kept_bx):
+        """Slice-based CFL reduction; bit-identical to
+        compute_inv_dt_mhd(params, U_ghosted) — the x+1 face-B shift at the
+        last column reads the kept Bx face, exactly as the ghosted state
+        holds it (timestep.compute_inv_dt_mhd_ghosted)."""
+        zi, yi = slice(g, g + nz), slice(YB, YB + ny)
+        rho = jnp.maximum(P[ID, zi, yi, :], params.smallr)
+        ia = P[IA, zi, yi, :]
+        ia_p = jnp.concatenate([ia[..., 1:], kept_bx[..., None]], axis=-1)
+        return _inv_dt_mhd_fields(
+            params,
+            P[ID, zi, yi, :],
+            P[IP, zi, yi, :],
+            P[IU, zi, yi, :] / rho,
+            P[IV, zi, yi, :] / rho,
+            P[IW, zi, yi, :] / rho,
+            0.5 * (ia + ia_p),
+            0.5 * (P[IB, zi, yi, :] + P[IB, zi, YB + 1 : YB + ny + 1, :]),
+            0.5 * (P[IC, zi, yi, :] + P[IC, g + 1 : g + nz + 1, yi, :]),
+        )
+
+    def strip_pass(P, kept_bx, t, dt):
+        """Border-column recompute with true sheared ghosts + remap planes.
+        One XLA pass over an 18-column slab: [interior nx-6..nx-1 | gmax |
+        gmin | interior 0..5], each side carrying its own x ghosts. The
+        pipeline runs on the TRANSPOSED [nvar, z, x, y] layout (xp=JNP_T)
+        so the wide y extent is the 128-lane minor dim — in [z, y, x] order
+        XLA pads the 18-column minor dim to 128 lanes and the strip costs
+        as much as a full-array pass."""
+        from ..ops.backend import JNP_T
+
+        interior = P[:, g : g + nz, YB : YB + ny, :]
+        # the reference fills shear ghosts for time totalTime+dt
+        # (MHDRunGodunov.cpp:3551)
+        gmin, gmax = _shear_slabs_from_interior(params, interior, kept_bx,
+                                                t + dt)
+        padzy = ((0, 0), (g, g), (g, g), (0, 0))
+        yg = slice(YB - g, YB + ny + g)
+        S = jnp.concatenate(
+            [
+                P[:, :, yg, nx - 2 * g :],
+                jnp.pad(gmax, padzy, mode="wrap"),
+                jnp.pad(gmin, padzy, mode="wrap"),
+                P[:, :, yg, : 2 * g],
+            ],
+            axis=-1,
+        )
+        St = jnp.swapaxes(S, -1, -2)           # [nvar, z, x, y]
+        xpos = jnp.asarray(
+            (params.xmin + dx / 2 + cols * dx)[None, :, None], St.dtype
+        )
+        fluxes, emfs = _mhd_3d_fluxes_emfs(params, St, dt, xp=JNP_T,
+                                           xpos=xpos)
+        (flux_x, _fy, _fz), (emf_z, emf_y, _ex) = fluxes, emfs
+        # dx is derived from (xmax-xmin)/nx — keep it unchanged for the
+        # strip-shaped crop params
+        p3 = params.replace(nx=g, xmax=params.xmin + g * dx)
+        right = mhd_apply_update(p3, St, fluxes, emfs, dt, margin=(g, g, g),
+                                 xp=JNP_T)
+        left = mhd_apply_update(p3, St, fluxes, emfs, dt,
+                                margin=(g, g, 4 * g), xp=JNP_T)
+        right = jnp.swapaxes(right, -1, -2)    # back to [nvar, z, y, 3]
+        left = jnp.swapaxes(left, -1, -2)
+
+        zi, yi = slice(g, g + nz), slice(g, g + ny)
+        fpl_min = flux_x[ID, zi, 4 * g, yi]    # x-face global 0
+        fpl_max = flux_x[ID, zi, 2 * g, yi]    # x-face global nx
+        eypl_min = emf_y[zi, 4 * g, yi]
+        eypl_max = emf_y[zi, 2 * g, yi]
+        ezpl_max = emf_z[zi, 2 * g, yi]
+        return left, right, (fpl_min, fpl_max, eypl_min, eypl_max, ezpl_max)
+
+    def step(P, kept_bx, t):
+        dt = params.cfl / inv_dt_of(P, kept_bx)
+        dtdx, dtdy, dtdz = dt / dx, dt / dy, dt / dz
+
+        P_main = main(P, dt)
+        left, right, planes = strip_pass(P, kept_bx, t, dt)
+        fpl_min, fpl_max, eypl_min, eypl_max, ezpl_max = planes
+
+        # conservative density-flux + emfY remap at the domain x-faces
+        # (shearingBox_utils.cuh:47-170, incl. the :484-485 density floor);
+        # the update is linear in the face flux/EMF, so correcting the
+        # border columns after equals remapping before — the whole-array
+        # ordering (_godunov_unsplit_mhd_3d)
+        fmin_r, fmax_r = _shear_remap_pair(params, fpl_min, fpl_max, t, dt)
+        emin_r, emax_r = _shear_remap_pair(params, eypl_min, eypl_max, t, dt)
+        d_emin = emin_r - eypl_min
+        d_emax = emax_r - eypl_max
+
+        col_lo = left[..., 0]
+        col_hi = right[..., g - 1]
+        col_lo = col_lo.at[ID].set(jnp.maximum(
+            col_lo[ID] + dtdx * (fmin_r - fpl_min), params.smallr))
+        col_hi = col_hi.at[ID].set(jnp.maximum(
+            col_hi[ID] - dtdx * (fmax_r - fpl_max), params.smallr))
+        # dbx = -dtdz*(d_emfY(z+1) - d_emfY) at the xmin face (periodic z)
+        col_lo = col_lo.at[IA].add(
+            -dtdz * (jnp.roll(d_emin, -1, axis=0) - d_emin))
+        # dbz = +dtdx*(d_emfY(x+1) - d_emfY): the two border cells
+        col_lo = col_lo.at[IC].add(-dtdx * d_emin)
+        col_hi = col_hi.at[IC].add(dtdx * d_emax)
+
+        # CT update of the KEPT Bx face from the strip's emf planes with the
+        # REMAPPED emfY (the whole-array path's extended `ct` range)
+        kept_new = kept_bx + dtdy * (
+            jnp.roll(ezpl_max, -1, axis=1) - ezpl_max
+        ) - dtdz * (jnp.roll(emax_r, -1, axis=0) - emax_r)
+
+        # corrected border columns replace the main kernel's wrap-
+        # contaminated ones — ONE lane concat, which also rebuilds the y/z
+        # wrap-ghost bands at those columns
+        left3 = jnp.concatenate([col_lo[..., None], left[..., 1:]], axis=-1)
+        right3 = jnp.concatenate(
+            [right[..., : g - 1], col_hi[..., None]], axis=-1
+        )
+        padP = ((0, 0), (g, g), (YB, YB), (0, 0))
+        P_new = jnp.concatenate(
+            [
+                jnp.pad(left3, padP, mode="wrap"),
+                P_main[:, :, :, g : nx - g],
+                jnp.pad(right3, padP, mode="wrap"),
+            ],
+            axis=-1,
+        )
+        return P_new, kept_new, dt
+
+    return step
+
+
+def pack_shear(params: RunParams, U: jnp.ndarray):
+    """Ghosted state -> (P, kept_bx) packed carry."""
+    g = params.ghost_width
+    interior = U[:, g:-g, g:-g, g : g + params.nx]
+    P = jnp.pad(interior, ((0, 0), (g, g), (YB, YB), (0, 0)), mode="wrap")
+    kept_bx = U[IA, g:-g, g:-g, params.nx + g]
+    return P, kept_bx
+
+
+def unpack_shear(params: RunParams, P, kept_bx, t):
+    """Packed carry -> ghosted state with a FRESH sheared fill at time t
+    (the kept Bx face is written before the fill, which preserves it)."""
+    from ..solvers.shear import make_all_boundaries_shear
+
+    g = params.ghost_width
+    interior = P[:, g : g + params.nz, YB : YB + params.ny, :]
+    U = jnp.pad(interior, ((0, 0),) + ((g, g),) * 3, mode="wrap")
+    U = U.at[IA, g:-g, g:-g, params.nx + g].set(kept_bx)
+    return make_all_boundaries_shear(params, U, t)
+
+
+def make_shear_packed_step_fn(
+    params: RunParams, interpret: bool = False
+) -> Callable:
+    """Testing/interop contract ``step(U_ghosted, t) -> (U', dt)`` — packs,
+    steps, unpacks every call (the production path is
+    make_pallas_shear_advance_n, which keeps the packed carry across a whole
+    output interval)."""
+    step_p = make_shear_packed_step(
+        params, tiles=params.pallas_tiles, interpret=interpret
+    )
+
+    def step(U, t):
+        P, kept = pack_shear(params, U)
+        P1, kept1, dt = step_p(P, kept, t)
+        return unpack_shear(params, P1, kept1, t + dt), dt
+
+    return step
+
+
+def make_pallas_shear_advance_n(
+    params: RunParams, interpret: bool = False
+) -> Callable:
+    """Jitted ``advance_n(U, t, n_steps) -> (U, t, k)`` carrying the packed
+    shear state across the whole chunk (ghosted in/out, like
+    solvers/step.make_advance_n)."""
+    step_p = make_shear_packed_step(
+        params, tiles=params.pallas_tiles, interpret=interpret
+    )
+    t_end = params.t_end
+
+    @jax.jit
+    def advance_n(U, t, n_steps):
+        P0, kept0 = pack_shear(params, U)
+
+        def cond(carry):
+            _, _, t_c, k = carry
+            in_time = (t_c < t_end) if t_end > 0 else True
+            return jnp.logical_and(k < n_steps, in_time)
+
+        def body(carry):
+            P, kept, t_c, k = carry
+            P1, kept1, dt = step_p(P, kept, t_c)
+            return (P1, kept1, t_c + dt, k + 1)
+
+        P_f, kept_f, t_f, k_f = jax.lax.while_loop(
+            cond, body, (P0, kept0, t, jnp.array(0, jnp.int32))
+        )
+        return unpack_shear(params, P_f, kept_f, t_f), t_f, k_f
+
+    return advance_n

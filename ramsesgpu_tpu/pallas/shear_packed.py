@@ -38,6 +38,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..config.params import RunParams
 from ..core.constants import IA, IB, IC, ID, IP, IU, IV, IW
@@ -143,6 +145,125 @@ def _shear_slabs_from_interior(params: RunParams, interior, kept_bx, t):
     return gmin, gmax
 
 
+def _make_strip_kernel(params: RunParams, bz: int, interpret: bool):
+    """Pallas kernel running the full pipeline over the 18-column border
+    strip in TRANSPOSED [nvar, z, x, y] layout: x (24 sublanes, 18 live)
+    and y (full lane rows) stay entirely in VMEM, z is tiled with stencil
+    margins. One launch replaces the ~11 ms XLA strip pass (hundreds of
+    small padded kernels) with ~1 ms of VPU work.
+
+    In-kernel stencils are plain rolls (xp=JNP_T): roll wrap at the strip's
+    x ends and at the R|L junction corrupts only values the 3-column ghost
+    margins never let reach the extracted outputs (same margin discipline
+    as the whole-array path).
+
+    strip_k(St [nvar, nz+2g, 24, wy], dt) -> out [nvar+1, nz, 24, wy]:
+      out[:nvar, :, 3:6]    updated cells, global x = nx-3..nx-1
+      out[:nvar, :, 12:15]  updated cells, global x = 0..2
+      out[nvar, :, 18..22]  flux/EMF planes: fpl_min, fpl_max, eypl_min,
+                            eypl_max, ezpl_max (remap inputs)
+    y carries its ghost frame (wy = ny+2g); only g:g+ny is meaningful."""
+    from ..ops.backend import JNP_T
+    from ..solvers.godunov_mhd import _mhd_3d_fluxes_emfs, mhd_apply_update
+
+    g = params.ghost_width
+    nz, ny, nx = params.nz, params.ny, params.nx
+    dx = params.dx
+    wy = -(-(ny + 2 * g) // 128) * 128   # lane-dim DMA must be 128-aligned
+    wz = bz + 2 * g
+    nzb = nz // bz
+    xw = 4 * g * 2                       # 24 sublanes: 18 live + 6 dead
+    nv = params.nb_var
+
+    # tile/window-shaped params for the crops; dx/dy/dz are derived from
+    # (max-min)/n so every replace keeps the extents consistent
+    p_win = params.replace(
+        nz=bz, zmax=params.zmin + bz * params.dz,
+        ny=wy, ymax=params.ymin + wy * params.dy,
+        nx=g, xmax=params.xmin + g * dx,
+    )
+
+    def kernel(dt_ref, s_hbm, out_ref, win, sem):
+        zi = pl.program_id(0)
+        copy = pltpu.make_async_copy(
+            s_hbm.at[:, pl.ds(zi * bz, wz), :, :], win, sem
+        )
+        copy.start()
+        copy.wait()
+        W = win[...]
+        dt = dt_ref[0, 0]
+        # global column of each strip sublane: [nx-6..nx+2 | -3..5 | dead]
+        s = jax.lax.broadcasted_iota(jnp.int32, (1, xw, 1), 1)
+        c = jnp.where(s < 3 * g, nx - 2 * g + s,
+                      jnp.where(s < 6 * g, s - 4 * g, 0)).astype(W.dtype)
+        xpos = params.xmin + dx / 2 + c * dx
+        fluxes, emfs = _mhd_3d_fluxes_emfs(p_win, W, dt, xp=JNP_T,
+                                           xpos=xpos)
+        (flux_x, _fy, _fz), (emf_z, emf_y, _ex) = fluxes, emfs
+        # y stays uncropped (margin my=0 with ny=wy): the out block keeps
+        # the full lane rows and the XLA side slices the interior
+        right = mhd_apply_update(p_win, W, fluxes, emfs, dt,
+                                 margin=(g, 0, g), xp=JNP_T)
+        left = mhd_apply_update(p_win, W, fluxes, emfs, dt,
+                                margin=(g, 0, 4 * g), xp=JNP_T)
+        zi_s = slice(g, g + bz)
+        planes = jnp.stack([
+            flux_x[ID, zi_s, 4 * g, :],     # x-face global 0
+            flux_x[ID, zi_s, 2 * g, :],     # x-face global nx
+            emf_y[zi_s, 4 * g, :],
+            emf_y[zi_s, 2 * g, :],
+            emf_z[zi_s, 2 * g, :],
+        ], axis=1)                           # [bz, 5, wy]
+
+        def z(nvar, xs):
+            return jnp.zeros((nvar, bz, xs, wy), W.dtype)
+
+        out_main = jnp.concatenate(
+            [z(nv, g), right, z(nv, 2 * g), left, z(nv, xw - 5 * g)], axis=2
+        )                                    # [nv, bz, 24, wy]
+        extra = jnp.concatenate(
+            [z(1, 5 * g)[0], planes, z(1, xw - 5 * g - 5)[0]], axis=1
+        )[None]                              # [1, bz, 24, wy]
+        out_ref[...] = jnp.concatenate([out_main, extra], axis=0)
+
+    dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+    out_shape = jax.ShapeDtypeStruct((nv + 1, nz, xw, wy), dtype)
+    fused = pl.pallas_call(
+        kernel,
+        grid=(nzb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (nv + 1, bz, xw, wy), lambda zi: (0, zi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nv, wz, xw, wy), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret or _interp(),
+    )
+
+    def strip_k(St, dt):
+        dt_arr = jnp.reshape(dt, (1, 1)).astype(St.dtype)
+        St, dt_arr = jax.lax.optimization_barrier((St, dt_arr))
+        return jax.lax.optimization_barrier(fused(dt_arr, St))
+
+    return strip_k
+
+
+def _interp() -> bool:
+    from .. import pallas as _pkg
+
+    return bool(getattr(_pkg, "INTERPRET", False))
+
+
 def make_shear_packed_step(
     params: RunParams, tiles=None, interpret: bool = False
 ) -> Callable:
@@ -159,7 +280,10 @@ def make_shear_packed_step(
     g = params.ghost_width
     nz, ny, nx = params.nz, params.ny, params.nx
     dx, dy, dz = params.dx, params.dy, params.dz
-    main = _make_main_kernel(params, tiles or _pick_tiles(params), interpret)
+    tiles = tiles or _pick_tiles(params)
+    main = _make_main_kernel(params, tiles, interpret)
+    strip_k = _make_strip_kernel(params, tiles[0], interpret)
+    nv = params.nb_var
 
     # combined strip column -> global column map: [right(9) | left(9)] —
     # stencil reach is ghost_width=3, so every extracted value (the 2*3
@@ -191,15 +315,10 @@ def make_shear_packed_step(
         )
 
     def strip_pass(P, kept_bx, t, dt):
-        """Border-column recompute with true sheared ghosts + remap planes.
-        One XLA pass over an 18-column slab: [interior nx-6..nx-1 | gmax |
-        gmin | interior 0..5], each side carrying its own x ghosts. The
-        pipeline runs on the TRANSPOSED [nvar, z, x, y] layout (xp=JNP_T)
-        so the wide y extent is the 128-lane minor dim — in [z, y, x] order
-        XLA pads the 18-column minor dim to 128 lanes and the strip costs
-        as much as a full-array pass."""
-        from ..ops.backend import JNP_T
-
+        """Border-column recompute with true sheared ghosts + remap planes:
+        build the 18-column strip [interior nx-6..nx-1 | gmax | gmin |
+        interior 0..5] (each side carrying its own x ghosts), transpose it
+        to [nvar, z, x, y], and run the one-launch Pallas strip kernel."""
         interior = P[:, g : g + nz, YB : YB + ny, :]
         # the reference fills shear ghosts for time totalTime+dt
         # (MHDRunGodunov.cpp:3551)
@@ -216,29 +335,21 @@ def make_shear_packed_step(
             ],
             axis=-1,
         )
-        St = jnp.swapaxes(S, -1, -2)           # [nvar, z, x, y]
-        xpos = jnp.asarray(
-            (params.xmin + dx / 2 + cols * dx)[None, :, None], St.dtype
-        )
-        fluxes, emfs = _mhd_3d_fluxes_emfs(params, St, dt, xp=JNP_T,
-                                           xpos=xpos)
-        (flux_x, _fy, _fz), (emf_z, emf_y, _ex) = fluxes, emfs
-        # dx is derived from (xmax-xmin)/nx — keep it unchanged for the
-        # strip-shaped crop params
-        p3 = params.replace(nx=g, xmax=params.xmin + g * dx)
-        right = mhd_apply_update(p3, St, fluxes, emfs, dt, margin=(g, g, g),
-                                 xp=JNP_T)
-        left = mhd_apply_update(p3, St, fluxes, emfs, dt,
-                                margin=(g, g, 4 * g), xp=JNP_T)
-        right = jnp.swapaxes(right, -1, -2)    # back to [nvar, z, y, 3]
-        left = jnp.swapaxes(left, -1, -2)
+        wy_pad = -(-(ny + 2 * g) // 128) * 128 - (ny + 2 * g)
+        St = jnp.pad(
+            jnp.swapaxes(S, -1, -2),
+            ((0, 0), (0, 0), (0, 2 * g), (0, wy_pad)),
+        )                                      # [nvar, z, 24, wy(128-aligned)]
+        out = strip_k(St, dt)
 
-        zi, yi = slice(g, g + nz), slice(g, g + ny)
-        fpl_min = flux_x[ID, zi, 4 * g, yi]    # x-face global 0
-        fpl_max = flux_x[ID, zi, 2 * g, yi]    # x-face global nx
-        eypl_min = emf_y[zi, 4 * g, yi]
-        eypl_max = emf_y[zi, 2 * g, yi]
-        ezpl_max = emf_z[zi, 2 * g, yi]
+        yi = slice(g, g + ny)
+        right = jnp.swapaxes(out[:nv, :, g : 2 * g, yi], -1, -2)
+        left = jnp.swapaxes(out[:nv, :, 4 * g : 5 * g, yi], -1, -2)
+        fpl_min = out[nv, :, 5 * g, yi]        # x-face global 0
+        fpl_max = out[nv, :, 5 * g + 1, yi]    # x-face global nx
+        eypl_min = out[nv, :, 5 * g + 2, yi]
+        eypl_max = out[nv, :, 5 * g + 3, yi]
+        ezpl_max = out[nv, :, 5 * g + 4, yi]
         return left, right, (fpl_min, fpl_max, eypl_min, eypl_max, ezpl_max)
 
     def step(P, kept_bx, t):

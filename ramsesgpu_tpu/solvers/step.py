@@ -85,6 +85,16 @@ def make_step_fn(params: RunParams, config=None) -> Callable:
             and gravity is None
             and shear
         ):
+            from ..pallas.shear_packed import shear_packed_supported
+
+            if shear_packed_supported(params):
+                # x-ghost-free packed MRI step (full lane utilization);
+                # production runs should prefer make_advance_n, which keeps
+                # the packed carry across a whole output interval
+                from ..pallas.shear_packed import make_shear_packed_step_fn
+
+                return make_shear_packed_step_fn(params)
+
             from ..pallas.fused_mhd3d import pallas_shear_supported
 
             if pallas_shear_supported(params):
@@ -195,6 +205,23 @@ def make_advance_n(params: RunParams, config=None) -> Callable:
     # (x-ghost-free, lane-exact) state across the loop instead of the
     # ghosted one (pallas/fused_mhd3d.make_pallas_advance_n and the hydro
     # twin in fused_hydro3d)
+    if (
+        params.dim == 3
+        and params.mhd
+        and params.kernel in ("auto", "pallas")
+        and uses_shear(params)
+        and make_gravity_field(params, config) is None
+    ):
+        backend_ok = params.kernel == "pallas" or jax.default_backend() == "tpu"
+        if backend_ok:
+            from ..pallas.shear_packed import (
+                make_pallas_shear_advance_n,
+                shear_packed_supported,
+            )
+
+            if shear_packed_supported(params):
+                return make_pallas_shear_advance_n(params)
+
     if (
         params.dim == 3
         and params.kernel in ("auto", "pallas")

@@ -106,6 +106,86 @@ def test_shear_kernel_matches_whole_array_multistep(dims, tiles):
         )
 
 
+@pytest.mark.parametrize("dims,tiles", [
+    ((128, 16, 8), (4, 8)),
+    ((128, 32, 16), (8, 8)),
+])
+def test_shear_packed_matches_whole_array_multistep(dims, tiles):
+    """Packed-layout MRI step (pallas/shear_packed.py): x-ghost-free main
+    kernel + transposed Pallas border-strip kernel + remap corrections vs
+    the whole-array path, multi-step, incl. the kept-Bx face."""
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        make_shear_packed_step_fn,
+        shear_packed_supported,
+    )
+
+    nx, ny, nz = dims
+    config = ConfigMap(text=MRI_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config).replace(pallas_tiles=tiles)
+    assert shear_packed_supported(params)
+
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+
+    step_ref = make_step_fn(params.replace(kernel="jnp"))
+    step_ker = make_shear_packed_step_fn(params, interpret=True)
+
+    from ramsesgpu_tpu.core.constants import IA
+
+    Ur = Uk = U0
+    t_r = t_k = jnp.asarray(0.0, U0.dtype)
+    g = params.ghost_width
+    for n, atol in enumerate((2e-6, 1e-5, 5e-5)):
+        Ur, dt_r = step_ref(Ur, t_r)
+        Uk, dt_k = step_ker(Uk, t_k)
+        np.testing.assert_allclose(float(dt_k), float(dt_r), rtol=1e-5)
+        t_r = t_r + dt_r
+        t_k = t_k + dt_k
+        np.testing.assert_allclose(
+            np.asarray(Uk)[:, g:-g, g:-g, g:-g],
+            np.asarray(Ur)[:, g:-g, g:-g, g:-g],
+            rtol=0, atol=atol, err_msg=f"interior step {n}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(Uk)[IA, g:-g, g:-g, nx + g],
+            np.asarray(Ur)[IA, g:-g, g:-g, nx + g],
+            rtol=0, atol=atol, err_msg=f"kept Bx face step {n}",
+        )
+
+
+def test_shear_packed_advance_n_matches_step_loop():
+    """The packed advance loop (carry kept across steps, unpack with a fresh
+    sheared fill) equals stepping the packed step fn one step at a time."""
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        make_pallas_shear_advance_n,
+        make_shear_packed_step_fn,
+    )
+
+    nx, ny, nz = 128, 16, 8
+    config = ConfigMap(text=MRI_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config).replace(pallas_tiles=(4, 8))
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+
+    step = make_shear_packed_step_fn(params, interpret=True)
+    advance = make_pallas_shear_advance_n(params, interpret=True)
+
+    Us = U0
+    t_s = jnp.asarray(0.0, U0.dtype)
+    for _ in range(3):
+        Us, dt = step(Us, t_s)
+        t_s = t_s + dt
+    Ua, t_a, k = advance(U0, jnp.asarray(0.0, U0.dtype), 3)
+    assert int(k) == 3
+    np.testing.assert_allclose(float(t_a), float(t_s), rtol=1e-6)
+    g = params.ghost_width
+    np.testing.assert_allclose(
+        np.asarray(Ua)[:, g:-g, g:-g, g:-g],
+        np.asarray(Us)[:, g:-g, g:-g, g:-g],
+        rtol=0, atol=1e-6,
+    )
+
+
 def test_shear_kernel_dissipative_matches_whole_array():
     """Viscous-resistive MRI (the reference's headline Re=25000/Pm=4 class):
     shear kernel + fused dissipation kernel vs the whole-array path,

@@ -49,10 +49,10 @@ _X, _Y, _Z = -1, -2, -3
 
 
 def shear_packed_supported(params: RunParams) -> bool:
-    """Plain (unstratified, inviscid/ideal) MRI on the packed layout:
+    """Unstratified MRI (ideal or viscous/resistive) on the packed layout:
     shear-periodic x, periodic y/z, float32, lane-exact nx, tile-divisible
-    ny/nz. Dissipative and stratified runs keep the round-1 ghosted-window
-    path (fused_mhd3d.make_pallas_shear_step_fn)."""
+    ny/nz. Stratified runs keep the round-1 ghosted-window path
+    (fused_mhd3d.make_pallas_shear_step_fn)."""
     from ..core.constants import BoundaryConditionType as BCT
 
     bz, by = params.pallas_tiles or (8, 32)
@@ -60,8 +60,6 @@ def shear_packed_supported(params: RunParams) -> bool:
         params.dim == 3
         and params.mhd
         and params.omega0 > 0
-        and params.nu == 0.0
-        and params.eta == 0.0
         and params.boundary_xmin == BCT.BC_SHEARINGBOX
         and params.boundary_xmax == BCT.BC_SHEARINGBOX
         and params.boundary_ymin == BCT.BC_PERIODIC
@@ -145,7 +143,9 @@ def _shear_slabs_from_interior(params: RunParams, interior, kept_bx, t):
     return gmin, gmax
 
 
-def _make_strip_kernel(params: RunParams, bz: int, interpret: bool):
+def _make_strip_kernel(
+    params: RunParams, bz: int, interpret: bool, mode: str = "godunov"
+):
     """Pallas kernel running the full pipeline over the 18-column border
     strip in TRANSPOSED [nvar, z, x, y] layout: x (24 sublanes, 18 live)
     and y (full lane rows) stay entirely in VMEM, z is tiled with stencil
@@ -160,9 +160,11 @@ def _make_strip_kernel(params: RunParams, bz: int, interpret: bool):
     strip_k(St [nvar, nz+2g, 24, wy], dt) -> out [nvar+1, nz, 24, wy]:
       out[:nvar, :, 3:6]    updated cells, global x = nx-3..nx-1
       out[:nvar, :, 12:15]  updated cells, global x = 0..2
-      out[nvar, :, 18..22]  flux/EMF planes: fpl_min, fpl_max, eypl_min,
-                            eypl_max, ezpl_max (remap inputs)
-    y carries its ghost frame (wy = ny+2g); only g:g+ny is meaningful."""
+      out[nvar, :, 15..19]  planes: mode="godunov" -> fpl_min, fpl_max,
+                            eypl_min, eypl_max, ezpl_max (remap inputs);
+                            mode="dissip" -> resistive eypl, ezpl at the
+                            xmax face (kept-Bx resistive CT), rest zero
+    y carries its ghost frame; only g:g+ny is meaningful."""
     from ..ops.backend import JNP_T
     from ..solvers.godunov_mhd import _mhd_3d_fluxes_emfs, mhd_apply_update
 
@@ -192,28 +194,52 @@ def _make_strip_kernel(params: RunParams, bz: int, interpret: bool):
         copy.wait()
         W = win[...]
         dt = dt_ref[0, 0]
-        # global column of each strip sublane: [nx-6..nx+2 | -3..5 | dead]
-        s = jax.lax.broadcasted_iota(jnp.int32, (1, xw, 1), 1)
-        c = jnp.where(s < 3 * g, nx - 2 * g + s,
-                      jnp.where(s < 6 * g, s - 4 * g, 0)).astype(W.dtype)
-        xpos = params.xmin + dx / 2 + c * dx
-        fluxes, emfs = _mhd_3d_fluxes_emfs(p_win, W, dt, xp=JNP_T,
-                                           xpos=xpos)
-        (flux_x, _fy, _fz), (emf_z, emf_y, _ex) = fluxes, emfs
+        zi_s = slice(g, g + bz)
         # y stays uncropped (margin my=0 with ny=wy): the out block keeps
         # the full lane rows and the XLA side slices the interior
-        right = mhd_apply_update(p_win, W, fluxes, emfs, dt,
-                                 margin=(g, 0, g), xp=JNP_T)
-        left = mhd_apply_update(p_win, W, fluxes, emfs, dt,
-                                margin=(g, 0, 4 * g), xp=JNP_T)
-        zi_s = slice(g, g + bz)
-        planes = jnp.stack([
-            flux_x[ID, zi_s, 4 * g, :],     # x-face global 0
-            flux_x[ID, zi_s, 2 * g, :],     # x-face global nx
-            emf_y[zi_s, 4 * g, :],
-            emf_y[zi_s, 2 * g, :],
-            emf_z[zi_s, 2 * g, :],
-        ], axis=1)                           # [bz, 5, wy]
+        if mode == "godunov":
+            # global column of each sublane: [nx-6..nx+2 | -3..5 | dead]
+            s = jax.lax.broadcasted_iota(jnp.int32, (1, xw, 1), 1)
+            c = jnp.where(s < 3 * g, nx - 2 * g + s,
+                          jnp.where(s < 6 * g, s - 4 * g, 0)).astype(W.dtype)
+            xpos = params.xmin + dx / 2 + c * dx
+            fluxes, emfs = _mhd_3d_fluxes_emfs(p_win, W, dt, xp=JNP_T,
+                                               xpos=xpos)
+            (flux_x, _fy, _fz), (emf_z, emf_y, _ex) = fluxes, emfs
+            right = mhd_apply_update(p_win, W, fluxes, emfs, dt,
+                                     margin=(g, 0, g), xp=JNP_T)
+            left = mhd_apply_update(p_win, W, fluxes, emfs, dt,
+                                    margin=(g, 0, 4 * g), xp=JNP_T)
+            planes = jnp.stack([
+                flux_x[ID, zi_s, 4 * g, :],     # x-face global 0
+                flux_x[ID, zi_s, 2 * g, :],     # x-face global nx
+                emf_y[zi_s, 4 * g, :],
+                emf_y[zi_s, 2 * g, :],
+                emf_z[zi_s, 2 * g, :],
+            ], axis=1)                           # [bz, 5, wy]
+        else:
+            from ..solvers.dissipation import (
+                compute_resistivity_emf,
+                mhd_dissipation_interior_update,
+            )
+
+            right = mhd_dissipation_interior_update(
+                p_win, W, dt, margin=(g, 0, g), xp=JNP_T)
+            left = mhd_dissipation_interior_update(
+                p_win, W, dt, margin=(g, 0, 4 * g), xp=JNP_T)
+            zero_pl = jnp.zeros((bz, 1, wy), W.dtype)
+            if params.eta > 0:
+                # resistive emfY/emfZ at the xmax face for the kept-Bx CT
+                # (Mosaic/XLA dedups the recompute against the update above)
+                emf_z, emf_y, _ex = compute_resistivity_emf(
+                    p_win, W, xp=JNP_T)
+                planes = jnp.concatenate([
+                    emf_y[zi_s, 2 * g, :][:, None],
+                    emf_z[zi_s, 2 * g, :][:, None],
+                    jnp.concatenate([zero_pl] * 3, axis=1),
+                ], axis=1)
+            else:
+                planes = jnp.concatenate([zero_pl] * 5, axis=1)
 
         def z(nvar, xs):
             return jnp.zeros((nvar, bz, xs, wy), W.dtype)
@@ -284,14 +310,20 @@ def make_shear_packed_step(
     main = _make_main_kernel(params, tiles, interpret)
     strip_k = _make_strip_kernel(params, tiles[0], interpret)
     nv = params.nb_var
+    dissip = params.nu > 0 or params.eta > 0
+    if dissip:
+        from ..ops.backend import BOX
+        from ..solvers.dissipation import mhd_dissipation_interior_update
 
-    # combined strip column -> global column map: [right(9) | left(9)] —
-    # stencil reach is ghost_width=3, so every extracted value (the 2*3
-    # border columns and the x-face planes at global faces 0 and nx) stays
-    # 3+ columns away from the strip junction and the strip ends
-    w = 3 * g  # 9 columns per side
-    cols = np.concatenate([np.arange(nx - 2 * g, nx + g),
-                           np.arange(-g, 2 * g)])
+        def _dissip_update(tile_params, Ubox, dtv, margin):
+            return mhd_dissipation_interior_update(
+                tile_params, Ubox, dtv, margin=margin, xp=BOX
+            )
+
+        main_d = make_packed_io_step(params, tiles, _dissip_update,
+                                     interpret=interpret)
+        strip_d = _make_strip_kernel(params, tiles[0], interpret,
+                                     mode="dissip")
 
     def inv_dt_of(P, kept_bx):
         """Slice-based CFL reduction; bit-identical to
@@ -314,16 +346,14 @@ def make_shear_packed_step(
             0.5 * (P[IC, zi, yi, :] + P[IC, g + 1 : g + nz + 1, yi, :]),
         )
 
-    def strip_pass(P, kept_bx, t, dt):
-        """Border-column recompute with true sheared ghosts + remap planes:
-        build the 18-column strip [interior nx-6..nx-1 | gmax | gmin |
-        interior 0..5] (each side carrying its own x ghosts), transpose it
-        to [nvar, z, x, y], and run the one-launch Pallas strip kernel."""
+    def strip_pass(P, kept_bx, t_fill, dt, kernel):
+        """Border-column recompute with true sheared ghosts + planes: build
+        the 18-column strip [interior nx-6..nx-1 | gmax | gmin | interior
+        0..5] (each side carrying its own x ghosts), transpose it to
+        [nvar, z, x, y], and run the one-launch Pallas strip kernel."""
         interior = P[:, g : g + nz, YB : YB + ny, :]
-        # the reference fills shear ghosts for time totalTime+dt
-        # (MHDRunGodunov.cpp:3551)
         gmin, gmax = _shear_slabs_from_interior(params, interior, kept_bx,
-                                                t + dt)
+                                                t_fill)
         padzy = ((0, 0), (g, g), (g, g), (0, 0))
         yg = slice(YB - g, YB + ny + g)
         S = jnp.concatenate(
@@ -340,24 +370,36 @@ def make_shear_packed_step(
             jnp.swapaxes(S, -1, -2),
             ((0, 0), (0, 0), (0, 2 * g), (0, wy_pad)),
         )                                      # [nvar, z, 24, wy(128-aligned)]
-        out = strip_k(St, dt)
+        out = kernel(St, dt)
 
         yi = slice(g, g + ny)
         right = jnp.swapaxes(out[:nv, :, g : 2 * g, yi], -1, -2)
         left = jnp.swapaxes(out[:nv, :, 4 * g : 5 * g, yi], -1, -2)
-        fpl_min = out[nv, :, 5 * g, yi]        # x-face global 0
-        fpl_max = out[nv, :, 5 * g + 1, yi]    # x-face global nx
-        eypl_min = out[nv, :, 5 * g + 2, yi]
-        eypl_max = out[nv, :, 5 * g + 3, yi]
-        ezpl_max = out[nv, :, 5 * g + 4, yi]
-        return left, right, (fpl_min, fpl_max, eypl_min, eypl_max, ezpl_max)
+        planes = tuple(out[nv, :, 5 * g + k, yi] for k in range(5))
+        return left, right, planes
+
+    def assemble(P_main, left3, right3):
+        """Corrected border columns replace the main kernel's wrap-
+        contaminated ones — ONE lane concat, which also rebuilds the y/z
+        wrap-ghost bands at those columns."""
+        padP = ((0, 0), (g, g), (YB, YB), (0, 0))
+        return jnp.concatenate(
+            [
+                jnp.pad(left3, padP, mode="wrap"),
+                P_main[:, :, :, g : nx - g],
+                jnp.pad(right3, padP, mode="wrap"),
+            ],
+            axis=-1,
+        )
 
     def step(P, kept_bx, t):
         dt = params.cfl / inv_dt_of(P, kept_bx)
         dtdx, dtdy, dtdz = dt / dx, dt / dy, dt / dz
 
         P_main = main(P, dt)
-        left, right, planes = strip_pass(P, kept_bx, t, dt)
+        # the reference fills shear ghosts for time totalTime+dt
+        # (MHDRunGodunov.cpp:3551)
+        left, right, planes = strip_pass(P, kept_bx, t + dt, dt, strip_k)
         fpl_min, fpl_max, eypl_min, eypl_max, ezpl_max = planes
 
         # conservative density-flux + emfY remap at the domain x-faces
@@ -389,22 +431,31 @@ def make_shear_packed_step(
             jnp.roll(ezpl_max, -1, axis=1) - ezpl_max
         ) - dtdz * (jnp.roll(emax_r, -1, axis=0) - emax_r)
 
-        # corrected border columns replace the main kernel's wrap-
-        # contaminated ones — ONE lane concat, which also rebuilds the y/z
-        # wrap-ghost bands at those columns
         left3 = jnp.concatenate([col_lo[..., None], left[..., 1:]], axis=-1)
         right3 = jnp.concatenate(
             [right[..., : g - 1], col_hi[..., None]], axis=-1
         )
-        padP = ((0, 0), (g, g), (YB, YB), (0, 0))
-        P_new = jnp.concatenate(
-            [
-                jnp.pad(left3, padP, mode="wrap"),
-                P_main[:, :, :, g : nx - g],
-                jnp.pad(right3, padP, mode="wrap"),
-            ],
-            axis=-1,
-        )
+        P_new = assemble(P_main, left3, right3)
+
+        if dissip:
+            # dissipative sub-step: the reference refills with the SHEARED
+            # remap before it (MHDRunGodunov.cpp:1968-1976) — here that is
+            # the fresh strip slabs at t+dt from the post-Godunov state; no
+            # flux remap applies (the reference has none for dissipation)
+            left_d, right_d, planes_d = strip_pass(
+                P_new, kept_new, t + dt, dt, strip_d
+            )
+            P_d = main_d(P_new, dt)
+            P_new = assemble(P_d, left_d, right_d)
+            if params.eta > 0:
+                # resistive CT on the kept Bx face
+                # (apply_resistivity_ct's curl reaches the first xmax ghost
+                # face; fused path: fused_mhd3d.make_pallas_shear_step_fn)
+                eypl2, ezpl2 = planes_d[0], planes_d[1]
+                kept_new = kept_new + dtdy * (
+                    jnp.roll(ezpl2, -1, axis=1) - ezpl2
+                ) - dtdz * (jnp.roll(eypl2, -1, axis=0) - eypl2)
+
         return P_new, kept_new, dt
 
     return step

@@ -186,6 +186,57 @@ def test_shear_packed_advance_n_matches_step_loop():
     )
 
 
+def test_shear_packed_dissipative_matches_whole_array():
+    """Viscous-resistive MRI on the packed layout: Godunov phase + packed
+    dissipation kernel + dissipative border strips, incl. the resistive CT
+    on the kept Bx face. Step 0 is the tight check; step 1 tolerances cover
+    the legitimate dt divergence (the whole-array path's resistive CT
+    touches ghost faces that feed its one-fill-stale dt reads; the packed
+    path's dt reads exact wraps + the kept face)."""
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        make_shear_packed_step_fn,
+        shear_packed_supported,
+    )
+
+    nx, ny, nz = 128, 16, 8
+    config = ConfigMap(text=MRI_INI.format(nx=nx, ny=ny, nz=nz))
+    config.set_float("hydro", "nu", 2e-3)
+    config.set_float("MHD", "eta", 1e-3)
+    params = params_from_config(config).replace(pallas_tiles=(4, 8))
+    assert params.nu > 0 and params.eta > 0
+    assert shear_packed_supported(params)
+
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+
+    step_ref = make_step_fn(params.replace(kernel="jnp"))
+    step_ker = make_shear_packed_step_fn(params, interpret=True)
+
+    from ramsesgpu_tpu.core.constants import IA
+
+    Ur = Uk = U0
+    t_r = t_k = jnp.asarray(0.0, U0.dtype)
+    g = params.ghost_width
+    for n, atol in enumerate((2e-6, 5e-4)):
+        Ur, dt_r = step_ref(Ur, t_r)
+        Uk, dt_k = step_ker(Uk, t_k)
+        np.testing.assert_allclose(
+            float(dt_k), float(dt_r), rtol=1e-5 if n == 0 else 3e-3
+        )
+        t_r = t_r + dt_r
+        t_k = t_k + dt_k
+        np.testing.assert_allclose(
+            np.asarray(Uk)[:, g:-g, g:-g, g:-g],
+            np.asarray(Ur)[:, g:-g, g:-g, g:-g],
+            rtol=0, atol=atol, err_msg=f"interior step {n}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(Uk)[IA, g:-g, g:-g, nx + g],
+            np.asarray(Ur)[IA, g:-g, g:-g, nx + g],
+            rtol=0, atol=atol, err_msg=f"kept Bx face step {n}",
+        )
+
+
 def test_shear_kernel_dissipative_matches_whole_array():
     """Viscous-resistive MRI (the reference's headline Re=25000/Pm=4 class):
     shear kernel + fused dissipation kernel vs the whole-array path,

@@ -123,6 +123,13 @@ class RunParams:
 
     # precision: "float32" (reference single) or "float64" (reference USE_DOUBLE)
     dtype: str = "float32"
+    # Kahan-compensated f32 state accumulation in the packed advance loops
+    # ([implementation] compensated): the TPU-native double-precision story —
+    # the dominant f32 error in long runs is the U += dU summation loss
+    # (~eps*|U| per step vs ~eps*|dU| flux rounding), which a carried
+    # compensation channel removes at ~1.2x cost, where emulated f64 on TPU
+    # measures ~86x (STATUS.md). Reference double regime: real_type.h:1-105.
+    compensated: bool = False
 
     # run control
     t_end: float = 0.0
@@ -296,6 +303,7 @@ def params_from_config(config: ConfigMap, **overrides) -> RunParams:
         kernel=config.get_string("implementation", "kernel", "auto"),
         halo_overlap=config.get_bool("implementation", "haloOverlap", False),
         dtype=config.get_string("implementation", "dtype", "float32"),
+        compensated=config.get_bool("implementation", "compensated", False),
         t_end=config.get_float("run", "tend", 0.0),
         n_stepmax=config.get_integer("run", "nstepmax", 1000),
         n_output=config.get_integer("run", "noutput", 100),

@@ -224,6 +224,21 @@ def make_fused_mhd_packed_io(
     from ..solvers.godunov_mhd import mhd_3d_interior_update_staged
     from ..ops.backend import BOX
 
+    nv = params.nb_var
+    if params.compensated:
+        # Kahan-compensated state accumulation: channels [0:nv] = U,
+        # [nv:2nv] = the running compensation carry (see
+        # godunov_mhd.mhd_apply_update comp docstring)
+        def update(tile_params, W, dt, margin):
+            return mhd_3d_interior_update_staged(
+                tile_params, W[:nv], dt, margin=margin, xp=BOX, comp=W[nv:]
+            )
+
+        return make_packed_io_step(
+            params, tiles or _pick_tiles(params), update,
+            interpret=interpret, nvar=2 * nv,
+        )
+
     def update(tile_params, U, dt, margin):
         # demand-driven stage extents: 2.08x -> 1.36x FLOP recompute at the
         # (8, 32) tile (scripts/margin_flops.py), same values bit-for-bit
@@ -272,9 +287,14 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
 
     g = params.ghost_width
     ny = params.ny
+    nv = params.nb_var
     bz, by = params.pallas_tiles or _pick_tiles(params)
     fused = make_fused_mhd_packed_io(params, tiles=(bz, by))
     fused_dissip = None
+    if params.compensated and (params.nu > 0 or params.eta > 0):
+        raise ValueError(
+            "compensated packed advance does not cover dissipative runs yet"
+        )
     if params.nu > 0 or params.eta > 0:
         # dissipative sub-step as a SECOND packed-io launch: the first
         # launch's in-kernel wrap-ghost bands ARE the inter-phase refill
@@ -291,6 +311,11 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     t_end = params.t_end
 
     def pack(interior):
+        if params.compensated:
+            # zero initial Kahan carries alongside the state channels
+            interior = jnp.concatenate(
+                [interior, jnp.zeros_like(interior)], axis=0
+            )
         return jnp.pad(
             interior, ((0, 0), (g, g), (YB, YB), (0, 0)), mode="wrap"
         )
@@ -322,7 +347,7 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
         P_f, t_f, k_f = jax.lax.while_loop(
             cond, body, (P0, t, jnp.array(0, jnp.int32))
         )
-        interior_f = P_f[:, g:-g, YB : YB + ny, :]
+        interior_f = P_f[:nv, g:-g, YB : YB + ny, :]
         U_f = jnp.pad(interior_f, ((0, 0),) + ((g, g),) * 3, mode="wrap")
         return U_f, t_f, k_f
 

@@ -53,15 +53,19 @@ def make_packed_io_step(
     tiles: tuple[int, int],
     interior_update: Callable,
     interpret: bool = False,
+    nvar: int | None = None,
 ) -> Callable:
     """Build ``step_packed(P, dt) -> P_new`` on the packed loop state.
 
     ``interior_update(tile_params, U_boxfield, dt, margin)`` must return the
     updated [nvar, bz, by, nx] interior of a window whose BoxField declares
     the stencil-consumed extent (the g-margin frame around the tile).
+
+    ``nvar`` overrides the channel count (default params.nb_var) — the
+    Kahan-compensated advance carries 2*nb_var channels (state + carry).
     """
     g = params.ghost_width
-    nv = params.nb_var
+    nv = nvar if nvar is not None else params.nb_var
     nz, ny, nx = params.nz, params.ny, params.nx
     bz, by = tiles
     if nz % bz or ny % by or by < YB or bz < g:

@@ -80,24 +80,34 @@ def _make_main_kernel(params: RunParams, tiles, interpret: bool) -> Callable:
     """Periodic packed-IO kernel with the rotating-frame terms: the x
     coordinate enters the trace/EMF source terms as a static per-column
     iota (x is ghost-free and lane-exact, so window column == global
-    column)."""
+    column). With params.compensated the window carries 2*nvar channels
+    (state + Kahan carry — see godunov_mhd.mhd_apply_update)."""
     from ..ops.backend import BOX
     from ..solvers.godunov_mhd import mhd_3d_interior_update
 
     dx = params.dx
     xmin = params.xmin
     nx = params.nx
+    nv = params.nb_var
 
-    def update(tile_params, U, dt, margin):
+    def update(tile_params, W, dt, margin):
         i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2).astype(
-            U.value.dtype
+            W.value.dtype
         )
         xpos = xmin + dx / 2 + i * dx
+        if params.compensated:
+            return mhd_3d_interior_update(
+                tile_params, W[:nv], dt, margin=margin, xp=BOX, xpos=xpos,
+                comp=W[nv:],
+            )
         return mhd_3d_interior_update(
-            tile_params, U, dt, margin=margin, xp=BOX, xpos=xpos
+            tile_params, W, dt, margin=margin, xp=BOX, xpos=xpos
         )
 
-    return make_packed_io_step(params, tiles, update, interpret=interpret)
+    return make_packed_io_step(
+        params, tiles, update, interpret=interpret,
+        nvar=2 * nv if params.compensated else None,
+    )
 
 
 def _shear_slabs_from_interior(params: RunParams, interior, kept_bx, t):
@@ -176,6 +186,8 @@ def _make_strip_kernel(
     nzb = nz // bz
     xw = 4 * g * 2                       # 24 sublanes: 18 live + 6 dead
     nv = params.nb_var
+    comp = params.compensated and mode == "godunov"
+    nvc = 2 * nv if comp else nv         # channels: [U | Kahan carries]
 
     # tile/window-shaped params for the crops; dx/dy/dz are derived from
     # (max-min)/n so every replace keeps the extents consistent
@@ -203,13 +215,14 @@ def _make_strip_kernel(
             c = jnp.where(s < 3 * g, nx - 2 * g + s,
                           jnp.where(s < 6 * g, s - 4 * g, 0)).astype(W.dtype)
             xpos = params.xmin + dx / 2 + c * dx
-            fluxes, emfs = _mhd_3d_fluxes_emfs(p_win, W, dt, xp=JNP_T,
+            Wc = W[nv:] if comp else None
+            fluxes, emfs = _mhd_3d_fluxes_emfs(p_win, W[:nv], dt, xp=JNP_T,
                                                xpos=xpos)
             (flux_x, _fy, _fz), (emf_z, emf_y, _ex) = fluxes, emfs
-            right = mhd_apply_update(p_win, W, fluxes, emfs, dt,
-                                     margin=(g, 0, g), xp=JNP_T)
-            left = mhd_apply_update(p_win, W, fluxes, emfs, dt,
-                                    margin=(g, 0, 4 * g), xp=JNP_T)
+            right = mhd_apply_update(p_win, W[:nv], fluxes, emfs, dt,
+                                     margin=(g, 0, g), xp=JNP_T, comp=Wc)
+            left = mhd_apply_update(p_win, W[:nv], fluxes, emfs, dt,
+                                    margin=(g, 0, 4 * g), xp=JNP_T, comp=Wc)
             planes = jnp.stack([
                 flux_x[ID, zi_s, 4 * g, :],     # x-face global 0
                 flux_x[ID, zi_s, 2 * g, :],     # x-face global nx
@@ -245,15 +258,16 @@ def _make_strip_kernel(
             return jnp.zeros((nvar, bz, xs, wy), W.dtype)
 
         out_main = jnp.concatenate(
-            [z(nv, g), right, z(nv, 2 * g), left, z(nv, xw - 5 * g)], axis=2
-        )                                    # [nv, bz, 24, wy]
+            [z(nvc, g), right, z(nvc, 2 * g), left, z(nvc, xw - 5 * g)],
+            axis=2,
+        )                                    # [nvc, bz, 24, wy]
         extra = jnp.concatenate(
             [z(1, 5 * g)[0], planes, z(1, xw - 5 * g - 5)[0]], axis=1
         )[None]                              # [1, bz, 24, wy]
         out_ref[...] = jnp.concatenate([out_main, extra], axis=0)
 
     dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
-    out_shape = jax.ShapeDtypeStruct((nv + 1, nz, xw, wy), dtype)
+    out_shape = jax.ShapeDtypeStruct((nvc + 1, nz, xw, wy), dtype)
     fused = pl.pallas_call(
         kernel,
         grid=(nzb,),
@@ -262,12 +276,12 @@ def _make_strip_kernel(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (nv + 1, bz, xw, wy), lambda zi: (0, zi, 0, 0),
+            (nvc + 1, bz, xw, wy), lambda zi: (0, zi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((nv, wz, xw, wy), dtype),
+            pltpu.VMEM((nvc, wz, xw, wy), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -310,7 +324,13 @@ def make_shear_packed_step(
     main = _make_main_kernel(params, tiles, interpret)
     strip_k = _make_strip_kernel(params, tiles[0], interpret)
     nv = params.nb_var
+    comp = params.compensated
+    nvc = 2 * nv if comp else nv
     dissip = params.nu > 0 or params.eta > 0
+    if comp and dissip:
+        raise ValueError(
+            "compensated packed shear does not cover dissipative runs yet"
+        )
     if dissip:
         from ..ops.backend import BOX
         from ..solvers.dissipation import mhd_dissipation_interior_update
@@ -325,7 +345,13 @@ def make_shear_packed_step(
         strip_d = _make_strip_kernel(params, tiles[0], interpret,
                                      mode="dissip")
 
-    def inv_dt_of(P, kept_bx):
+    def kadd(val, carry, delta):
+        """Kahan-compensated val += delta with running carry."""
+        y = delta - carry
+        t_ = val + y
+        return t_, (t_ - val) - y
+
+    def inv_dt_of(P, kept_face):
         """Slice-based CFL reduction; bit-identical to
         compute_inv_dt_mhd(params, U_ghosted) — the x+1 face-B shift at the
         last column reads the kept Bx face, exactly as the ghosted state
@@ -333,7 +359,7 @@ def make_shear_packed_step(
         zi, yi = slice(g, g + nz), slice(YB, YB + ny)
         rho = jnp.maximum(P[ID, zi, yi, :], params.smallr)
         ia = P[IA, zi, yi, :]
-        ia_p = jnp.concatenate([ia[..., 1:], kept_bx[..., None]], axis=-1)
+        ia_p = jnp.concatenate([ia[..., 1:], kept_face[..., None]], axis=-1)
         return _inv_dt_mhd_fields(
             params,
             P[ID, zi, yi, :],
@@ -351,9 +377,14 @@ def make_shear_packed_step(
         the 18-column strip [interior nx-6..nx-1 | gmax | gmin | interior
         0..5] (each side carrying its own x ghosts), transpose it to
         [nvar, z, x, y], and run the one-launch Pallas strip kernel."""
-        interior = P[:, g : g + nz, YB : YB + ny, :]
+        interior = P[:nv, g : g + nz, YB : YB + ny, :]
         gmin, gmax = _shear_slabs_from_interior(params, interior, kept_bx,
                                                 t_fill)
+        if comp:
+            # carries exist only for interior cells; ghost-column carries
+            # are never consumed (comp is cropped to the updated interior)
+            gmin = jnp.concatenate([gmin, jnp.zeros_like(gmin)], axis=0)
+            gmax = jnp.concatenate([gmax, jnp.zeros_like(gmax)], axis=0)
         padzy = ((0, 0), (g, g), (g, g), (0, 0))
         yg = slice(YB - g, YB + ny + g)
         S = jnp.concatenate(
@@ -373,9 +404,10 @@ def make_shear_packed_step(
         out = kernel(St, dt)
 
         yi = slice(g, g + ny)
-        right = jnp.swapaxes(out[:nv, :, g : 2 * g, yi], -1, -2)
-        left = jnp.swapaxes(out[:nv, :, 4 * g : 5 * g, yi], -1, -2)
-        planes = tuple(out[nv, :, 5 * g + k, yi] for k in range(5))
+        nvo = nvc if kernel is strip_k else nv
+        right = jnp.swapaxes(out[:nvo, :, g : 2 * g, yi], -1, -2)
+        left = jnp.swapaxes(out[:nvo, :, 4 * g : 5 * g, yi], -1, -2)
+        planes = tuple(out[nvo, :, 5 * g + k, yi] for k in range(5))
         return left, right, planes
 
     def assemble(P_main, left3, right3):
@@ -393,13 +425,15 @@ def make_shear_packed_step(
         )
 
     def step(P, kept_bx, t):
-        dt = params.cfl / inv_dt_of(P, kept_bx)
+        # kept carry layout: [nz, ny] plain, [2, nz, ny] compensated
+        kept_face = kept_bx[0] if comp else kept_bx
+        dt = params.cfl / inv_dt_of(P, kept_face)
         dtdx, dtdy, dtdz = dt / dx, dt / dy, dt / dz
 
         P_main = main(P, dt)
         # the reference fills shear ghosts for time totalTime+dt
         # (MHDRunGodunov.cpp:3551)
-        left, right, planes = strip_pass(P, kept_bx, t + dt, dt, strip_k)
+        left, right, planes = strip_pass(P, kept_face, t + dt, dt, strip_k)
         fpl_min, fpl_max, eypl_min, eypl_max, ezpl_max = planes
 
         # conservative density-flux + emfY remap at the domain x-faces
@@ -414,22 +448,45 @@ def make_shear_packed_step(
 
         col_lo = left[..., 0]
         col_hi = right[..., g - 1]
-        col_lo = col_lo.at[ID].set(jnp.maximum(
-            col_lo[ID] + dtdx * (fmin_r - fpl_min), params.smallr))
-        col_hi = col_hi.at[ID].set(jnp.maximum(
-            col_hi[ID] - dtdx * (fmax_r - fpl_max), params.smallr))
-        # dbx = -dtdz*(d_emfY(z+1) - d_emfY) at the xmin face (periodic z)
-        col_lo = col_lo.at[IA].add(
-            -dtdz * (jnp.roll(d_emin, -1, axis=0) - d_emin))
-        # dbz = +dtdx*(d_emfY(x+1) - d_emfY): the two border cells
-        col_lo = col_lo.at[IC].add(-dtdx * d_emin)
-        col_hi = col_hi.at[IC].add(dtdx * d_emax)
+        # border-column deltas: density remap, dbx at the xmin face
+        # (-dtdz*(d_emfY(z+1)-d_emfY), periodic z), dbz (+-dtdx*d_emfY)
+        d_lo = {ID: dtdx * (fmin_r - fpl_min),
+                IA: -dtdz * (jnp.roll(d_emin, -1, axis=0) - d_emin),
+                IC: -dtdx * d_emin}
+        d_hi = {ID: -dtdx * (fmax_r - fpl_max),
+                IC: dtdx * d_emax}
+        for col_name, col, deltas in (("lo", col_lo, d_lo),
+                                      ("hi", col_hi, d_hi)):
+            for slot, delta in deltas.items():
+                if comp:
+                    v, c = kadd(col[slot], col[nv + slot], delta)
+                    if slot == ID:
+                        # density floor invalidates the carry where it fires
+                        # (shearingBox_utils.cuh:484-485)
+                        fl = jnp.maximum(v, params.smallr)
+                        c = jnp.where(fl == v, c, 0.0)
+                        v = fl
+                    col = col.at[slot].set(v).at[nv + slot].set(c)
+                else:
+                    v = col[slot] + delta
+                    if slot == ID:
+                        v = jnp.maximum(v, params.smallr)
+                    col = col.at[slot].set(v)
+            if col_name == "lo":
+                col_lo = col
+            else:
+                col_hi = col
 
         # CT update of the KEPT Bx face from the strip's emf planes with the
         # REMAPPED emfY (the whole-array path's extended `ct` range)
-        kept_new = kept_bx + dtdy * (
+        d_kept = dtdy * (
             jnp.roll(ezpl_max, -1, axis=1) - ezpl_max
         ) - dtdz * (jnp.roll(emax_r, -1, axis=0) - emax_r)
+        if comp:
+            kf, kc = kadd(kept_bx[0], kept_bx[1], d_kept)
+            kept_new = jnp.stack([kf, kc])
+        else:
+            kept_new = kept_bx + d_kept
 
         left3 = jnp.concatenate([col_lo[..., None], left[..., 1:]], axis=-1)
         right3 = jnp.concatenate(
@@ -444,7 +501,7 @@ def make_shear_packed_step(
             # flux remap applies (the reference has none for dissipation)
             left_d, right_d, planes_d = strip_pass(
                 P_new, kept_new, t + dt, dt, strip_d
-            )
+            )  # comp+dissip is gated off above, so kept_new is the face
             P_d = main_d(P_new, dt)
             P_new = assemble(P_d, left_d, right_d)
             if params.eta > 0:
@@ -462,11 +519,18 @@ def make_shear_packed_step(
 
 
 def pack_shear(params: RunParams, U: jnp.ndarray):
-    """Ghosted state -> (P, kept_bx) packed carry."""
+    """Ghosted state -> (P, kept_bx) packed carry. With params.compensated
+    the P channels double (zero-initialized Kahan carries) and kept_bx
+    becomes [2, nz, ny] (face + carry)."""
     g = params.ghost_width
     interior = U[:, g:-g, g:-g, g : g + params.nx]
-    P = jnp.pad(interior, ((0, 0), (g, g), (YB, YB), (0, 0)), mode="wrap")
     kept_bx = U[IA, g:-g, g:-g, params.nx + g]
+    if params.compensated:
+        interior = jnp.concatenate(
+            [interior, jnp.zeros_like(interior)], axis=0
+        )
+        kept_bx = jnp.stack([kept_bx, jnp.zeros_like(kept_bx)])
+    P = jnp.pad(interior, ((0, 0), (g, g), (YB, YB), (0, 0)), mode="wrap")
     return P, kept_bx
 
 
@@ -476,9 +540,11 @@ def unpack_shear(params: RunParams, P, kept_bx, t):
     from ..solvers.shear import make_all_boundaries_shear
 
     g = params.ghost_width
-    interior = P[:, g : g + params.nz, YB : YB + params.ny, :]
+    nv = params.nb_var
+    interior = P[:nv, g : g + params.nz, YB : YB + params.ny, :]
+    kept_face = kept_bx[0] if params.compensated else kept_bx
     U = jnp.pad(interior, ((0, 0),) + ((g, g),) * 3, mode="wrap")
-    U = U.at[IA, g:-g, g:-g, params.nx + g].set(kept_bx)
+    U = U.at[IA, g:-g, g:-g, params.nx + g].set(kept_face)
     return make_all_boundaries_shear(params, U, t)
 
 

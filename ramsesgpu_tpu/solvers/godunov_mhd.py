@@ -277,7 +277,7 @@ def mhd_fluxes_emfs_from_parts(params: RunParams, P, xpos, xp=None):
 
 def mhd_3d_interior_update(
     params: RunParams, U, dt, margin: tuple[int, int, int] | None = None,
-    xp=None, shear_planes: bool = False, xpos=None,
+    xp=None, shear_planes: bool = False, xpos=None, comp=None,
 ):
     """Scatter-free variant returning ONLY the updated interior
     [8, nz, ny, nx] — the form consumed by the fused Pallas kernel
@@ -301,19 +301,27 @@ def mhd_3d_interior_update(
     fluxes, emfs = _mhd_3d_fluxes_emfs(params, U, dt, xp=xp, xpos=xpos)
     return mhd_apply_update(
         params, U, fluxes, emfs, dt, margin=margin, xp=xp,
-        shear_planes=shear_planes,
+        shear_planes=shear_planes, comp=comp,
     )
 
 
 def mhd_apply_update(
     params: RunParams, U, fluxes, emfs, dt,
     margin: tuple[int, int, int] | None = None, xp=None,
-    shear_planes: bool = False,
+    shear_planes: bool = False, comp=None,
 ):
     """Conservative + CT update of the interior from precomputed face fluxes
     and edge EMFs (the tail of mhd_3d_interior_update; see its docstring).
     Exposed separately so the z-streaming kernel (pallas/zstream_mhd3d.py)
-    can apply it per plane with ring-carried flux/EMF slabs."""
+    can apply it per plane with ring-carried flux/EMF slabs.
+
+    ``comp``: a carried Kahan compensation field (same layout as U). When
+    given, the state update runs compensated — y = dU - c; U' = U + y;
+    c' = (U' - U) - y — and the function returns [2*nvar, ...] with the new
+    compensation channels appended. This removes the f32 ``U += dU``
+    accumulation loss (the dominant single-precision error in long runs;
+    the reference's answer is USE_DOUBLE, real_type.h:1-105 — on TPU f64
+    is ~86x-emulated, so compensated f32 is the production double story."""
     if xp is None:
         from ..ops.backend import JNP as xp
     g = params.ghost_width
@@ -345,18 +353,18 @@ def mhd_apply_update(
         xp.shift_p(emf_x, _Y) - emf_x
     ) * dtdy
     Ui = crop(U)
-    U_new = jnp.stack(
-        [
-            Ui[ID] + dU[ID],
-            Ui[IP] + dU[IP],
-            Ui[IU] + dU[IU],
-            Ui[IV] + dU[IV],
-            Ui[IW] + dU[IW],
-            Ui[IA] + dbx,
-            Ui[IB] + dby,
-            Ui[IC] + dbz,
-        ]
-    )
+    deltas = [dU[ID], dU[IP], dU[IU], dU[IV], dU[IW], dbx, dby, dbz]
+    if comp is None:
+        U_new = jnp.stack([Ui[c] + d for c, d in enumerate(deltas)])
+    else:
+        Ci = crop(comp)
+        outs, carries = [], []
+        for c, d in enumerate(deltas):
+            y = d - Ci[c]
+            t_ = Ui[c] + y
+            carries.append((t_ - Ui[c]) - y)
+            outs.append(t_)
+        U_new = jnp.stack(outs + carries)
     if not shear_planes:
         return U_new
     fpl = jnp.stack(
@@ -369,7 +377,7 @@ def mhd_apply_update(
 
 def mhd_3d_interior_update_staged(
     params: RunParams, U, dt,
-    margin: tuple[int, int, int] | None = None, xp=None,
+    margin: tuple[int, int, int] | None = None, xp=None, comp=None,
 ):
     """mhd_3d_interior_update with DEMAND-DRIVEN per-stage extents (BOX
     backend only). The box machinery shrinks intermediates forward through
@@ -443,7 +451,8 @@ def mhd_3d_interior_update_staged(
     # trim each lazy state stack to the flux/EMF demand before the solvers
     P = {k: (lambda f=v: clip(f(), 1, 1, 1, 1)) for k, v in P.items()}
     fluxes, emfs = mhd_fluxes_emfs_from_parts(params, P, None, xp=xp)
-    return mhd_apply_update(params, U, fluxes, emfs, dt, margin=margin, xp=xp)
+    return mhd_apply_update(params, U, fluxes, emfs, dt, margin=margin,
+                            xp=xp, comp=comp)
 
 
 def _uses_shear(params: RunParams) -> bool:

@@ -284,12 +284,14 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     XLA's buffer reuse across the while-loop carry.
     External contract unchanged (standard ghosted state in/out)."""
     from ..solvers.timestep import compute_inv_dt_mhd_packed
+    from .packed_io import make_packed_cfl_mhd
 
     g = params.ghost_width
     ny = params.ny
     nv = params.nb_var
     bz, by = params.pallas_tiles or _pick_tiles(params)
     fused = make_fused_mhd_packed_io(params, tiles=(bz, by))
+    cfl_kernel = make_packed_cfl_mhd(params)
     fused_dissip = None
     if params.compensated and (params.nu > 0 or params.eta > 0):
         raise ValueError(
@@ -321,11 +323,10 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
         )
 
     def dt_of(P):
-        # slice-based inv-dt on the packed layout: z/y +1 face-B shifts come
-        # from the ghost rows as pure slices (fused into the reduction), the
-        # x shift is one single-component in-row roll = the periodic BC.
-        # Matches compute_dt on the ghosted state bit-for-bit.
-        return params.cfl / compute_inv_dt_mhd_packed(params, P, y0=YB)
+        # streaming Pallas CFL reduction (packed_io.make_packed_cfl_mhd):
+        # bit-identical to compute_inv_dt_mhd_packed, ~HBM-bound instead of
+        # the XLA pass's ~4x-padded read
+        return params.cfl / cfl_kernel(P)
 
     @jax.jit
     def advance_n(U, t, n_steps):

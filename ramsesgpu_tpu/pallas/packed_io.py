@@ -48,6 +48,88 @@ def unpack_state(params: RunParams, P: jnp.ndarray) -> jnp.ndarray:
     return P[:, g : g + params.nz, YB : YB + params.ny, :]
 
 
+def make_packed_cfl_mhd(params: RunParams, interpret: bool = False):
+    """Build ``inv_dt(P) -> scalar``: the MHD CFL reduction over the packed
+    state as ONE streaming Pallas kernel (the TPU form of the reference's
+    cmpdt block reduction, cmpdt_mhd.cuh:43-230). The XLA version
+    (timestep.compute_inv_dt_mhd_packed) reads the full state but costs
+    ~2.5 ms at 256^3 (~4x the HBM bound) — layout padding and the lane roll
+    keep it off the fused-reduction fast path. Here z-slabs of bzc+1 planes
+    stream through VMEM double-buffered, each reduced to a running SMEM max;
+    bit-identical to the XLA reduction (same field formulas, max is exactly
+    associative)."""
+    from ..core.constants import IA, IB, IC, ID, IP, IU, IV, IW
+    from ..solvers.timestep import _inv_dt_mhd_fields
+
+    g = params.ghost_width
+    nv = params.nb_var
+    nz, ny, nx = params.nz, params.ny, params.nx
+    bzc = next(b for b in (8, 4, 2, 1) if nz % b == 0)
+    wy = ny + 2 * YB
+    nzb = nz // bzc
+
+    def kernel(p_hbm, out_ref, win, sem):
+        zi = pl.program_id(0)
+        slot = jax.lax.rem(zi, 2)
+
+        def in_dma(z, s):
+            return pltpu.make_async_copy(
+                p_hbm.at[:nv, pl.ds(g + z * bzc, bzc + 1), :, :],
+                win.at[s],
+                sem.at[s],
+            )
+
+        @pl.when(zi == 0)
+        def _():
+            in_dma(zi, slot).start()
+
+        @pl.when(zi + 1 < nzb)
+        def _():
+            in_dma(zi + 1, 1 - slot).start()
+
+        in_dma(zi, slot).wait()
+        W = win[slot]
+        zs, ys = slice(0, bzc), slice(YB, YB + ny)
+        rho = jnp.maximum(W[ID, zs, ys, :], params.smallr)
+        ia = W[IA, zs, ys, :]
+        inv = _inv_dt_mhd_fields(
+            params,
+            W[ID, zs, ys, :],
+            W[IP, zs, ys, :],
+            W[IU, zs, ys, :] / rho,
+            W[IV, zs, ys, :] / rho,
+            W[IW, zs, ys, :] / rho,
+            0.5 * (ia + jnp.roll(ia, -1, -1)),
+            0.5 * (W[IB, zs, ys, :] + W[IB, zs, YB + 1 : YB + ny + 1, :]),
+            0.5 * (W[IC, zs, ys, :] + W[IC, 1 : bzc + 1, ys, :]),
+        )
+        prev = jnp.where(zi == 0, jnp.zeros_like(inv), out_ref[0, 0])
+        out_ref[0, 0] = jnp.maximum(prev, inv)
+
+    dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+    fused = pl.pallas_call(
+        kernel,
+        grid=(nzb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, nv, bzc + 1, wy, nx), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret or _interpret_flag(),
+    )
+
+    def inv_dt(P):
+        P = jax.lax.optimization_barrier(P)
+        return jax.lax.optimization_barrier(fused(P))[0, 0]
+
+    return inv_dt
+
+
 def make_packed_io_step(
     params: RunParams,
     tiles: tuple[int, int],

@@ -47,10 +47,12 @@ def _shrink(config: ConfigMap) -> None:
 @pytest.mark.parametrize(
     "ini", INI_FILES, ids=[os.path.basename(p) for p in INI_FILES]
 )
-def test_shipped_ini_runs(ini):
+def test_shipped_ini_runs(ini, tmp_path, monkeypatch):
     name = os.path.basename(ini)
     if name in _NEEDS_RESTART_FILE:
         pytest.skip("restart config; needs a prior snapshot")
+    # Run writes its history file into the CWD even with do_output=False
+    monkeypatch.chdir(tmp_path)
     config = ConfigMap(ini)
     _shrink(config)
     params = params_from_config(config)

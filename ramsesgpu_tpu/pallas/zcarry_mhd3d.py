@@ -1,0 +1,382 @@
+"""z-BLOCK-streaming Pallas kernel for the fully-periodic 3D MHD+CT step.
+
+The packed-IO kernel (packed_io.py) recomputes every stage on its z stencil
+margins: at the (8, 32) tile the staged demand-driven extents still carry a
+~1.37x z recompute factor (each stage runs on bz+3..bz+5 planes for bz=8
+output planes). The per-PLANE streaming kernel (zstream_mhd3d.py) computes
+every plane exactly once but pays a fixed cost per grid iteration — at one
+plane per iteration that overhead dominates (20% slower than tiled overall)
+and its full-row rings exceed VMEM above ny=192.
+
+This kernel streams z in BLOCKS of bz planes (the tile size), with y tiled
+as in the packed kernel: grid = (ny/by, nz/bz + 1), z innermost. Persistent
+VMEM buffers carry each stage's top planes from one z tile to the next, so
+every stage computes only ~bz+1 fresh planes per tile (the +1 is the
+forward shadow of the in-stage z shifts). The per-iteration work stays as
+beefy as the packed kernel's (same tile volume), so the fixed-cost overhead
+that sank the per-plane kernel amortizes 8x.
+
+Reference analogue: the CUDA kernels' 4-plane shared-memory ring
+(godunov_unsplit_mhd.cuh:753-800), generalized from 1-plane steps to
+bz-plane blocks.
+
+Carry chain per z tile, in LOCAL plane coordinates (tile interior =
+[0, bz); buffer slot s holds local plane s - 1, except the shared buffers
+whose slot s holds plane s):
+
+    buffer    extent        carry slots          fresh        inputs
+    U         [-1, bz+3)    [bz,bz+4) -> [0,4)   [3, bz+3)    DMA
+    Q         [-1, bz+2)    [bz,bz+3) -> [0,3)   [2, bz+2)    U [2, bz+3)
+    shared    [ 0, bz+2)    [bz,bz+2) -> [0,2)   [2, bz+2)    Q,U [1, bz+2)
+    states5   [-1, bz+1)    [bz] -> [0]          [0, bz+1)    in-plane
+    flux/EMF  [ 0, bz+1)    (none)               all          states
+    update    [ 0, bz)      (none)               all          U, fluxes
+
+The z tile index runs 0..nz/bz: tile 0 is a WARMUP that populates each
+column's carries (planes -1..2). Its U window dips below the packed array
+(global planes < -g): the DMA fetches only the valid [-g, 3) sub-range and
+the deeper slots hold junk — every plane the real tiles' demand chain reads
+is computed from U >= -g (the same invariant that sizes the ghost width),
+so the junk never reaches an output. Warmup tiles write no output.
+
+Output contract matches make_packed_io_step: tile (zi-1, yi) interior
+blocks plus the wrap ghost bands, bitwise the whole-array step's values
+(identical ops on identical inputs; parity-tested in tests/test_pallas.py).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config.params import RunParams
+from .packed_io import YB
+
+
+def _interpret_flag() -> bool:
+    from .. import pallas as _pkg
+
+    return bool(getattr(_pkg, "INTERPRET", False))
+
+
+def zcarry_supported(params: RunParams) -> bool:
+    from .fused_mhd3d import _pick_tiles, pallas_packed_supported
+
+    bz, by = params.pallas_tiles or _pick_tiles(params)
+    return (
+        pallas_packed_supported(params)
+        and not params.compensated
+        and params.nu == 0.0
+        and params.eta == 0.0
+        and bz >= params.ghost_width
+        and params.nz % bz == 0
+        and params.ny % by == 0
+    )
+
+
+def make_zcarry_mhd_packed_io(
+    params: RunParams,
+    tiles: tuple[int, int] | None = None,
+    interpret: bool = False,
+) -> Callable:
+    """Build ``step_packed(P, dt) -> P_new`` on the packed loop state."""
+    from ..core.constants import IA, IB, IC
+    from ..ops.backend import BOX, BoxField
+    from ..ops.eos import constoprim_mhd
+    from ..ops.trace_mhd3d import (
+        trace_mhd3d_local_precursors,
+        trace_mhd3d_shared_precursors,
+        trace_mhd3d_state_parts,
+    )
+    from ..solvers.godunov_mhd import (
+        mhd_apply_update,
+        mhd_fluxes_emfs_from_parts,
+    )
+    from .fused_mhd3d import _pick_tiles
+
+    if params.omega0 > 0:
+        raise ValueError("zcarry kernel does not cover the rotating frame")
+    g = params.ghost_width
+    nv = params.nb_var
+    nz, ny, nx = params.nz, params.ny, params.nx
+    bz, by = tiles or _pick_tiles(params)
+    if nz % bz or ny % by or by < YB or bz < g:
+        raise ValueError(f"tiles {(bz, by)} unsupported for {(nz, ny)}")
+    wy = by + 2 * YB
+    rows_c = by + 2 * g                # clipped compute row width
+    nzb, nyb = nz // bz, ny // by
+    dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+
+    tile_params = params.replace(
+        ny=by, nz=bz,
+        ymax=params.ymin + by * params.dy,
+        zmax=params.zmin + bz * params.dz,
+    )
+
+    # carried y-box metadata, discovered at trace time (zstream pattern):
+    # every store records the BoxField's static y box; loads re-wrap the
+    # stored rows with it (the kernel body is traced exactly once, and
+    # program order guarantees store-before-first-load per buffer)
+    meta: dict[str, tuple[int, int]] = {}
+
+    def kernel(
+        dt_ref, p_hbm, out_ref,
+        u_b, q_b, sh0, sh1, sh2, sh3, st0, st1, st2, st3, st4,
+        res, sem_in, sem_out,
+    ):
+        sh_bufs = (sh0, sh1, sh2, sh3)
+        st_bufs = (st0, st1, st2, st3, st4)
+        yi = pl.program_id(0)
+        zi = pl.program_id(1)          # 0 = warmup tile of this column
+        z0 = (zi - 1) * bz             # global plane of the tile start
+        i = yi * (nzb + 1) + zi        # linear grid step
+        dt = dt_ref[0, 0]
+
+        def store(buf, name, field, lo_plane, n, slot_of_plane):
+            """Clip ``field`` to planes [lo_plane, lo_plane+n) and store."""
+            oy, rows = field.oy, field.value.shape[-2]
+            prev = meta.setdefault(name, (oy, rows))
+            if prev != (oy, rows):
+                raise AssertionError(
+                    f"{name}: inconsistent y box {prev} vs {(oy, rows)}"
+                )
+            k0 = lo_plane - field.oz
+            if k0 < 0 or k0 + n > field.value.shape[-3]:
+                raise AssertionError(
+                    f"{name}: extent [{field.oz}, "
+                    f"{field.oz + field.value.shape[-3]}) misses "
+                    f"[{lo_plane}, {lo_plane + n})"
+                )
+            s0 = slot_of_plane(lo_plane)
+            buf[..., s0 : s0 + n, 0:rows, :] = field.value[
+                ..., k0 : k0 + n, :, :
+            ]
+
+        # ---- copy-downs: previous tile's top planes -> buffer bottom ----
+        # (at warmup these move junk the demand chain never reads)
+        u_b[:, 0:4] = u_b[:, bz : bz + 4]
+        q_b[:, 0:3] = q_b[:, bz : bz + 3]
+        for b in sh_bufs:
+            b[0:2] = b[bz : bz + 2]
+        for b in st_bufs:
+            b[:, 0:1] = b[:, bz : bz + 1]
+
+        # ---- fresh U planes [3, bz+3) by DMA (warmup: valid sub-range
+        # [-g, 3) -> slots [bz-g+1, bz+4); normal: [z0+3, z0+bz+3)) ----
+        @pl.when(zi == 0)
+        def _():
+            c = pltpu.make_async_copy(
+                p_hbm.at[:, pl.ds(0, g + 3), pl.ds(yi * by, wy), :],
+                u_b.at[:, pl.ds(bz + 1 - g, g + 3)],
+                sem_in,
+            )
+            c.start()
+            c.wait()
+
+        @pl.when(zi > 0)
+        def _():
+            c = pltpu.make_async_copy(
+                p_hbm.at[:, pl.ds(g + z0 + 3, bz), pl.ds(yi * by, wy), :],
+                u_b.at[:, pl.ds(4, bz)],
+                sem_in,
+            )
+            c.start()
+            c.wait()
+
+        # local-frame U view, clipped to the stencil-consumed y extent
+        def u_slab(lo, n):
+            return BoxField(
+                u_b[:, lo + 1 : lo + 1 + n, YB - g : YB + by + g, :],
+                lo, YB - g,
+            )
+
+        # ---- Q fresh [2, bz+2) <- U [2, bz+3) ----
+        Q_new, _c = constoprim_mhd(
+            tile_params, u_slab(2, bz + 1), dt, xp=BOX
+        )
+        store(q_b, "q", Q_new, 2, bz, lambda p: p + 1)
+
+        def q_slab(lo, n):
+            oy, rows = meta["q"]
+            return BoxField(q_b[:, lo + 1 : lo + 1 + n, 0:rows, :], lo, oy)
+
+        # ---- shared precursors fresh [2, bz+2) <- Q,U [1, bz+2) ----
+        u1 = u_slab(1, bz + 1)
+        sh_new = trace_mhd3d_shared_precursors(
+            tile_params, q_slab(1, bz + 1),
+            u1[IA], u1[IB], u1[IC], None, xp=BOX,
+        )
+        for k, f in enumerate(sh_new):
+            store(sh_bufs[k], f"sh{k}", f, 2, bz, lambda p: p)
+
+        def sh_tuple(lo, n, oz):
+            out = []
+            for k in range(4):
+                oy, rows = meta[f"sh{k}"]
+                out.append(
+                    BoxField(sh_bufs[k][lo : lo + n, 0:rows, :], oz, oy)
+                )
+            return tuple(out)
+
+        # ---- trace states fresh [0, bz+1) (in-plane assembly) ----
+        local = trace_mhd3d_local_precursors(
+            tile_params, q_slab(-1, bz + 3),
+            u_slab(-1, bz + 3)[IA], u_slab(-1, bz + 3)[IB], xp=BOX,
+        )
+        shared = sh_tuple(0, bz + 1, 0)
+        # z+1 planes declared AT the consuming plane (the whole-array path
+        # shifts them down with shift_p(_Z))
+        shared_p = sh_tuple(1, bz + 1, 0)
+        bfz_p = BoxField(
+            u_b[IC, 2 : bz + 3, YB - g : YB + by + g, :], 0, YB - g
+        )
+        u0 = u_slab(0, bz + 1)
+        P = trace_mhd3d_state_parts(
+            tile_params, q_slab(0, bz + 1),
+            u0[IA], u0[IB], u0[IC], bfz_p,
+            shared, shared_p, local, dt, None, xp=BOX,
+        )
+        # persist the 5 cross-tile stacks; hand the flux assembly the
+        # carried [-1, bz) slabs in their place (their shift_m(_Z) in the
+        # assembly then aligns them at the consuming plane)
+        names = ("qm_z", "qRT_y", "qLT_y", "qRT_x", "qLT_x")
+        for k, nm in enumerate(names):
+            store(st_bufs[k], f"st{k}", P[nm](), 0, bz + 1,
+                  lambda p: p + 1)
+        P2 = dict(P)
+
+        def carried(k):
+            oy, rows = meta[f"st{k}"]
+            return BoxField(st_bufs[k][:, 0 : bz + 1, 0:rows, :], -1, oy)
+
+        for k, nm in enumerate(names):
+            P2[nm] = (lambda k=k: carried(k))
+
+        fluxes, emfs = mhd_fluxes_emfs_from_parts(
+            tile_params, P2, None, xp=BOX
+        )
+        upd = mhd_apply_update(
+            tile_params, u_slab(0, bz), fluxes, emfs, dt,
+            margin=(0, YB, 0), xp=BOX,
+        )
+
+        # ---- output DMAs for tile (zi-1, yi): interior block + wrap
+        # ghost bands (same spec as packed_io.make_packed_io_step).
+        # Slots and deferred drains index REAL tiles (warmups issue no
+        # DMAs and must not advance the slot/drain bookkeeping).
+        j = yi * nzb + (zi - 1)        # real-tile linear index (zi >= 1)
+        slot = jax.lax.rem(j, 2)
+
+        def out_dmas(z, y, s):
+            zmain = pl.ds(g + z * bz, bz)
+            ymain = pl.ds(YB + y * by, by)
+            zall, yall = pl.ds(0, bz), pl.ds(0, by)
+            zlow, zhigh = pl.ds(0, g), pl.ds(nz + g, g)
+            ylow, yhigh = pl.ds(0, YB), pl.ds(YB + ny, YB)
+            zsrc_hi, ysrc_hi = pl.ds(bz - g, g), pl.ds(by - YB, YB)
+            specs = [
+                (True, (zall, yall, zmain, ymain)),
+                (z == nzb - 1, (zsrc_hi, yall, zlow, ymain)),
+                (z == 0, (pl.ds(0, g), yall, zhigh, ymain)),
+                (y == nyb - 1, (zall, ysrc_hi, zmain, ylow)),
+                (y == 0, (zall, pl.ds(0, YB), zmain, yhigh)),
+                (jnp.logical_and(z == nzb - 1, y == nyb - 1),
+                 (zsrc_hi, ysrc_hi, zlow, ylow)),
+                (jnp.logical_and(z == nzb - 1, y == 0),
+                 (zsrc_hi, pl.ds(0, YB), zlow, yhigh)),
+                (jnp.logical_and(z == 0, y == nyb - 1),
+                 (pl.ds(0, g), ysrc_hi, zhigh, ylow)),
+                (jnp.logical_and(z == 0, y == 0),
+                 (pl.ds(0, g), pl.ds(0, YB), zhigh, yhigh)),
+            ]
+            return [
+                (cond,
+                 pltpu.make_async_copy(
+                     res.at[s, :, sz, sy, :],
+                     out_ref.at[:, dz, dy, :],
+                     sem_out.at[s],
+                 ))
+                for cond, (sz, sy, dz, dy) in specs
+            ]
+
+        def run(lst, op):
+            for cond, copy in lst:
+                if cond is True:
+                    op(copy)
+                else:
+                    pl.when(cond)(lambda c=copy: op(c))
+
+        # drain the DMAs issued two REAL tiles ago on this slot, then
+        # stage + start this tile's
+        jp2 = j - 2
+        zp2 = jax.lax.rem(jp2, nzb)
+        yp2 = jax.lax.div(jp2, nzb)
+
+        @pl.when(jnp.logical_and(zi > 0, jp2 >= 0))
+        def _():
+            run(out_dmas(zp2, yp2, slot), lambda c: c.wait())
+
+        @pl.when(zi > 0)
+        def _():
+            res[slot] = upd
+            run(out_dmas(zi - 1, yi, slot), lambda c: c.start())
+
+        # final drains at the last real tile: its own DMAs + the previous
+        # real tile's (other slot)
+        last_j = nyb * nzb - 1
+        jp1 = j - 1
+        zp1 = jax.lax.rem(jp1, nzb)
+        yp1 = jax.lax.div(jp1, nzb)
+
+        @pl.when(jnp.logical_and(zi > 0, j == last_j))
+        def _():
+            run(out_dmas(nzb - 1, nyb - 1, slot), lambda c: c.wait())
+
+            @pl.when(jp1 >= 0)
+            def _():
+                run(out_dmas(zp1, yp1, 1 - slot), lambda c: c.wait())
+
+    out_shape = jax.ShapeDtypeStruct(
+        (nv, nz + 2 * g, ny + 2 * YB, nx), dtype
+    )
+
+    fused = pl.pallas_call(
+        kernel,
+        grid=(nyb, nzb + 1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nv, bz + 4, wy, nx), dtype),            # U
+            pltpu.VMEM((nv, bz + 3, rows_c, nx), dtype),        # Q
+            pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh0
+            pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh1
+            pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh2
+            pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh3
+            pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st0
+            pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st1
+            pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st2
+            pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st3
+            pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st4
+            pltpu.VMEM((2, nv, bz, by, nx), dtype),             # result
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret or _interpret_flag(),
+    )
+
+    def step_packed(P, dt):
+        dt_arr = jnp.reshape(dt, (1, 1)).astype(P.dtype)
+        P, dt_arr = jax.lax.optimization_barrier((P, dt_arr))
+        return jax.lax.optimization_barrier(fused(dt_arr, P))
+
+    return step_packed

@@ -175,6 +175,30 @@ def test_fused_hydro_kernel_matches_whole_array(dims, solver):
     np.testing.assert_allclose(out, ref[:, g:-g, g:-g, g:-g], rtol=0, atol=1e-6)
 
 
+def test_zcarry_step_matches_packed():
+    """z-BLOCK-streaming kernel (pallas/zcarry_mhd3d.py) vs the packed-IO
+    kernel on the full packed state incl. wrap ghost bands."""
+    from ramsesgpu_tpu.pallas.fused_mhd3d import make_fused_mhd_packed_io
+    from ramsesgpu_tpu.pallas.packed_io import pack_state
+    from ramsesgpu_tpu.pallas.zcarry_mhd3d import (
+        make_zcarry_mhd_packed_io,
+        zcarry_supported,
+    )
+
+    nx, ny, nz = 16, 16, 16
+    config = ConfigMap(text=OT3D_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config).replace(pallas_tiles=(8, 8))
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_boundaries(params, U0)
+    P = pack_state(params, U0[:, 3:-3, 3:-3, 3:-3])
+    dt = jnp.asarray(0.003, P.dtype)
+    ref = make_fused_mhd_packed_io(params, tiles=(8, 8), interpret=True)
+    zc = make_zcarry_mhd_packed_io(params, tiles=(8, 8), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(zc(P, dt)), np.asarray(ref(P, dt)), rtol=0, atol=5e-8
+    )
+
+
 @pytest.mark.parametrize("dims", [(128, 16, 8), (128, 24, 12)])
 def test_zstream_step_matches_whole_array(dims):
     """One z-streaming kernel step (per-plane pipeline, ring-carried

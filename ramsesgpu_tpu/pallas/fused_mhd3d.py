@@ -293,10 +293,6 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     fused = make_fused_mhd_packed_io(params, tiles=(bz, by))
     cfl_kernel = make_packed_cfl_mhd(params)
     fused_dissip = None
-    if params.compensated and (params.nu > 0 or params.eta > 0):
-        raise ValueError(
-            "compensated packed advance does not cover dissipative runs yet"
-        )
     if params.nu > 0 or params.eta > 0:
         # dissipative sub-step as a SECOND packed-io launch: the first
         # launch's in-kernel wrap-ghost bands ARE the inter-phase refill
@@ -304,12 +300,20 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
         from ..ops.backend import BOX
         from ..solvers.dissipation import mhd_dissipation_interior_update
 
-        def _dissip_update(tile_params, Ubox, dt, margin):
+        def _dissip_update(tile_params, W, dt, margin):
+            if params.compensated:
+                return mhd_dissipation_interior_update(
+                    tile_params, W[:nv], dt, margin=margin, xp=BOX,
+                    comp=W[nv:],
+                )
             return mhd_dissipation_interior_update(
-                tile_params, Ubox, dt, margin=margin, xp=BOX
+                tile_params, W, dt, margin=margin, xp=BOX
             )
 
-        fused_dissip = make_packed_io_step(params, (bz, by), _dissip_update)
+        fused_dissip = make_packed_io_step(
+            params, (bz, by), _dissip_update,
+            nvar=2 * nv if params.compensated else None,
+        )
     t_end = params.t_end
 
     def pack(interior):

@@ -186,7 +186,7 @@ def _make_strip_kernel(
     nzb = nz // bz
     xw = 4 * g * 2                       # 24 sublanes: 18 live + 6 dead
     nv = params.nb_var
-    comp = params.compensated and mode == "godunov"
+    comp = params.compensated
     nvc = 2 * nv if comp else nv         # channels: [U | Kahan carries]
 
     # tile/window-shaped params for the crops; dx/dy/dz are derived from
@@ -236,10 +236,11 @@ def _make_strip_kernel(
                 mhd_dissipation_interior_update,
             )
 
+            Wc = W[nv:] if comp else None
             right = mhd_dissipation_interior_update(
-                p_win, W, dt, margin=(g, 0, g), xp=JNP_T)
+                p_win, W[:nv], dt, margin=(g, 0, g), xp=JNP_T, comp=Wc)
             left = mhd_dissipation_interior_update(
-                p_win, W, dt, margin=(g, 0, 4 * g), xp=JNP_T)
+                p_win, W[:nv], dt, margin=(g, 0, 4 * g), xp=JNP_T, comp=Wc)
             zero_pl = jnp.zeros((bz, 1, wy), W.dtype)
             if params.eta > 0:
                 # resistive emfY/emfZ at the xmax face for the kept-Bx CT
@@ -327,21 +328,23 @@ def make_shear_packed_step(
     comp = params.compensated
     nvc = 2 * nv if comp else nv
     dissip = params.nu > 0 or params.eta > 0
-    if comp and dissip:
-        raise ValueError(
-            "compensated packed shear does not cover dissipative runs yet"
-        )
     if dissip:
         from ..ops.backend import BOX
         from ..solvers.dissipation import mhd_dissipation_interior_update
 
-        def _dissip_update(tile_params, Ubox, dtv, margin):
+        def _dissip_update(tile_params, W, dtv, margin):
+            if comp:
+                return mhd_dissipation_interior_update(
+                    tile_params, W[:nv], dtv, margin=margin, xp=BOX,
+                    comp=W[nv:],
+                )
             return mhd_dissipation_interior_update(
-                tile_params, Ubox, dtv, margin=margin, xp=BOX
+                tile_params, W, dtv, margin=margin, xp=BOX
             )
 
         main_d = make_packed_io_step(params, tiles, _dissip_update,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     nvar=2 * nv if comp else None)
         strip_d = _make_strip_kernel(params, tiles[0], interpret,
                                      mode="dissip")
 
@@ -404,10 +407,9 @@ def make_shear_packed_step(
         out = kernel(St, dt)
 
         yi = slice(g, g + ny)
-        nvo = nvc if kernel is strip_k else nv
-        right = jnp.swapaxes(out[:nvo, :, g : 2 * g, yi], -1, -2)
-        left = jnp.swapaxes(out[:nvo, :, 4 * g : 5 * g, yi], -1, -2)
-        planes = tuple(out[nvo, :, 5 * g + k, yi] for k in range(5))
+        right = jnp.swapaxes(out[:nvc, :, g : 2 * g, yi], -1, -2)
+        left = jnp.swapaxes(out[:nvc, :, 4 * g : 5 * g, yi], -1, -2)
+        planes = tuple(out[nvc, :, 5 * g + k, yi] for k in range(5))
         return left, right, planes
 
     def assemble(P_main, left3, right3):
@@ -499,9 +501,10 @@ def make_shear_packed_step(
             # remap before it (MHDRunGodunov.cpp:1968-1976) — here that is
             # the fresh strip slabs at t+dt from the post-Godunov state; no
             # flux remap applies (the reference has none for dissipation)
+            kept_face2 = kept_new[0] if comp else kept_new
             left_d, right_d, planes_d = strip_pass(
-                P_new, kept_new, t + dt, dt, strip_d
-            )  # comp+dissip is gated off above, so kept_new is the face
+                P_new, kept_face2, t + dt, dt, strip_d
+            )
             P_d = main_d(P_new, dt)
             P_new = assemble(P_d, left_d, right_d)
             if params.eta > 0:
@@ -509,9 +512,14 @@ def make_shear_packed_step(
                 # (apply_resistivity_ct's curl reaches the first xmax ghost
                 # face; fused path: fused_mhd3d.make_pallas_shear_step_fn)
                 eypl2, ezpl2 = planes_d[0], planes_d[1]
-                kept_new = kept_new + dtdy * (
+                d_kept2 = dtdy * (
                     jnp.roll(ezpl2, -1, axis=1) - ezpl2
                 ) - dtdz * (jnp.roll(eypl2, -1, axis=0) - eypl2)
+                if comp:
+                    kf, kc = kadd(kept_new[0], kept_new[1], d_kept2)
+                    kept_new = jnp.stack([kf, kc])
+                else:
+                    kept_new = kept_new + d_kept2
 
         return P_new, kept_new, dt
 

@@ -284,7 +284,7 @@ def apply_dissipation_mhd(params: RunParams, U: jnp.ndarray, dt) -> jnp.ndarray:
 
 def mhd_dissipation_interior_update(
     params: RunParams, U, dt, margin: tuple[int, int, int] | None = None,
-    xp=None, shear_planes: bool = False,
+    xp=None, shear_planes: bool = False, comp=None,
 ):
     """Scatter-free 3D dissipative update returning ONLY the new interior
     [8, nz, ny, nx] — the form the fused dissipation kernel consumes
@@ -295,6 +295,10 @@ def mhd_dissipation_interior_update(
     ``shear_planes=True`` additionally returns the resistive emfY and emfZ
     planes at the domain xmax face — the CT update of the KEPT Bx face in
     shearing-box runs (solvers/shear.py) also gets the resistive curl.
+
+    ``comp``: carried Kahan compensation field; when given the additions
+    run compensated and [2*nvar, ...] is returned (state + new carries) —
+    see godunov_mhd.mhd_apply_update.
     """
     xp = _default_xp(xp)
     g = params.ghost_width
@@ -332,19 +336,45 @@ def mhd_dissipation_interior_update(
     dU = {}
     if params.eta > 0 and params.c_iso <= 0:
         efl = compute_resistivity_energy_fluxes(params, U2, dt, xp=xp)
-        for axis, comp in efl.items():
-            for slot, flx in comp.items():
+        for axis, comps in efl.items():
+            for slot, flx in comps.items():
                 dU[slot] = dU.get(slot, 0.0) + crop(flx - xp.shift_p(flx, axis))
     if params.nu > 0:
         vfl = compute_viscosity_fluxes(params, U2, dt, xp=xp)
-        for axis, comp in vfl.items():
-            for slot, flx in comp.items():
+        for axis, comps in vfl.items():
+            for slot, flx in comps.items():
                 dU[slot] = dU.get(slot, 0.0) + crop(flx - xp.shift_p(flx, axis))
 
-    Ui = [crop(U2[c]) for c in range(params.nb_var)]
-    for slot, d in dU.items():
-        Ui[slot] = Ui[slot] + d
-    out = jnp.stack(Ui)
+    if comp is None:
+        Ui = [crop(U2[c]) for c in range(params.nb_var)]
+        for slot, d in dU.items():
+            Ui[slot] = Ui[slot] + d
+        out = jnp.stack(Ui)
+        if shear_planes:
+            return out, eypl, ezpl
+        return out
+
+    # compensated: collect EXPLICIT per-channel deltas (crop(U)+crop(db)
+    # is bitwise crop(U+db); non-B channels are untouched by the CT) and
+    # Kahan-add them against the carried compensation
+    deltas = dict(dU)
+    if params.eta > 0:
+        deltas[IA] = crop(dbx)
+        deltas[IB] = crop(dby)
+        deltas[IC] = crop(dbz)
+    Ui = [crop(U[c]) for c in range(params.nb_var)]
+    Ci = [crop(comp[c]) for c in range(params.nb_var)]
+    outs, carries = [], []
+    for c in range(params.nb_var):
+        if c in deltas:
+            y = deltas[c] - Ci[c]
+            t_ = Ui[c] + y
+            carries.append((t_ - Ui[c]) - y)
+            outs.append(t_)
+        else:
+            outs.append(Ui[c])
+            carries.append(Ci[c])
+    out = jnp.stack(outs + carries)
     if shear_planes:
         return out, eypl, ezpl
     return out

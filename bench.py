@@ -101,6 +101,24 @@ def bench_size(n: int, slabs: int, n_warmup: int = 2, n_iter: int = 10):
 
 
 def main() -> int:
+    # watchdog: a wedged device tunnel (e.g. after a TPU-side crash) makes
+    # the first device op hang indefinitely; emit an honest zero instead of
+    # hanging the harness. 30 min >> worst-case remote compile (~8 min).
+    import os
+    import threading
+
+    def _too_long():
+        print(json.dumps({
+            "metric": "error: device unresponsive within 1800s "
+                      "(tunnel wedged?)",
+            "value": 0, "unit": "cells/s", "vs_baseline": 0,
+        }), flush=True)
+        os._exit(1)
+
+    watchdog = threading.Timer(1800.0, _too_long)
+    watchdog.daemon = True
+    watchdog.start()
+
     value = None
     used_n = None
     # z-slab count bounds the live scratch of the whole-array pipeline
@@ -114,6 +132,7 @@ def main() -> int:
             print(f"bench at {n}^3 failed: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
             continue
+    watchdog.cancel()
     if value is None:
         print(json.dumps({"metric": "error", "value": 0, "unit": "", "vs_baseline": 0}))
         return 1

@@ -290,7 +290,18 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     ny = params.ny
     nv = params.nb_var
     bz, by = params.pallas_tiles or _pick_tiles(params)
-    fused = make_fused_mhd_packed_io(params, tiles=(bz, by))
+    if params.kernel == "zcarry":
+        # opt-in z-block-streaming kernel ([implementation] kernel=zcarry):
+        # stage carries across z tiles, pallas/zcarry_mhd3d.py. Kept off
+        # the auto path until hardware-validated (first TPU run crashed
+        # the axon tunnel; the drain fix is in, see STATUS.md).
+        from .zcarry_mhd3d import make_zcarry_mhd_packed_io, zcarry_supported
+
+        if not zcarry_supported(params):
+            raise ValueError("configuration outside the zcarry kernel")
+        fused = make_zcarry_mhd_packed_io(params, tiles=(bz, by))
+    else:
+        fused = make_fused_mhd_packed_io(params, tiles=(bz, by))
     cfl_kernel = make_packed_cfl_mhd(params)
     fused_dissip = None
     if params.nu > 0 or params.eta > 0:

@@ -224,11 +224,13 @@ def make_advance_n(params: RunParams, config=None) -> Callable:
 
     if (
         params.dim == 3
-        and params.kernel in ("auto", "pallas")
+        and params.kernel in ("auto", "pallas", "zcarry")
         and not uses_shear(params)
         and make_gravity_field(params, config) is None
     ):
-        backend_ok = params.kernel == "pallas" or jax.default_backend() == "tpu"
+        backend_ok = params.kernel in ("pallas", "zcarry") or (
+            jax.default_backend() == "tpu"
+        )
         if backend_ok and params.mhd:
             from ..pallas.fused_mhd3d import (
                 make_pallas_advance_n,

@@ -435,14 +435,23 @@ def make_pallas_step_fn(params: RunParams) -> Callable:
 # --------------------------------------------------------------------------- #
 # shearing-box / rotating-frame (MRI) fused kernel
 # --------------------------------------------------------------------------- #
-def pallas_shear_supported(params: RunParams) -> bool:
+def pallas_shear_supported(params: RunParams, stratified: bool = False) -> bool:
     """Fused-kernel coverage for the shearing-box step (the reference's
     flagship MRI workload, README.md:5-7): rotating-frame trace/EMF terms run
     inside the kernel; the conservative flux/emfY remap at the domain x-faces
-    stays outside (it needs global y interpolation). Stratified gravity and
-    z-boundaries stay on the whole-array path this round."""
+    stays outside (it needs global y interpolation). ``stratified=True``
+    additionally allows the BC_Z_STRATIFIED vertical boundary + in-kernel
+    analytic gravity (gravity_z of make_fused_mhd_shear)."""
     from ..core.constants import BoundaryConditionType as BCT
 
+    z_ok = (
+        params.boundary_zmin == BCT.BC_PERIODIC
+        and params.boundary_zmax == BCT.BC_PERIODIC
+    ) or (
+        stratified
+        and params.boundary_zmin == BCT.BC_Z_STRATIFIED
+        and params.boundary_zmax == BCT.BC_Z_STRATIFIED
+    )
     return (
         params.dim == 3
         and params.mhd
@@ -451,8 +460,7 @@ def pallas_shear_supported(params: RunParams) -> bool:
         and params.boundary_xmax == BCT.BC_SHEARINGBOX
         and params.boundary_ymin == BCT.BC_PERIODIC
         and params.boundary_ymax == BCT.BC_PERIODIC
-        and params.boundary_zmin == BCT.BC_PERIODIC
-        and params.boundary_zmax == BCT.BC_PERIODIC
+        and z_ok
         and params.ny % 8 == 0
         and params.dtype == "float32"
     )
@@ -462,13 +470,19 @@ def make_fused_mhd_shear(
     params: RunParams,
     tiles: tuple[int, int] | None = None,
     interpret: bool = False,
+    gravity_z: Callable | None = None,
 ) -> Callable:
     """Build ``update(U_ghosted, dt) -> (U_int_new, fpl, eypl, ezpl)`` for
     the rotating-frame step: the full primitives -> rotating trace -> HLLD ->
     EMF -> CT pipeline per VMEM window (x stays ghosted + lane-padded — the
     shear BC is not an in-row wrap), plus the interior-extent x-face planes
-    the conservative shear remap needs (mhd_3d_interior_update docstring)."""
-    if not pallas_shear_supported(params):
+    the conservative shear remap needs (mhd_3d_interior_update docstring).
+
+    ``gravity_z``: analytic vertical gravity profile gz(z) (stratified MRI,
+    reference MHDRunBase.cpp:3163-3245 init_mhd_mri_grav_field) evaluated
+    in-kernel on each window's z coordinates and applied as the trace
+    half-kick + conservative source (godunov_mhd gravity hooks)."""
+    if not pallas_shear_supported(params, stratified=gravity_z is not None):
         raise ValueError("configuration outside the fused shear kernel")
     from ..solvers.godunov_mhd import mhd_3d_interior_update
 
@@ -526,9 +540,22 @@ def make_fused_mhd_shear(
         # block's xmin (sharded runs pass each shard's offset)
         ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wx), 2).astype(dtype)
         xpos = x0_ref[0, 0] + params.dx / 2 + (ix - g) * params.dx
+        gravity = None
+        if gravity_z is not None:
+            # window cell-center z coordinates -> gz, broadcast to a
+            # full-window BoxField (the box machinery then aligns it with
+            # every traced state's extent)
+            kz = jax.lax.broadcasted_iota(
+                jnp.int32, (wz, 1, 1), 0
+            ).astype(dtype)
+            zc = params.zmin + params.dz / 2 + (
+                zi * bz - m + kz
+            ) * params.dz
+            gz = jnp.broadcast_to(gravity_z(zc), (wz, wy, wx))
+            gravity = (None, None, BoxField(gz, 0, 0))
         U_new, fpl, eypl, ezpl = mhd_3d_interior_update(
             tile_params, U, dt_ref[0, 0], margin=(m, m, m), xp=BOX,
-            shear_planes=True, xpos=xpos,
+            shear_planes=True, xpos=xpos, gravity=gravity,
         )
         # the five remap planes ride along as extra output channels, each
         # lane-broadcast across x (TPU BlockSpec tiling can't express small
@@ -596,7 +623,8 @@ def make_fused_mhd_shear(
 
 
 def make_pallas_shear_step_fn(
-    params: RunParams, interpret: bool = False
+    params: RunParams, interpret: bool = False,
+    gravity_z: Callable | None = None,
 ) -> Callable:
     """Shearing-box ``step(U, t) -> (U', dt)`` on the ghosted state: dt and
     the sheared boundary fill stay in XLA, the rotating-frame Godunov/CT
@@ -613,7 +641,8 @@ def make_pallas_shear_step_fn(
     from ..solvers.timestep import compute_inv_dt_mhd_ghosted
 
     fused = make_fused_mhd_shear(
-        params, tiles=params.pallas_tiles, interpret=interpret
+        params, tiles=params.pallas_tiles, interpret=interpret,
+        gravity_z=gravity_z,
     )
     g = params.ghost_width
     nx = params.nx

@@ -170,12 +170,18 @@ def _godunov_unsplit_mhd_2d(
 
 
 def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt, xp=None,
-                        xpos=None):
+                        xpos=None, gravity=None):
     """The compute core of the 3D step: face fluxes and edge EMFs.
     Shared by the XLA whole-array update (xp=JNP, roll shifts absorbed by
     ghost margins) and the fused Pallas kernel (xp=BOX: intermediates carry
     validity boxes and shrink to exactly the extent later stages consume —
-    see ops/backend.py)."""
+    see ops/backend.py).
+
+    ``gravity``: optional per-axis tuple (gx, gy, gz) of static-gravity
+    fields (None entries skipped). Each is a 3D field aligned with U's
+    frame (a full-window BoxField inside a kernel, a broadcastable array
+    in the whole-array path); the traced states get the half-dt kick
+    exactly like _gravity_kick (MHDRunGodunov.cpp:2688-2736)."""
     from ..ops.trace_mhd3d import trace_unsplit_mhd_3d_parts
 
     if xp is None:
@@ -204,6 +210,16 @@ def _mhd_3d_fluxes_emfs(params: RunParams, U: jnp.ndarray, dt, xp=None,
     P = trace_unsplit_mhd_3d_parts(
         params, Q, U[IA], U[IB], U[IC], dt, xpos, xp=xp
     )
+    if gravity is not None:
+        def kick(q):
+            for d, slot in enumerate((IU, IV, IW)):
+                if gravity[d] is not None:
+                    q = xp.set_component(
+                        q, slot, q[slot] + 0.5 * dt * gravity[d]
+                    )
+            return q
+
+        P = {k: (lambda f=v: kick(f())) for k, v in P.items()}
     return mhd_fluxes_emfs_from_parts(params, P, xpos, xp=xp)
 
 
@@ -278,6 +294,7 @@ def mhd_fluxes_emfs_from_parts(params: RunParams, P, xpos, xp=None):
 def mhd_3d_interior_update(
     params: RunParams, U, dt, margin: tuple[int, int, int] | None = None,
     xp=None, shear_planes: bool = False, xpos=None, comp=None,
+    gravity=None,
 ):
     """Scatter-free variant returning ONLY the updated interior
     [8, nz, ny, nx] — the form consumed by the fused Pallas kernel
@@ -298,17 +315,18 @@ def mhd_3d_interior_update(
     """
     if xp is None:
         from ..ops.backend import JNP as xp
-    fluxes, emfs = _mhd_3d_fluxes_emfs(params, U, dt, xp=xp, xpos=xpos)
+    fluxes, emfs = _mhd_3d_fluxes_emfs(params, U, dt, xp=xp, xpos=xpos,
+                                       gravity=gravity)
     return mhd_apply_update(
         params, U, fluxes, emfs, dt, margin=margin, xp=xp,
-        shear_planes=shear_planes, comp=comp,
+        shear_planes=shear_planes, comp=comp, gravity=gravity,
     )
 
 
 def mhd_apply_update(
     params: RunParams, U, fluxes, emfs, dt,
     margin: tuple[int, int, int] | None = None, xp=None,
-    shear_planes: bool = False, comp=None,
+    shear_planes: bool = False, comp=None, gravity=None,
 ):
     """Conservative + CT update of the interior from precomputed face fluxes
     and edge EMFs (the tail of mhd_3d_interior_update; see its docstring).
@@ -354,7 +372,23 @@ def mhd_apply_update(
     ) * dtdy
     Ui = crop(U)
     deltas = [dU[ID], dU[IP], dU[IU], dU[IV], dU[IW], dbx, dby, dbz]
-    if comp is None:
+    if gravity is not None:
+        # conservative source term with time-centered momentum, exactly
+        # _gravity_source (gravity.cuh kernel_gravity_source_term): the
+        # energy source reads the momentum BEFORE its own source add
+        if comp is not None:
+            raise NotImplementedError("compensated + gravity source")
+        rho_old = Ui[ID]
+        outs = [Ui[c] + d for c, d in enumerate(deltas)]
+        for d_ax, slot in enumerate((IU, IV, IW)):
+            if gravity[d_ax] is None:
+                continue
+            gd = crop(gravity[d_ax])
+            mom_half = 0.5 * (Ui[slot] + outs[slot])
+            outs[slot] = outs[slot] + dt * rho_old * gd
+            outs[IP] = outs[IP] + dt * mom_half * gd
+        U_new = jnp.stack(outs)
+    elif comp is None:
         U_new = jnp.stack([Ui[c] + d for c, d in enumerate(deltas)])
     else:
         Ci = crop(comp)

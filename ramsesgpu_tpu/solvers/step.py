@@ -50,6 +50,47 @@ def make_gravity_field(params: RunParams, config=None):
     )
 
 
+def _mri_gz_profile(params: RunParams, config, gravity):
+    """The stratified-MRI vertical gravity as an analytic callable gz(z)
+    (problems.mhd_inits.mri_gravity_field's formula), validated against the
+    registry's static field so the in-kernel evaluation is guaranteed to
+    reproduce it. Returns None when the field is not this profile (e.g.
+    x/y-dependent gravity), which keeps the whole-array fallback."""
+    import numpy as np
+
+    g_np = np.asarray(gravity)
+    if g_np.shape[0] != 3:
+        return None
+    if np.any(g_np[0]) or np.any(g_np[1]):
+        return None
+    gz = g_np[2]
+    # z-profile only: invariant over (y, x)
+    if not np.allclose(gz, gz[..., :1, :1], rtol=0, atol=0):
+        return None
+    smooth = False
+    z_floor = 5.0
+    if config is not None:
+        smooth = config.get_bool("MRI", "smoothGravity", False)
+        z_floor = config.get_float("MRI", "zFloor", 5.0)
+    om2 = params.omega0 ** 2
+    H = params.c_iso / params.omega0 if params.omega0 > 0 else 1.0
+
+    def profile(zc):
+        g = -om2 * zc
+        if smooth:
+            g = g * jnp.exp(-((jnp.abs(zc) / (z_floor * H)) ** 8))
+        return g
+
+    # verify the analytic form reproduces the registry field bitwise-ish
+    from ..problems.grid import cell_centers_1d
+
+    z = cell_centers_1d(params, "z").astype(g_np.dtype)
+    want = np.asarray(profile(jnp.asarray(z)))
+    if not np.allclose(gz[..., 0, 0], want, rtol=1e-6, atol=1e-12):
+        return None
+    return profile
+
+
 def uses_shear(params: RunParams) -> bool:
     return (
         params.boundary_xmin == BCT.BC_SHEARINGBOX
@@ -101,6 +142,29 @@ def make_step_fn(params: RunParams, config=None) -> Callable:
                 from ..pallas.fused_mhd3d import make_pallas_shear_step_fn
 
                 return make_pallas_shear_step_fn(params)
+
+        if (
+            backend_ok
+            and params.dim == 3
+            and gravity is not None
+            and shear
+        ):
+            # STRATIFIED MRI: the vertical gravity is the analytic profile
+            # gz = -Omega0^2 z (x optional smooth cutoff,
+            # MHDRunBase.cpp:3163-3245); when the registry field matches it,
+            # the fused shear kernel evaluates it in-kernel and applies the
+            # trace half-kick + conservative source
+            from ..pallas.fused_mhd3d import pallas_shear_supported
+
+            gz_profile = _mri_gz_profile(params, config, gravity)
+            if gz_profile is not None and pallas_shear_supported(
+                params, stratified=True
+            ):
+                from ..pallas.fused_mhd3d import make_pallas_shear_step_fn
+
+                return make_pallas_shear_step_fn(
+                    params, gravity_z=gz_profile
+                )
 
         use_pallas = False
         if (

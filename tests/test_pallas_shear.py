@@ -237,6 +237,59 @@ def test_shear_packed_dissipative_matches_whole_array():
         )
 
 
+def test_shear_kernel_stratified_matches_whole_array():
+    """STRATIFIED MRI on the fused shear kernel: the analytic vertical
+    gravity (gz = -Omega0^2 z, MHDRunBase.cpp:3163-3245) is evaluated
+    in-kernel and applied as the trace half-kick + conservative source
+    (godunov_mhd gravity hooks); BC_Z_STRATIFIED stays in the XLA fill."""
+    import os
+
+    from ramsesgpu_tpu.core.constants import BoundaryConditionType as BCT
+    from ramsesgpu_tpu.pallas.fused_mhd3d import pallas_shear_supported
+    from ramsesgpu_tpu.solvers.boundary import make_boundaries
+    from ramsesgpu_tpu.solvers.step import (
+        _mri_gz_profile,
+        make_gravity_field,
+    )
+
+    ini = os.path.join(os.path.dirname(__file__), "..", "data",
+                       "mhd_mri_3d_stratified.ini")
+    config = ConfigMap(ini)
+    for k, v in (("nx", 16), ("ny", 16), ("nz", 16)):
+        config.set_integer("mesh", k, v)
+    params = params_from_config(config).replace(pallas_tiles=(4, 8))
+    assert params.boundary_zmin == BCT.BC_Z_STRATIFIED
+    gravity = make_gravity_field(params, config)
+    prof = _mri_gz_profile(params, config, gravity)
+    assert prof is not None
+    assert pallas_shear_supported(params, stratified=True)
+    assert not pallas_shear_supported(params)  # periodic-z gate unchanged
+
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+    U0 = make_boundaries(params, U0)
+
+    step_ref = make_step_fn(params.replace(kernel="jnp"), config)
+    from ramsesgpu_tpu.pallas.fused_mhd3d import make_pallas_shear_step_fn
+
+    step_ker = make_pallas_shear_step_fn(params, interpret=True,
+                                         gravity_z=prof)
+    Ur = Uk = U0
+    t_r = t_k = jnp.asarray(0.0, U0.dtype)
+    g = params.ghost_width
+    for n, atol in enumerate((2e-6, 1e-5)):
+        Ur, dt_r = step_ref(Ur, t_r)
+        Uk, dt_k = step_ker(Uk, t_k)
+        np.testing.assert_allclose(float(dt_k), float(dt_r), rtol=1e-5)
+        t_r = t_r + dt_r
+        t_k = t_k + dt_k
+        np.testing.assert_allclose(
+            np.asarray(Uk)[:, g:-g, g:-g, g:-g],
+            np.asarray(Ur)[:, g:-g, g:-g, g:-g],
+            rtol=0, atol=atol, err_msg=f"interior step {n}",
+        )
+
+
 def test_shear_kernel_dissipative_matches_whole_array():
     """Viscous-resistive MRI (the reference's headline Re=25000/Pm=4 class):
     shear kernel + fused dissipation kernel vs the whole-array path,

@@ -146,16 +146,70 @@ def _shear_ghost_slabs(params: RunParams, U: jnp.ndarray, t):
     return gmin, gmax
 
 
+def _stratified_ghost_slabs(params: RunParams, mid: jnp.ndarray):
+    """BC_Z_STRATIFIED ghost slabs [nvar, g, ny, nxg] for both z sides of an
+    x-assembled (interior-z/y, ghosted-x) block — the same math as
+    stratified.make_boundary_z_stratified, built as slabs instead of .at
+    passes (make_boundary_base.h:1357-1647)."""
+    import math as _math
+
+    g = params.ghost_width
+    dz = params.dz
+    H = params.c_iso / params.omega0
+    factor = -dz / 2.0 / (H * H)
+    ratios_min = [
+        _math.exp(factor * (-2 * (params.zmin + 0.5 * dz) + (2 * k + 1) * dz))
+        for k in range(g)
+    ]
+    ratios_max = [
+        _math.exp(factor * (2 * (params.zmax - 0.5 * dz) + (2 * k + 1) * dz))
+        for k in range(g)
+    ]
+
+    def side(src_k, ratios, is_max):
+        rho_src = mid[ID, src_k]
+        u_src = mid[IU, src_k]
+        v_src = mid[IV, src_k]
+        w_src = (jnp.maximum if is_max else jnp.minimum)(mid[IW, src_k], 0.0)
+        bz_src = mid[IC, src_k]
+        planes = []
+        cumulative = 1.0
+        for r in ratios:
+            cumulative *= r
+            rho_k = rho_src * cumulative
+            chans = [
+                rho_k,
+                mid[IP, src_k],          # isothermal: unused by the solver
+                u_src / rho_src * rho_k,
+                v_src / rho_src * rho_k,
+                w_src,
+                jnp.zeros_like(rho_k),
+                jnp.zeros_like(rho_k),
+                bz_src,
+            ]
+            planes.append(jnp.stack(chans))
+        # planes[0] is adjacent to the interior; zmin side stacks outward
+        if is_max:
+            return jnp.stack(planes, axis=1)
+        return jnp.stack(planes[::-1], axis=1)
+
+    return (
+        side(0, ratios_min, False),
+        side(params.nz - 1, ratios_max, True),
+    )
+
+
 def make_all_boundaries_shear(params: RunParams, U: jnp.ndarray, t) -> jnp.ndarray:
     """Full ghost fill for shearing-box runs, with the reference's ordering:
     Y first, then the shear X remap, then Z, then Y again
     (MHDRunGodunov.cpp make_all_boundaries_shear).
 
-    Periodic-y/z 3D fast path: the sequential per-side fills cost ~9 full-
-    array materializations; instead the sheared x-ghost slabs are computed on
-    interior extents and the whole fill assembles as one concat + one wrap
-    pad (identical values — the sequencing only matters for corners, which a
-    wrap pad of the x-assembled interior reproduces)."""
+    Periodic-y 3D fast paths (periodic OR stratified z): the sequential
+    per-side fills cost ~9 full-array materializations; instead the sheared
+    x-ghost slabs (and, stratified, the hydrostatic z slabs) are computed on
+    interior extents and the whole fill assembles as concats + one wrap pad
+    (identical values — the sequencing only matters for corners, which the
+    slab-on-assembled-block order reproduces)."""
     bts = params.boundary_types
     if params.dim == 3 and all(
         b == BCT.BC_PERIODIC for b in (bts[2], bts[3], bts[4], bts[5])
@@ -167,6 +221,23 @@ def make_all_boundaries_shear(params: RunParams, U: jnp.ndarray, t) -> jnp.ndarr
         )
         return jnp.pad(
             mid, ((0, 0), (g, g), (g, g), (0, 0)), mode="wrap"
+        )
+    if (
+        params.dim == 3
+        and bts[2] == BCT.BC_PERIODIC
+        and bts[3] == BCT.BC_PERIODIC
+        and bts[4] == BCT.BC_Z_STRATIFIED
+        and bts[5] == BCT.BC_Z_STRATIFIED
+    ):
+        g = params.ghost_width
+        gmin, gmax = _shear_ghost_slabs(params, U, t)
+        mid = jnp.concatenate(
+            [gmin, U[:, g:-g, g:-g, g : params.nx + g], gmax], axis=_X
+        )
+        zlo, zhi = _stratified_ghost_slabs(params, mid)
+        mid = jnp.concatenate([zlo, mid, zhi], axis=_Z)
+        return jnp.pad(
+            mid, ((0, 0), (0, 0), (g, g), (0, 0)), mode="wrap"
         )
 
     U = _fill_side(params, U, _Y, False, bts[2])

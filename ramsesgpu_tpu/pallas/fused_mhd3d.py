@@ -507,7 +507,7 @@ def make_fused_mhd_shear(
 
     nzb, nyb = grid
 
-    def kernel(dt_ref, x0_ref, u_hbm, out_ref, win, sem):
+    def kernel(dt_ref, x0_ref, z0_ref, u_hbm, out_ref, win, sem):
         from ..ops.backend import BOX, BoxField
 
         zi = pl.program_id(0)
@@ -548,7 +548,8 @@ def make_fused_mhd_shear(
             kz = jax.lax.broadcasted_iota(
                 jnp.int32, (wz, 1, 1), 0
             ).astype(dtype)
-            zc = params.zmin + params.dz / 2 + (
+            # z0 = this block's global zmin (sharded runs pass the shard's)
+            zc = z0_ref[0, 0] + params.dz / 2 + (
                 zi * bz - m + kz
             ) * params.dz
             gz = jnp.broadcast_to(gravity_z(zc), (wz, wy, wx))
@@ -579,6 +580,7 @@ def make_fused_mhd_shear(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dt
             pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 (shard x offset)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # z0 (shard z offset)
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -598,21 +600,28 @@ def make_fused_mhd_shear(
 
     nb = params.nb_var
 
-    def update(U_ghosted, dt, x0=None):
+    def update(U_ghosted, dt, x0=None, z0=None):
         dt_arr = jnp.reshape(dt, (1, 1)).astype(U_ghosted.dtype)
         if x0 is None:
             x0 = params.xmin
+        if z0 is None:
+            z0 = params.zmin
         x0_arr = jnp.reshape(
             jnp.asarray(x0, U_ghosted.dtype), (1, 1)
+        )
+        z0_arr = jnp.reshape(
+            jnp.asarray(z0, U_ghosted.dtype), (1, 1)
         )
         pad = wx - U_ghosted.shape[-1]
         U_padded = jnp.pad(
             U_ghosted, ((0, 0), (0, 0), (0, pad_y), (0, pad))
         )
-        U_padded, dt_arr, x0_arr = jax.lax.optimization_barrier(
-            (U_padded, dt_arr, x0_arr)
+        U_padded, dt_arr, x0_arr, z0_arr = jax.lax.optimization_barrier(
+            (U_padded, dt_arr, x0_arr, z0_arr)
         )
-        out = jax.lax.optimization_barrier(fused(dt_arr, x0_arr, U_padded))
+        out = jax.lax.optimization_barrier(
+            fused(dt_arr, x0_arr, z0_arr, U_padded)
+        )
         new_int = out[:nb]
         fpl = out[nb : nb + 2, :, :, 0]
         eypl = out[nb + 2 : nb + 4, :, :, 0]

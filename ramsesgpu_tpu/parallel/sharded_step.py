@@ -454,11 +454,26 @@ def _make_sharded_advance_shear(
             or jax.default_backend() == "tpu"
             or getattr(_pkg, "INTERPRET", False)
         )
-        if backend_ok and not wants_gravity and pallas_shear_supported(
-            local_params
+        gz_profile = None
+        if wants_gravity:
+            # stratified MRI: the analytic vertical profile runs in-kernel
+            # when the registry field provably matches it (solvers/step.py)
+            from ..solvers.step import _mri_gz_profile
+
+            gz_profile = _mri_gz_profile(
+                params, config, make_gravity_field(params, config)
+            )
+        if (
+            backend_ok
+            and pallas_shear_supported(
+                local_params, stratified=wants_gravity
+            )
+            and (not wants_gravity or gz_profile is not None)
         ):
             try:
-                fused_shear = make_fused_mhd_shear(local_params)
+                fused_shear = make_fused_mhd_shear(
+                    local_params, gravity_z=gz_profile
+                )
             except ValueError:
                 fused_shear = None
         if backend_ok and (params.nu > 0 or params.eta > 0):
@@ -480,12 +495,15 @@ def _make_sharded_advance_shear(
         xi = lax.axis_index(AXIS_X).astype(U.dtype)
         xpos = params.xmin + params.dx / 2 + (xi * lnx + i - g) * params.dx
         x0_shard = params.xmin + xi * lnx * params.dx
+        zi_ax = lax.axis_index(AXIS_Z).astype(U.dtype)
+        z0_shard = params.zmin + zi_ax * lnz * params.dz
 
         def kernel_update(Ub, dt, t_c):
             from ..core.constants import IA, IC, ID
             from .halo import _ring_shift
 
-            new_int, fpl, eypl, ezpl = fused_shear(Ub, dt, x0_shard)
+            new_int, fpl, eypl, ezpl = fused_shear(Ub, dt, x0_shard,
+                                                   z0_shard)
             fmin_r, fmax_r = comm.remap_pair(
                 local_params, fpl[0], fpl[1], t_c, dt
             )

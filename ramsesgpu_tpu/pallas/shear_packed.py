@@ -48,14 +48,26 @@ from .packed_io import YB, make_packed_io_step
 _X, _Y, _Z = -1, -2, -3
 
 
-def shear_packed_supported(params: RunParams) -> bool:
-    """Unstratified MRI (ideal or viscous/resistive) on the packed layout:
-    shear-periodic x, periodic y/z, float32, lane-exact nx, tile-divisible
-    ny/nz. Stratified runs keep the round-1 ghosted-window path
-    (fused_mhd3d.make_pallas_shear_step_fn)."""
+def shear_packed_supported(
+    params: RunParams, stratified: bool = False
+) -> bool:
+    """MRI on the packed layout (ideal, viscous/resistive, or — with
+    ``stratified=True`` — BC_Z_STRATIFIED + in-kernel analytic gravity):
+    shear-periodic x, periodic y, float32, lane-exact nx, tile-divisible
+    ny/nz. Non-matching gravity fields keep the round-1 ghosted-window
+    path (fused_mhd3d.make_pallas_shear_step_fn)."""
     from ..core.constants import BoundaryConditionType as BCT
 
     bz, by = params.pallas_tiles or (8, 32)
+    z_ok = (
+        params.boundary_zmin == BCT.BC_PERIODIC
+        and params.boundary_zmax == BCT.BC_PERIODIC
+    ) or (
+        stratified
+        and params.boundary_zmin == BCT.BC_Z_STRATIFIED
+        and params.boundary_zmax == BCT.BC_Z_STRATIFIED
+        and not params.compensated     # gravity source + Kahan: not yet
+    )
     return (
         params.dim == 3
         and params.mhd
@@ -64,8 +76,7 @@ def shear_packed_supported(params: RunParams) -> bool:
         and params.boundary_xmax == BCT.BC_SHEARINGBOX
         and params.boundary_ymin == BCT.BC_PERIODIC
         and params.boundary_ymax == BCT.BC_PERIODIC
-        and params.boundary_zmin == BCT.BC_PERIODIC
-        and params.boundary_zmax == BCT.BC_PERIODIC
+        and z_ok
         and params.dtype == "float32"
         and params.nx % 128 == 0
         and params.nz % bz == 0
@@ -76,32 +87,54 @@ def shear_packed_supported(params: RunParams) -> bool:
     )
 
 
-def _make_main_kernel(params: RunParams, tiles, interpret: bool) -> Callable:
+def _make_main_kernel(
+    params: RunParams, tiles, interpret: bool, gravity_z=None
+) -> Callable:
     """Periodic packed-IO kernel with the rotating-frame terms: the x
     coordinate enters the trace/EMF source terms as a static per-column
     iota (x is ghost-free and lane-exact, so window column == global
     column). With params.compensated the window carries 2*nvar channels
-    (state + Kahan carry — see godunov_mhd.mhd_apply_update)."""
-    from ..ops.backend import BOX
+    (state + Kahan carry — see godunov_mhd.mhd_apply_update).
+    ``gravity_z``: stratified-MRI analytic vertical gravity, evaluated
+    per window from the tile's z iota (godunov_mhd gravity hooks)."""
+    from ..ops.backend import BOX, BoxField
     from ..solvers.godunov_mhd import mhd_3d_interior_update
 
     dx = params.dx
     xmin = params.xmin
     nx = params.nx
     nv = params.nb_var
+    g = params.ghost_width
+    bz, by = tiles
+    wz = bz + 2 * g
 
     def update(tile_params, W, dt, margin):
         i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2).astype(
             W.value.dtype
         )
         xpos = xmin + dx / 2 + i * dx
+        gravity = None
+        if gravity_z is not None:
+            zi = pl.program_id(0)
+            kz = jax.lax.broadcasted_iota(
+                jnp.int32, (wz, 1, 1), 0
+            ).astype(W.value.dtype)
+            # packed plane zi*bz + kz <-> global plane zi*bz + kz - g
+            zc = params.zmin + params.dz / 2 + (
+                zi * bz + kz - g
+            ) * params.dz
+            gz = jnp.broadcast_to(
+                gravity_z(zc), (wz, by + 2 * g, nx)
+            )
+            gravity = (None, None, BoxField(gz, 0, YB - g))
         if params.compensated:
             return mhd_3d_interior_update(
                 tile_params, W[:nv], dt, margin=margin, xp=BOX, xpos=xpos,
                 comp=W[nv:],
             )
         return mhd_3d_interior_update(
-            tile_params, W, dt, margin=margin, xp=BOX, xpos=xpos
+            tile_params, W, dt, margin=margin, xp=BOX, xpos=xpos,
+            gravity=gravity,
         )
 
     return make_packed_io_step(
@@ -154,7 +187,8 @@ def _shear_slabs_from_interior(params: RunParams, interior, kept_bx, t):
 
 
 def _make_strip_kernel(
-    params: RunParams, bz: int, interpret: bool, mode: str = "godunov"
+    params: RunParams, bz: int, interpret: bool, mode: str = "godunov",
+    gravity_z=None,
 ):
     """Pallas kernel running the full pipeline over the 18-column border
     strip in TRANSPOSED [nvar, z, x, y] layout: x (24 sublanes, 18 live)
@@ -215,14 +249,27 @@ def _make_strip_kernel(
             c = jnp.where(s < 3 * g, nx - 2 * g + s,
                           jnp.where(s < 6 * g, s - 4 * g, 0)).astype(W.dtype)
             xpos = params.xmin + dx / 2 + c * dx
+            gravity = None
+            if gravity_z is not None:
+                zi = pl.program_id(0)
+                kz = jax.lax.broadcasted_iota(
+                    jnp.int32, (wz, 1, 1), 0
+                ).astype(W.dtype)
+                zc = params.zmin + params.dz / 2 + (
+                    zi * bz + kz - g
+                ) * params.dz
+                gz = jnp.broadcast_to(gravity_z(zc), (wz, xw, wy))
+                gravity = (None, None, gz)
             Wc = W[nv:] if comp else None
             fluxes, emfs = _mhd_3d_fluxes_emfs(p_win, W[:nv], dt, xp=JNP_T,
-                                               xpos=xpos)
+                                               xpos=xpos, gravity=gravity)
             (flux_x, _fy, _fz), (emf_z, emf_y, _ex) = fluxes, emfs
             right = mhd_apply_update(p_win, W[:nv], fluxes, emfs, dt,
-                                     margin=(g, 0, g), xp=JNP_T, comp=Wc)
+                                     margin=(g, 0, g), xp=JNP_T, comp=Wc,
+                                     gravity=gravity)
             left = mhd_apply_update(p_win, W[:nv], fluxes, emfs, dt,
-                                    margin=(g, 0, 4 * g), xp=JNP_T, comp=Wc)
+                                    margin=(g, 0, 4 * g), xp=JNP_T, comp=Wc,
+                                    gravity=gravity)
             planes = jnp.stack([
                 flux_x[ID, zi_s, 4 * g, :],     # x-face global 0
                 flux_x[ID, zi_s, 2 * g, :],     # x-face global nx
@@ -306,10 +353,14 @@ def _interp() -> bool:
 
 
 def make_shear_packed_step(
-    params: RunParams, tiles=None, interpret: bool = False
+    params: RunParams, tiles=None, interpret: bool = False,
+    gravity_z=None,
 ) -> Callable:
     """Build ``step(P, kept_bx, t) -> (P', kept_bx', dt)`` on the packed
-    carry."""
+    carry. ``gravity_z``: stratified-MRI analytic vertical gravity — the
+    main and strip kernels apply it in-kernel, and the packed z bands are
+    refilled with the hydrostatic BC_Z_STRATIFIED slabs after each phase
+    (solvers/shear._stratified_ghost_slabs)."""
     from .fused_mhd3d import _pick_tiles
     from ..solvers.godunov_mhd import (
         _mhd_3d_fluxes_emfs,
@@ -321,9 +372,14 @@ def make_shear_packed_step(
     g = params.ghost_width
     nz, ny, nx = params.nz, params.ny, params.nx
     dx, dy, dz = params.dx, params.dy, params.dz
+    from ..solvers.shear import _stratified_ghost_slabs
+
+    stratified = gravity_z is not None
     tiles = tiles or _pick_tiles(params)
-    main = _make_main_kernel(params, tiles, interpret)
-    strip_k = _make_strip_kernel(params, tiles[0], interpret)
+    main = _make_main_kernel(params, tiles, interpret,
+                             gravity_z=gravity_z)
+    strip_k = _make_strip_kernel(params, tiles[0], interpret,
+                                 gravity_z=gravity_z)
     nv = params.nb_var
     comp = params.compensated
     nvc = 2 * nv if comp else nv
@@ -383,18 +439,32 @@ def make_shear_packed_step(
         interior = P[:nv, g : g + nz, YB : YB + ny, :]
         gmin, gmax = _shear_slabs_from_interior(params, interior, kept_bx,
                                                 t_fill)
+
+        def pad_slab(slab):
+            # x-ghost columns' z ghosts: stratified extension of the slab
+            # itself (the reference's Z-after-X fill ordering), else wrap
+            if stratified:
+                zlo, zhi = _stratified_ghost_slabs(params, slab)
+                slab = jnp.concatenate([zlo, slab, zhi], axis=1)
+                return jnp.pad(
+                    slab, ((0, 0), (0, 0), (g, g), (0, 0)), mode="wrap"
+                )
+            return jnp.pad(
+                slab, ((0, 0), (g, g), (g, g), (0, 0)), mode="wrap"
+            )
+
+        gmin, gmax = pad_slab(gmin), pad_slab(gmax)
         if comp:
             # carries exist only for interior cells; ghost-column carries
             # are never consumed (comp is cropped to the updated interior)
             gmin = jnp.concatenate([gmin, jnp.zeros_like(gmin)], axis=0)
             gmax = jnp.concatenate([gmax, jnp.zeros_like(gmax)], axis=0)
-        padzy = ((0, 0), (g, g), (g, g), (0, 0))
         yg = slice(YB - g, YB + ny + g)
         S = jnp.concatenate(
             [
                 P[:, :, yg, nx - 2 * g :],
-                jnp.pad(gmax, padzy, mode="wrap"),
-                jnp.pad(gmin, padzy, mode="wrap"),
+                gmax,
+                gmin,
                 P[:, :, yg, : 2 * g],
             ],
             axis=-1,
@@ -411,6 +481,21 @@ def make_shear_packed_step(
         left = jnp.swapaxes(out[:nvc, :, 4 * g : 5 * g, yi], -1, -2)
         planes = tuple(out[nvc, :, 5 * g + k, yi] for k in range(5))
         return left, right, planes
+
+    def refill_z(Pn):
+        """Rebuild the packed z ghost bands with the hydrostatic
+        BC_Z_STRATIFIED slabs (the in-kernel band writes are wraps)."""
+        interior = Pn[:nv, g : g + nz, YB : YB + ny, :]
+        zlo, zhi = _stratified_ghost_slabs(params, interior)
+        pady = ((0, 0), (0, 0), (YB, YB), (0, 0))
+        return jnp.concatenate(
+            [
+                jnp.pad(zlo, pady, mode="wrap"),
+                Pn[:, g : g + nz],
+                jnp.pad(zhi, pady, mode="wrap"),
+            ],
+            axis=1,
+        )
 
     def assemble(P_main, left3, right3):
         """Corrected border columns replace the main kernel's wrap-
@@ -495,6 +580,8 @@ def make_shear_packed_step(
             [right[..., : g - 1], col_hi[..., None]], axis=-1
         )
         P_new = assemble(P_main, left3, right3)
+        if stratified:
+            P_new = refill_z(P_new)
 
         if dissip:
             # dissipative sub-step: the reference refills with the SHEARED
@@ -507,6 +594,8 @@ def make_shear_packed_step(
             )
             P_d = main_d(P_new, dt)
             P_new = assemble(P_d, left_d, right_d)
+            if stratified:
+                P_new = refill_z(P_new)
             if params.eta > 0:
                 # resistive CT on the kept Bx face
                 # (apply_resistivity_ct's curl reaches the first xmax ghost
@@ -526,13 +615,18 @@ def make_shear_packed_step(
     return step
 
 
-def pack_shear(params: RunParams, U: jnp.ndarray):
+def pack_shear(params: RunParams, U: jnp.ndarray, stratified: bool = False):
     """Ghosted state -> (P, kept_bx) packed carry. With params.compensated
     the P channels double (zero-initialized Kahan carries) and kept_bx
-    becomes [2, nz, ny] (face + carry)."""
+    becomes [2, nz, ny] (face + carry). ``stratified`` keeps U's actual z
+    ghost planes (the hydrostatic fill) instead of wrap bands."""
     g = params.ghost_width
-    interior = U[:, g:-g, g:-g, g : g + params.nx]
     kept_bx = U[IA, g:-g, g:-g, params.nx + g]
+    if stratified:
+        mid = U[:, :, g:-g, g : g + params.nx]
+        P = jnp.pad(mid, ((0, 0), (0, 0), (YB, YB), (0, 0)), mode="wrap")
+        return P, kept_bx
+    interior = U[:, g:-g, g:-g, g : g + params.nx]
     if params.compensated:
         interior = jnp.concatenate(
             [interior, jnp.zeros_like(interior)], axis=0
@@ -557,18 +651,20 @@ def unpack_shear(params: RunParams, P, kept_bx, t):
 
 
 def make_shear_packed_step_fn(
-    params: RunParams, interpret: bool = False
+    params: RunParams, interpret: bool = False, gravity_z=None,
 ) -> Callable:
     """Testing/interop contract ``step(U_ghosted, t) -> (U', dt)`` — packs,
     steps, unpacks every call (the production path is
     make_pallas_shear_advance_n, which keeps the packed carry across a whole
     output interval)."""
     step_p = make_shear_packed_step(
-        params, tiles=params.pallas_tiles, interpret=interpret
+        params, tiles=params.pallas_tiles, interpret=interpret,
+        gravity_z=gravity_z,
     )
+    strat = gravity_z is not None
 
     def step(U, t):
-        P, kept = pack_shear(params, U)
+        P, kept = pack_shear(params, U, stratified=strat)
         P1, kept1, dt = step_p(P, kept, t)
         return unpack_shear(params, P1, kept1, t + dt), dt
 
@@ -576,19 +672,21 @@ def make_shear_packed_step_fn(
 
 
 def make_pallas_shear_advance_n(
-    params: RunParams, interpret: bool = False
+    params: RunParams, interpret: bool = False, gravity_z=None,
 ) -> Callable:
     """Jitted ``advance_n(U, t, n_steps) -> (U, t, k)`` carrying the packed
     shear state across the whole chunk (ghosted in/out, like
     solvers/step.make_advance_n)."""
     step_p = make_shear_packed_step(
-        params, tiles=params.pallas_tiles, interpret=interpret
+        params, tiles=params.pallas_tiles, interpret=interpret,
+        gravity_z=gravity_z,
     )
+    strat = gravity_z is not None
     t_end = params.t_end
 
     @jax.jit
     def advance_n(U, t, n_steps):
-        P0, kept0 = pack_shear(params, U)
+        P0, kept0 = pack_shear(params, U, stratified=strat)
 
         def cond(carry):
             _, _, t_c, k = carry

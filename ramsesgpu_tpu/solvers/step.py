@@ -155,8 +155,17 @@ def make_step_fn(params: RunParams, config=None) -> Callable:
             # the fused shear kernel evaluates it in-kernel and applies the
             # trace half-kick + conservative source
             from ..pallas.fused_mhd3d import pallas_shear_supported
+            from ..pallas.shear_packed import shear_packed_supported
 
             gz_profile = _mri_gz_profile(params, config, gravity)
+            if gz_profile is not None and shear_packed_supported(
+                params, stratified=True
+            ):
+                from ..pallas.shear_packed import make_shear_packed_step_fn
+
+                return make_shear_packed_step_fn(
+                    params, gravity_z=gz_profile
+                )
             if gz_profile is not None and pallas_shear_supported(
                 params, stratified=True
             ):
@@ -274,10 +283,10 @@ def make_advance_n(params: RunParams, config=None) -> Callable:
         and params.mhd
         and params.kernel in ("auto", "pallas")
         and uses_shear(params)
-        and make_gravity_field(params, config) is None
     ):
         backend_ok = params.kernel == "pallas" or jax.default_backend() == "tpu"
-        if backend_ok:
+        gravity = make_gravity_field(params, config)
+        if backend_ok and gravity is None:
             from ..pallas.shear_packed import (
                 make_pallas_shear_advance_n,
                 shear_packed_supported,
@@ -285,6 +294,19 @@ def make_advance_n(params: RunParams, config=None) -> Callable:
 
             if shear_packed_supported(params):
                 return make_pallas_shear_advance_n(params)
+        elif backend_ok:
+            from ..pallas.shear_packed import (
+                make_pallas_shear_advance_n,
+                shear_packed_supported,
+            )
+
+            gz_profile = _mri_gz_profile(params, config, gravity)
+            if gz_profile is not None and shear_packed_supported(
+                params, stratified=True
+            ):
+                return make_pallas_shear_advance_n(
+                    params, gravity_z=gz_profile
+                )
 
     if (
         params.dim == 3

@@ -290,6 +290,62 @@ def test_shear_kernel_stratified_matches_whole_array():
         )
 
 
+def test_shear_packed_stratified_matches_whole_array():
+    """STRATIFIED MRI on the PACKED layout: in-kernel analytic gravity in
+    the main and strip kernels, hydrostatic z-band refills after each
+    phase, stratified z extensions of the sheared x-ghost strips."""
+    import os
+
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        make_shear_packed_step_fn,
+        shear_packed_supported,
+    )
+    from ramsesgpu_tpu.solvers.step import (
+        _mri_gz_profile,
+        make_gravity_field,
+    )
+
+    ini = os.path.join(os.path.dirname(__file__), "..", "data",
+                       "mhd_mri_3d_stratified.ini")
+    config = ConfigMap(ini)
+    for k, v in (("nx", 128), ("ny", 16), ("nz", 16)):
+        config.set_integer("mesh", k, v)
+    params = params_from_config(config).replace(pallas_tiles=(8, 8))
+    assert shear_packed_supported(params, stratified=True)
+    assert not shear_packed_supported(params)
+    gravity = make_gravity_field(params, config)
+    prof = _mri_gz_profile(params, config, gravity)
+    assert prof is not None
+
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+    step_ref = make_step_fn(params.replace(kernel="jnp"), config)
+    step_ker = make_shear_packed_step_fn(params, interpret=True,
+                                         gravity_z=prof)
+
+    from ramsesgpu_tpu.core.constants import IA
+
+    Ur = Uk = U0
+    t_r = t_k = jnp.asarray(0.0, U0.dtype)
+    g = params.ghost_width
+    for n, atol in enumerate((2e-6, 1e-5)):
+        Ur, dt_r = step_ref(Ur, t_r)
+        Uk, dt_k = step_ker(Uk, t_k)
+        np.testing.assert_allclose(float(dt_k), float(dt_r), rtol=1e-5)
+        t_r = t_r + dt_r
+        t_k = t_k + dt_k
+        np.testing.assert_allclose(
+            np.asarray(Uk)[:, g:-g, g:-g, g:-g],
+            np.asarray(Ur)[:, g:-g, g:-g, g:-g],
+            rtol=0, atol=atol, err_msg=f"interior step {n}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(Uk)[IA, g:-g, g:-g, 128 + g],
+            np.asarray(Ur)[IA, g:-g, g:-g, 128 + g],
+            rtol=0, atol=atol, err_msg=f"kept Bx face step {n}",
+        )
+
+
 def test_shear_kernel_dissipative_matches_whole_array():
     """Viscous-resistive MRI (the reference's headline Re=25000/Pm=4 class):
     shear kernel + fused dissipation kernel vs the whole-array path,

@@ -66,7 +66,6 @@ def shear_packed_supported(
         stratified
         and params.boundary_zmin == BCT.BC_Z_STRATIFIED
         and params.boundary_zmax == BCT.BC_Z_STRATIFIED
-        and not params.compensated     # gravity source + Kahan: not yet
     )
     return (
         params.dim == 3
@@ -130,7 +129,7 @@ def _make_main_kernel(
         if params.compensated:
             return mhd_3d_interior_update(
                 tile_params, W[:nv], dt, margin=margin, xp=BOX, xpos=xpos,
-                comp=W[nv:],
+                comp=W[nv:], gravity=gravity,
             )
         return mhd_3d_interior_update(
             tile_params, W, dt, margin=margin, xp=BOX, xpos=xpos,
@@ -484,9 +483,14 @@ def make_shear_packed_step(
 
     def refill_z(Pn):
         """Rebuild the packed z ghost bands with the hydrostatic
-        BC_Z_STRATIFIED slabs (the in-kernel band writes are wraps)."""
+        BC_Z_STRATIFIED slabs (the in-kernel band writes are wraps). Kahan
+        carry channels get zero bands (carries are never consumed on
+        window margins)."""
         interior = Pn[:nv, g : g + nz, YB : YB + ny, :]
         zlo, zhi = _stratified_ghost_slabs(params, interior)
+        if comp:
+            zlo = jnp.concatenate([zlo, jnp.zeros_like(zlo)], axis=0)
+            zhi = jnp.concatenate([zhi, jnp.zeros_like(zhi)], axis=0)
         pady = ((0, 0), (0, 0), (YB, YB), (0, 0))
         return jnp.concatenate(
             [
@@ -624,6 +628,9 @@ def pack_shear(params: RunParams, U: jnp.ndarray, stratified: bool = False):
     kept_bx = U[IA, g:-g, g:-g, params.nx + g]
     if stratified:
         mid = U[:, :, g:-g, g : g + params.nx]
+        if params.compensated:
+            mid = jnp.concatenate([mid, jnp.zeros_like(mid)], axis=0)
+            kept_bx = jnp.stack([kept_bx, jnp.zeros_like(kept_bx)])
         P = jnp.pad(mid, ((0, 0), (0, 0), (YB, YB), (0, 0)), mode="wrap")
         return P, kept_bx
     interior = U[:, g:-g, g:-g, g : g + params.nx]

@@ -375,19 +375,44 @@ def mhd_apply_update(
     if gravity is not None:
         # conservative source term with time-centered momentum, exactly
         # _gravity_source (gravity.cuh kernel_gravity_source_term): the
-        # energy source reads the momentum BEFORE its own source add
-        if comp is not None:
-            raise NotImplementedError("compensated + gravity source")
+        # energy source reads the momentum BEFORE its own source add.
+        # Compensated mode chains the Kahan carry through every add.
         rho_old = Ui[ID]
-        outs = [Ui[c] + d for c, d in enumerate(deltas)]
-        for d_ax, slot in enumerate((IU, IV, IW)):
-            if gravity[d_ax] is None:
-                continue
-            gd = crop(gravity[d_ax])
-            mom_half = 0.5 * (Ui[slot] + outs[slot])
-            outs[slot] = outs[slot] + dt * rho_old * gd
-            outs[IP] = outs[IP] + dt * mom_half * gd
-        U_new = jnp.stack(outs)
+        if comp is None:
+            outs = [Ui[c] + d for c, d in enumerate(deltas)]
+            for d_ax, slot in enumerate((IU, IV, IW)):
+                if gravity[d_ax] is None:
+                    continue
+                gd = crop(gravity[d_ax])
+                mom_half = 0.5 * (Ui[slot] + outs[slot])
+                outs[slot] = outs[slot] + dt * rho_old * gd
+                outs[IP] = outs[IP] + dt * mom_half * gd
+            U_new = jnp.stack(outs)
+        else:
+            Ci = crop(comp)
+
+            def kadd(val, carry, delta):
+                y = delta - carry
+                t_ = val + y
+                return t_, (t_ - val) - y
+
+            outs, carries = [], []
+            for c, d in enumerate(deltas):
+                t_, c_ = kadd(Ui[c], Ci[c], d)
+                outs.append(t_)
+                carries.append(c_)
+            for d_ax, slot in enumerate((IU, IV, IW)):
+                if gravity[d_ax] is None:
+                    continue
+                gd = crop(gravity[d_ax])
+                mom_half = 0.5 * (Ui[slot] + outs[slot])
+                outs[slot], carries[slot] = kadd(
+                    outs[slot], carries[slot], dt * rho_old * gd
+                )
+                outs[IP], carries[IP] = kadd(
+                    outs[IP], carries[IP], dt * mom_half * gd
+                )
+            U_new = jnp.stack(outs + carries)
     elif comp is None:
         U_new = jnp.stack([Ui[c] + d for c, d in enumerate(deltas)])
     else:

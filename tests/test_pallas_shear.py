@@ -394,3 +394,32 @@ def test_shear_kernel_dissipative_matches_whole_array():
             np.asarray(Ur)[IA, g:-g, g:-g, nx + g],
             rtol=0, atol=atol, err_msg=f"kept Bx face step {n}",
         )
+
+
+def test_stratified_routing_selects_packed_path():
+    """make_step_fn / make_advance_n route stratified MRI to the packed
+    shear path when the registry gravity matches the analytic profile
+    (kernel='pallas' forces backend_ok off-TPU)."""
+    import os
+
+    from ramsesgpu_tpu.solvers.step import make_advance_n
+
+    ini = os.path.join(os.path.dirname(__file__), "..", "data",
+                       "mhd_mri_3d_stratified.ini")
+    config = ConfigMap(ini)
+    for k, v in (("nx", 128), ("ny", 16), ("nz", 8)):
+        config.set_integer("mesh", k, v)
+    params = params_from_config(config).replace(
+        pallas_tiles=(4, 8), kernel="pallas"
+    )
+    adv = make_advance_n(params, config)
+    assert "shear_packed" in adv.__module__, adv.__module__
+    # non-lane-exact nx falls back to the ghosted-window kernel path,
+    # which make_step_fn builds (and the step loop wraps)
+    config.set_integer("mesh", "nx", 64)
+    params64 = params_from_config(config).replace(
+        pallas_tiles=(4, 8), kernel="pallas"
+    )
+    from ramsesgpu_tpu.pallas.shear_packed import shear_packed_supported
+
+    assert not shear_packed_supported(params64, stratified=True)

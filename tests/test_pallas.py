@@ -175,9 +175,17 @@ def test_fused_hydro_kernel_matches_whole_array(dims, solver):
     np.testing.assert_allclose(out, ref[:, g:-g, g:-g, g:-g], rtol=0, atol=1e-6)
 
 
-def test_zcarry_step_matches_packed():
+@pytest.mark.parametrize("dims", [
+    (16, 16, 16),
+    (16, 8, 8),      # single real tile (warmup + drain edge cases)
+    (16, 8, 16),     # single column
+    (16, 24, 8),     # columns only
+])
+def test_zcarry_step_matches_packed(dims):
     """z-BLOCK-streaming kernel (pallas/zcarry_mhd3d.py) vs the packed-IO
-    kernel on the full packed state incl. wrap ghost bands."""
+    kernel on the full packed state incl. wrap ghost bands; the edge
+    shapes stress the warmup/drain bookkeeping that crashed the first
+    hardware run."""
     from ramsesgpu_tpu.pallas.fused_mhd3d import make_fused_mhd_packed_io
     from ramsesgpu_tpu.pallas.packed_io import pack_state
     from ramsesgpu_tpu.pallas.zcarry_mhd3d import (
@@ -185,7 +193,7 @@ def test_zcarry_step_matches_packed():
         zcarry_supported,
     )
 
-    nx, ny, nz = 16, 16, 16
+    nx, ny, nz = dims
     config = ConfigMap(text=OT3D_INI.format(nx=nx, ny=ny, nz=nz))
     params = params_from_config(config).replace(pallas_tiles=(8, 8))
     U0 = jnp.asarray(init_problem(params, config))

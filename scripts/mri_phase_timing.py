@@ -38,7 +38,7 @@ def timeit(name, fn, *args, iters=10):
 def main() -> int:
     nx, ny, nz = (map(int, sys.argv[1:4]) if len(sys.argv) >= 4
                   else (128, 256, 128))
-    config = ConfigMap("/root/reference/data/mhd_mri_3d.ini")
+    config = ConfigMap("data/mhd_mri_3d.ini")
     for k, v in (("nx", nx), ("ny", ny), ("nz", nz)):
         config.set_integer("mesh", k, v)
     params = params_from_config(config)

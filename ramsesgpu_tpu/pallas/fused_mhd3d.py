@@ -290,16 +290,19 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     ny = params.ny
     nv = params.nb_var
     bz, by = params.pallas_tiles or _pick_tiles(params)
-    if params.kernel == "zcarry":
+    zcarry = params.kernel == "zcarry"
+    if zcarry:
         # opt-in z-block-streaming kernel ([implementation] kernel=zcarry):
-        # stage carries across z tiles, pallas/zcarry_mhd3d.py. Kept off
-        # the auto path until hardware-validated (first TPU run crashed
-        # the axon tunnel; the drain fix is in, see STATUS.md).
+        # stage carries across z tiles + fully in-kernel CFL reduction,
+        # pallas/zcarry_mhd3d.py. Kept off the auto path until
+        # hardware-validated (first TPU run crashed the axon tunnel; the
+        # drain fix is in, see STATUS.md).
         from .zcarry_mhd3d import make_zcarry_mhd_packed_io, zcarry_supported
 
         if not zcarry_supported(params):
             raise ValueError("configuration outside the zcarry kernel")
-        fused = make_zcarry_mhd_packed_io(params, tiles=(bz, by))
+        fused = make_zcarry_mhd_packed_io(params, tiles=(bz, by),
+                                          with_inv_dt=True)
     else:
         fused = make_fused_mhd_packed_io(params, tiles=(bz, by))
     cfl_kernel = make_packed_cfl_mhd(params)
@@ -346,6 +349,30 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     @jax.jit
     def advance_n(U, t, n_steps):
         P0 = pack(U[:, g:-g, g:-g, g:-g])
+
+        if zcarry:
+            # carry the inverse dt: the kernel reduces the ENTIRE updated
+            # state in-kernel (bit-identical to the separate pass)
+            inv0 = compute_inv_dt_mhd_packed(params, P0, y0=YB)
+
+            def cond_z(carry):
+                _, _, t_c, k = carry
+                in_time = (t_c < t_end) if t_end > 0 else True
+                return jnp.logical_and(k < n_steps, in_time)
+
+            def body_z(carry):
+                P, inv, t_c, k = carry
+                dt = params.cfl / inv
+                P1, inv1 = fused(P, dt)
+                return (P1, inv1, t_c + dt, k + 1)
+
+            P_f, _, t_f, k_f = jax.lax.while_loop(
+                cond_z, body_z, (P0, inv0, t, jnp.array(0, jnp.int32))
+            )
+            interior_f = P_f[:nv, g:-g, YB : YB + ny, :]
+            U_f = jnp.pad(interior_f, ((0, 0),) + ((g, g),) * 3,
+                          mode="wrap")
+            return U_f, t_f, k_f
 
         def cond(carry):
             _, t_c, k = carry

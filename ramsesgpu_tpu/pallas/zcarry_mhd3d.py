@@ -81,8 +81,21 @@ def make_zcarry_mhd_packed_io(
     params: RunParams,
     tiles: tuple[int, int] | None = None,
     interpret: bool = False,
+    with_inv_dt: bool = False,
 ) -> Callable:
-    """Build ``step_packed(P, dt) -> P_new`` on the packed loop state."""
+    """Build ``step_packed(P, dt) -> P_new`` on the packed loop state.
+
+    ``with_inv_dt``: additionally fold the NEXT step's CFL reduction over
+    the updated state into the kernel and return ``(P_new, inv_dt)``. The
+    reduction partitions every interior cell across tiles so each cell's
+    +1 face-B shifts are VMEM-resident when reduced: in-block cells read
+    their block; z-tile seams read the previous tile's last output plane
+    (carried) and the column's stashed first plane (z wrap); y-column
+    seams read the previous column's stashed last row (full-z) and, for
+    the last column, the first column's stashed first row (y wrap). Pure
+    VMEM state — no extra DMA. max() is exactly associative, so the
+    result is bit-identical to timestep.compute_inv_dt_mhd_packed on the
+    output (tested in tests/test_pallas.py)."""
     from ..core.constants import IA, IB, IC
     from ..ops.backend import BOX, BoxField
     from ..ops.eos import constoprim_mhd
@@ -95,6 +108,7 @@ def make_zcarry_mhd_packed_io(
         mhd_apply_update,
         mhd_fluxes_emfs_from_parts,
     )
+    from ..solvers.timestep import _inv_dt_mhd_fields
     from .fused_mhd3d import _pick_tiles
 
     if params.omega0 > 0:
@@ -123,10 +137,16 @@ def make_zcarry_mhd_packed_io(
     meta: dict[str, tuple[int, int]] = {}
 
     def kernel(
-        dt_ref, p_hbm, out_ref,
-        u_b, q_b, sh0, sh1, sh2, sh3, st0, st1, st2, st3, st4,
-        res, sem_in, sem_out,
+        dt_ref, p_hbm, out_ref, *rest,
     ):
+        if with_inv_dt:
+            (inv_ref, u_b, q_b, sh0, sh1, sh2, sh3,
+             st0, st1, st2, st3, st4, res,
+             prevpl, firstpl, rows0, rows1, firstrow, acc,
+             sem_in, sem_out) = rest
+        else:
+            (u_b, q_b, sh0, sh1, sh2, sh3, st0, st1, st2, st3, st4,
+             res, sem_in, sem_out) = rest
         sh_bufs = (sh0, sh1, sh2, sh3)
         st_bufs = (st0, st1, st2, st3, st4)
         yi = pl.program_id(0)
@@ -263,6 +283,113 @@ def make_zcarry_mhd_packed_io(
             margin=(0, YB, 0), xp=BOX,
         )
 
+        if with_inv_dt:
+            from ..core.constants import IB as _IB, IC as _IC
+
+            def inv_of(st, by_p, bz_p):
+                """CFL reduction over a cell set: ``st`` [nv, ...cells],
+                ``by_p``/``bz_p`` the +1-face B fields at the same cells
+                (the x face wraps in-row: periodic BC)."""
+                rho = jnp.maximum(st[0], params.smallr)
+                ia = st[5]
+                return _inv_dt_mhd_fields(
+                    params, st[0], st[1],
+                    st[2] / rho, st[3] / rho, st[4] / rho,
+                    0.5 * (ia + jnp.roll(ia, -1, -1)),
+                    0.5 * (st[6] + by_p),
+                    0.5 * (st[7] + bz_p),
+                )
+
+            def bump(val):
+                acc[0, 0] = jnp.maximum(acc[0, 0], val)
+
+            @pl.when(i == 0)
+            def _():
+                acc[0, 0] = jnp.zeros((), dtype)
+
+            @pl.when(zi > 0)
+            def _():
+                blk = upd
+                ys = slice(0, by - 1)
+                # stashes first (the same tile's C pieces read firstrow)
+                @pl.when(yi == 0)
+                def _():
+                    firstrow[:, pl.ds(z0, bz)] = blk[:, :, 0, :]
+
+                @pl.when(jax.lax.rem(yi, 2) == 0)
+                def _():
+                    rows0[:, pl.ds(z0, bz)] = blk[:, :, by - 1, :]
+
+                @pl.when(jax.lax.rem(yi, 2) == 1)
+                def _():
+                    rows1[:, pl.ds(z0, bz)] = blk[:, :, by - 1, :]
+
+                @pl.when(zi == 1)
+                def _():
+                    firstpl[...] = blk[:, 0]
+
+                # A: this column's rows [0, by-1)
+                bump(inv_of(blk[:, 0 : bz - 1, ys],
+                            blk[_IB, 0 : bz - 1, 1:by],
+                            blk[_IC, 1:bz, ys]))
+
+                @pl.when(zi >= 2)          # z-tile seam plane z0-1
+                def _():
+                    bump(inv_of(prevpl[:, ys], prevpl[_IB, 1:by],
+                                blk[_IC, 0, ys]))
+
+                @pl.when(zi == nzb)        # z wrap: plane nz-1 <- plane 0
+                def _():
+                    bump(inv_of(blk[:, bz - 1, ys],
+                                blk[_IB, bz - 1, 1:by],
+                                firstpl[_IC, ys]))
+
+                # B: previous column's stashed last row, planes [z0, z1)
+                @pl.when(yi > 0)
+                def _():
+                    even = jax.lax.rem(yi, 2) == 1  # prev column parity 0
+                    stp = jnp.where(even, rows0[:, pl.ds(z0, bz)],
+                                    rows1[:, pl.ds(z0, bz)])
+                    bz_in = jnp.where(
+                        even, rows0[_IC, pl.ds(z0 + 1, bz - 1)],
+                        rows1[_IC, pl.ds(z0 + 1, bz - 1)],
+                    )
+                    zlast = jnp.where(zi == nzb, 0, z0 + bz)
+                    bz_last = jnp.where(even, rows0[_IC, pl.ds(zlast, 1)],
+                                        rows1[_IC, pl.ds(zlast, 1)])
+                    by_p = blk[_IB, :, 0, :]
+                    bump(inv_of(stp[:, 0 : bz - 1], by_p[0 : bz - 1],
+                                bz_in))
+                    bump(inv_of(stp[:, bz - 1 :], by_p[bz - 1 :],
+                                bz_last))
+
+                # C: the LAST column's own last row (y wrap to column 0's
+                # first row; for a single column, to its own)
+                @pl.when(yi == nyb - 1)
+                def _():
+                    fr_b = firstrow[_IB, pl.ds(z0, bz)]
+                    bump(inv_of(blk[:, 0 : bz - 1, by - 1],
+                                fr_b[0 : bz - 1],
+                                blk[_IC, 1:bz, by - 1]))
+
+                    @pl.when(zi >= 2)
+                    def _():
+                        bump(inv_of(prevpl[:, by - 1],
+                                    firstrow[_IB, pl.ds(z0 - 1, 1)][0],
+                                    blk[_IC, 0, by - 1]))
+
+                    @pl.when(zi == nzb)
+                    def _():
+                        bump(inv_of(blk[:, bz - 1, by - 1],
+                                    fr_b[bz - 1],
+                                    firstpl[_IC, by - 1]))
+
+                prevpl[...] = blk[:, bz - 1]
+
+                @pl.when(jnp.logical_and(yi == nyb - 1, zi == nzb))
+                def _():
+                    inv_ref[0, 0] = acc[0, 0]
+
         # ---- output DMAs for tile (zi-1, yi): interior block + wrap
         # ghost bands (same spec as packed_io.make_packed_io_step).
         # Slots and deferred drains index REAL tiles (warmups issue no
@@ -339,9 +466,44 @@ def make_zcarry_mhd_packed_io(
             def _():
                 run(out_dmas(zp1, yp1, 1 - slot), lambda c: c.wait())
 
-    out_shape = jax.ShapeDtypeStruct(
+    p_shape = jax.ShapeDtypeStruct(
         (nv, nz + 2 * g, ny + 2 * YB, nx), dtype
     )
+    scratch = [
+        pltpu.VMEM((nv, bz + 4, wy, nx), dtype),            # U
+        pltpu.VMEM((nv, bz + 3, rows_c, nx), dtype),        # Q
+        pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh0
+        pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh1
+        pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh2
+        pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh3
+        pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st0
+        pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st1
+        pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st2
+        pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st3
+        pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st4
+        pltpu.VMEM((2, nv, bz, by, nx), dtype),             # result
+    ]
+    if with_inv_dt:
+        out_specs = (
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+        out_shape = (p_shape, jax.ShapeDtypeStruct((1, 1), dtype))
+        scratch += [
+            pltpu.VMEM((nv, by, nx), dtype),                # prev plane
+            pltpu.VMEM((nv, by, nx), dtype),                # first plane
+            pltpu.VMEM((nv, nz, nx), dtype),                # rows0
+            pltpu.VMEM((nv, nz, nx), dtype),                # rows1
+            pltpu.VMEM((nv, nz, nx), dtype),                # first col row
+            pltpu.SMEM((1, 1), dtype),                      # acc
+        ]
+    else:
+        out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+        out_shape = p_shape
+    scratch += [
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
 
     fused = pl.pallas_call(
         kernel,
@@ -350,24 +512,9 @@ def make_zcarry_mhd_packed_io(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((nv, bz + 4, wy, nx), dtype),            # U
-            pltpu.VMEM((nv, bz + 3, rows_c, nx), dtype),        # Q
-            pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh0
-            pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh1
-            pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh2
-            pltpu.VMEM((bz + 2, rows_c, nx), dtype),            # sh3
-            pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st0
-            pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st1
-            pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st2
-            pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st3
-            pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st4
-            pltpu.VMEM((2, nv, bz, by, nx), dtype),             # result
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
@@ -377,6 +524,9 @@ def make_zcarry_mhd_packed_io(
     def step_packed(P, dt):
         dt_arr = jnp.reshape(dt, (1, 1)).astype(P.dtype)
         P, dt_arr = jax.lax.optimization_barrier((P, dt_arr))
+        if with_inv_dt:
+            P_new, inv = jax.lax.optimization_barrier(fused(dt_arr, P))
+            return P_new, inv[0, 0]
         return jax.lax.optimization_barrier(fused(dt_arr, P))
 
     return step_packed

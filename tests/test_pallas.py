@@ -205,6 +205,17 @@ def test_zcarry_step_matches_packed(dims):
     np.testing.assert_allclose(
         np.asarray(zc(P, dt)), np.asarray(ref(P, dt)), rtol=0, atol=5e-8
     )
+    # in-kernel CFL reduction: bit-identical to the separate pass on the
+    # kernel's own output
+    from ramsesgpu_tpu.pallas.packed_io import YB
+    from ramsesgpu_tpu.solvers.timestep import compute_inv_dt_mhd_packed
+
+    zc2 = make_zcarry_mhd_packed_io(params, tiles=(8, 8), interpret=True,
+                                    with_inv_dt=True)
+    Pz, inv = zc2(P, dt)
+    assert float(inv) == float(
+        compute_inv_dt_mhd_packed(params, Pz, y0=YB)
+    )
 
 
 @pytest.mark.parametrize("dims", [(128, 16, 8), (128, 24, 12)])

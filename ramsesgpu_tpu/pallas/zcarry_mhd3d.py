@@ -82,8 +82,14 @@ def make_zcarry_mhd_packed_io(
     tiles: tuple[int, int] | None = None,
     interpret: bool = False,
     with_inv_dt: bool = False,
+    prefetch: bool = False,
 ) -> Callable:
     """Build ``step_packed(P, dt) -> P_new`` on the packed loop state.
+
+    ``prefetch``: double-buffer the fresh-plane input DMA through a
+    landing buffer (the direct path stalls ~5-10 us per tile on the DMA
+    wait); kept off by default until the base kernel is
+    hardware-validated.
 
     ``with_inv_dt``: additionally fold the NEXT step's CFL reduction over
     the updated state into the kernel and return ``(P_new, inv_dt)``. The
@@ -139,14 +145,18 @@ def make_zcarry_mhd_packed_io(
     def kernel(
         dt_ref, p_hbm, out_ref, *rest,
     ):
+        rest = list(rest)
+        inv_ref = rest.pop(0) if with_inv_dt else None
+        (u_b, q_b, sh0, sh1, sh2, sh3, st0, st1, st2, st3, st4,
+         res) = rest[:12]
+        rest = rest[12:]
         if with_inv_dt:
-            (inv_ref, u_b, q_b, sh0, sh1, sh2, sh3,
-             st0, st1, st2, st3, st4, res,
-             prevpl, firstpl, rows0, rows1, firstrow, acc,
-             sem_in, sem_out) = rest
-        else:
-            (u_b, q_b, sh0, sh1, sh2, sh3, st0, st1, st2, st3, st4,
-             res, sem_in, sem_out) = rest
+            prevpl, firstpl, rows0, rows1, firstrow, acc = rest[:6]
+            rest = rest[6:]
+        if prefetch:
+            land, sem_land = rest[:2]
+            rest = rest[2:]
+        sem_in, sem_out = rest
         sh_bufs = (sh0, sh1, sh2, sh3)
         st_bufs = (st0, st1, st2, st3, st4)
         yi = pl.program_id(0)
@@ -196,15 +206,48 @@ def make_zcarry_mhd_packed_io(
             c.start()
             c.wait()
 
-        @pl.when(zi > 0)
-        def _():
-            c = pltpu.make_async_copy(
-                p_hbm.at[:, pl.ds(g + z0 + 3, bz), pl.ds(yi * by, wy), :],
-                u_b.at[:, pl.ds(4, bz)],
-                sem_in,
-            )
-            c.start()
-            c.wait()
+        if not prefetch:
+            @pl.when(zi > 0)
+            def _():
+                c = pltpu.make_async_copy(
+                    p_hbm.at[:, pl.ds(g + z0 + 3, bz),
+                             pl.ds(yi * by, wy), :],
+                    u_b.at[:, pl.ds(4, bz)],
+                    sem_in,
+                )
+                c.start()
+                c.wait()
+        else:
+            # landing-buffer prefetch: real tile j's fresh planes were
+            # DMA-started by the previous real tile (or, for each
+            # column's first real tile, by the preceding step); copy
+            # VMEM->VMEM after the copy-down, then start the next fetch
+            j_pre = yi * nzb + (zi - 1)
+
+            def land_dma(jn, slot_n):
+                # real tile jn = (yn, zn): fresh packed planes
+                yn = jax.lax.div(jn, nzb)
+                zn0 = jax.lax.rem(jn, nzb) * bz
+                return pltpu.make_async_copy(
+                    p_hbm.at[:, pl.ds(g + zn0 + 3, bz),
+                             pl.ds(yn * by, wy), :],
+                    land.at[slot_n],
+                    sem_land.at[slot_n],
+                )
+
+            @pl.when(i == 0)
+            def _():
+                land_dma(0, 0).start()
+
+            @pl.when(zi > 0)
+            def _():
+                sl = jax.lax.rem(j_pre, 2)
+                land_dma(j_pre, sl).wait()
+                u_b[:, 4 : 4 + bz] = land[sl]
+
+                @pl.when(j_pre + 1 < nyb * nzb)
+                def _():
+                    land_dma(j_pre + 1, 1 - sl).start()
 
         # local-frame U view, clipped to the stencil-consumed y extent
         def u_slab(lo, n):
@@ -500,6 +543,11 @@ def make_zcarry_mhd_packed_io(
     else:
         out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
         out_shape = p_shape
+    if prefetch:
+        scratch += [
+            pltpu.VMEM((2, nv, bz, wy, nx), dtype),         # landing
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     scratch += [
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA((2,)),

@@ -100,22 +100,44 @@ def bench_size(n: int, slabs: int, n_warmup: int = 2, n_iter: int = 10):
     return n_iter * cells / best
 
 
+def _emit_error(detail: str) -> None:
+    print(json.dumps({
+        "metric": f"error: {detail}",
+        "value": 0, "unit": "cells/s", "vs_baseline": 0,
+    }), flush=True)
+
+
 def main() -> int:
-    # watchdog: a wedged device tunnel (e.g. after a TPU-side crash) makes
-    # the first device op hang indefinitely; emit an honest zero instead of
-    # hanging the harness. 30 min >> worst-case remote compile (~8 min).
     import os
     import threading
 
+    from ramsesgpu_tpu.utils.platform import (
+        classify_bench_error,
+        honor_platform_env,
+        probe_device_alive,
+    )
+
+    honor_platform_env()
+
+    # A TPU-side kernel crash wedges this box's device tunnel: every later
+    # backend init HANGS (no error).  Probe in a killable subprocess first
+    # so a dead tunnel yields the honest-zero JSON in minutes, not a
+    # harness timeout (round-2 lesson: rc=124, no scoreboard number).
+    probe_timeout = float(os.environ.get("RAMSES_PROBE_TIMEOUT", "240"))
+    alive, detail = probe_device_alive(timeout_s=probe_timeout)
+    if not alive:
+        _emit_error(detail)
+        return 1
+    print(f"device probe ok: {detail}", file=sys.stderr)
+
+    # watchdog backstop: if the tunnel wedges mid-bench, emit the honest
+    # zero before the harness kills us. 25 min >> healthy-path worst case
+    # (remote compile ~8 min + warmup).
     def _too_long():
-        print(json.dumps({
-            "metric": "error: device unresponsive within 1800s "
-                      "(tunnel wedged?)",
-            "value": 0, "unit": "cells/s", "vs_baseline": 0,
-        }), flush=True)
+        _emit_error("device unresponsive within 1500s (tunnel wedged mid-run?)")
         os._exit(1)
 
-    watchdog = threading.Timer(1800.0, _too_long)
+    watchdog = threading.Timer(1500.0, _too_long)
     watchdog.daemon = True
     watchdog.start()
 
@@ -128,13 +150,20 @@ def main() -> int:
             value = bench_size(n, slabs)
             used_n = n
             break
-        except Exception as exc:  # OOM fallback to smaller grids
-            print(f"bench at {n}^3 failed: {type(exc).__name__}: {exc}",
-                  file=sys.stderr)
-            continue
+        except Exception as exc:
+            kind = classify_bench_error(exc)
+            print(f"bench at {n}^3 failed ({kind}): "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
+            if kind == "fatal":
+                # backend dead/unreachable: smaller grids cannot succeed,
+                # and each retry costs ~25 min against a wedged tunnel
+                watchdog.cancel()
+                _emit_error(f"backend dead at {n}^3: {type(exc).__name__}")
+                return 1
+            continue  # OOM (or unclassified): retry smaller
     watchdog.cancel()
     if value is None:
-        print(json.dumps({"metric": "error", "value": 0, "unit": "", "vs_baseline": 0}))
+        _emit_error("all grid sizes failed")
         return 1
 
     print(

@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    # `env JAX_PLATFORMS=cpu ramses-tpu ...` must actually run on CPU even
+    # though this box's TPU plugin re-selects its backend at import time
+    # (see utils/platform.py) — otherwise a wedged device tunnel hangs the
+    # CLI forever instead of falling back.
+    from ..utils.platform import honor_platform_env
+
+    honor_platform_env()
+
     config = ConfigMap(args.param)
     if args.dump_param_file:
         print(config.dump())

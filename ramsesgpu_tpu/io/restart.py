@@ -17,6 +17,58 @@ from ..config.params import RunParams
 from .hdf5 import input_hdf5, upscale
 
 
+# --------------------------------------------------------------------- #
+# Problem-specific post-restart fixups.
+#
+# The reference re-runs problem-specific setup after loading a checkpoint
+# (restart_run_extra_work, reference: src/hydro/MHDRunBase.cpp:3215-3228,
+# HydroRunBaseMpi.cpp:10374-10386): for MRI runs with gravity enabled it
+# re-generates the static gravity field, which is not part of the
+# checkpoint.  Here the registry maps a lower-cased problem name to
+# fn(params, config, U) -> U; entries may patch the freshly-loaded state
+# or re-derive auxiliary fields.
+RESTART_EXTRA_WORK: dict = {}
+
+
+def register_restart_extra_work(problem: str, fn) -> None:
+    RESTART_EXTRA_WORK[problem.lower()] = fn
+
+
+def _mri_restart_fixup(params: RunParams, config: ConfigMap, U):
+    """Re-derive the static gravity field for (stratified) MRI restarts.
+
+    In this framework the gravity field is a pure function of
+    (params, config) rebuilt at solver-construction time, so — unlike the
+    reference, whose h_gravity array lives outside the checkpoint — there
+    is no stale state to patch.  Re-deriving it here still validates that
+    the restart grid/config can produce a finite field (catching e.g. a
+    restart_upscale that desynced the mesh from [gravity] settings).
+    """
+    import numpy as np
+
+    from ..solvers.step import make_gravity_field
+
+    field = make_gravity_field(params, config)
+    if field is not None and not bool(np.isfinite(np.asarray(field)).all()):
+        raise ValueError(
+            "post-restart gravity field is non-finite; check [gravity] / "
+            "mesh settings against the restart file"
+        )
+    return U
+
+
+for _name in ("mri",):
+    register_restart_extra_work(_name, _mri_restart_fixup)
+
+
+def run_restart_extra_work(params: RunParams, config: ConfigMap, U):
+    """Apply the problem's registered fixup. Returns (U, ran: bool)."""
+    fn = RESTART_EXTRA_WORK.get(str(params.problem).lower())
+    if fn is None:
+        return U, False
+    return fn(params, config, U), True
+
+
 def load_restart(params: RunParams, config: ConfigMap):
     """Returns (U_device, total_time, time_step)."""
     filename = config.get_string("run", "restart_filename", "")
@@ -51,4 +103,5 @@ def load_restart(params: RunParams, config: ConfigMap):
     if config.get_bool("run", "restart_reset_timestep", False):
         time_step = 0
 
-    return jnp.asarray(U), total_time, time_step
+    U, _ran = run_restart_extra_work(params, config, jnp.asarray(U))
+    return U, total_time, time_step

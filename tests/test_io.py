@@ -181,3 +181,104 @@ def test_netcdf_restart(sod_state, tmp_path):
     U2, t2, step2 = load_restart(params, config)
     np.testing.assert_array_equal(np.asarray(U), np.asarray(U2))
     assert (t2, step2) == (0.25, 12)
+
+
+def _small_config_from(data_dir, name, nx=16, ny=16, nz=16):
+    import os
+
+    config = ConfigMap(os.path.join(data_dir, name))
+    config.set_integer("mesh", "nx", nx)
+    config.set_integer("mesh", "ny", ny)
+    if nz:
+        config.set_integer("mesh", "nz", nz)
+    return config
+
+
+def test_history_turbulence_channels(data_dir):
+    """Turbulence runs emit the reference's extra history columns
+    (history_turbulence, reference: src/hydro/MHDRunBase.cpp:3626-3810):
+    Mach numbers, helicity, mean fields, forcing-scale Fourier tracer."""
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.io.history import compute_history
+    from ramsesgpu_tpu.solvers.boundary import make_boundaries
+
+    config = _small_config_from(data_dir, "turbulence_mhd.ini")
+    params = params_from_config(config)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    sample = compute_history(params, U, 0.1, 1e-3)
+    for key in (
+        "eKin", "eMag", "helicity", "divB_sum", "mean_rho", "mean_B",
+        "mean_Bx", "mean_rhovx", "Ma_s", "Ma_alfven",
+        "coef_x", "coef_y", "coef_z",
+    ):
+        assert key in sample, key
+        assert np.isfinite(sample[key]), key
+    # cross-check eKin against a direct numpy reduction
+    g = params.ghost_width
+    from ramsesgpu_tpu.core.constants import IU, IV, IW
+
+    Un = np.asarray(U)[:, g:-g, g:-g, g:-g]
+    lx = params.xmax - params.xmin
+    dtau = params.dx * params.dy * params.dz / (
+        lx * (params.ymax - params.ymin) * (params.zmax - params.zmin))
+    ekin = ((Un[IU] ** 2 + Un[IV] ** 2 + Un[IW] ** 2) / Un[ID]).sum() * dtau
+    np.testing.assert_allclose(sample["eKin"], ekin, rtol=1e-5)
+    assert sample["mean_rho"] > 0 and sample["Ma_s"] >= 0
+
+
+def test_history_inertial_wave_probe(data_dir):
+    """Inertial-wave runs log the reference's single-point wave probe
+    (history_inertial_wave, reference: src/hydro/MHDRunBase.cpp:3414-3470)."""
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.core.constants import IU
+    from ramsesgpu_tpu.io.history import compute_history
+    from ramsesgpu_tpu.solvers.boundary import make_boundaries
+
+    config = _small_config_from(data_dir, "mhd_inertialWave_2d.ini", nz=0)
+    params = params_from_config(config)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    sample = compute_history(params, U, 0.0, 1e-3)
+    assert {"rho_probe", "dvx_over_cIso", "dvy_over_cIso"} <= set(sample)
+    g = params.ghost_width
+    i = g + params.nx // 2
+    expect_dvx = float(U[IU, g, i] / U[ID, g, i]) / params.c_iso
+    np.testing.assert_allclose(sample["dvx_over_cIso"], expect_dvx, rtol=1e-6)
+
+
+def test_restart_extra_work_mri(data_dir, tmp_path):
+    """The per-problem post-restart fixup registry runs for MRI restarts
+    (restart_run_extra_work, reference: src/hydro/MHDRunBase.cpp:3215-3228):
+    the stratified gravity field is re-derived after load."""
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.io import restart as restart_mod
+    from ramsesgpu_tpu.solvers.boundary import make_boundaries
+
+    config = _small_config_from(
+        data_dir, "mhd_mri_3d_stratified.ini", nx=16, ny=16, nz=16)
+    params = params_from_config(config)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    path = output_hdf5(
+        params, np.asarray(U), 5, total_time=0.5,
+        output_dir=str(tmp_path), prefix="mri", ghost_included=True)
+
+    calls = []
+    orig = restart_mod.RESTART_EXTRA_WORK["mri"]
+
+    def recording(p, c, u):
+        calls.append(p.problem)
+        return orig(p, c, u)
+
+    restart_mod.RESTART_EXTRA_WORK["mri"] = recording
+    try:
+        config.set_bool("run", "restart", True)
+        config.set_string("run", "restart_filename", str(path))
+        config.set_string("output", "outputDir", str(tmp_path))
+        U2, t2, step2 = restart_mod.load_restart(params, config)
+    finally:
+        restart_mod.RESTART_EXTRA_WORK["mri"] = orig
+    assert calls == ["MRI"]
+    assert (t2, step2) == (0.5, 5)
+    np.testing.assert_array_equal(np.asarray(U), np.asarray(U2))

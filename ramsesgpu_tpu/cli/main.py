@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
 
     honor_platform_env()
 
+    # multi-host: connect to the JAX cluster when the env asks for it
+    # (RAMSES_COORDINATOR/..., parallel/multihost.py) — the euler_mpi_main
+    # GlobalMpiSession bootstrap equivalent
+    from ..parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     config = ConfigMap(args.param)
     if args.dump_param_file:
         print(config.dump())

@@ -205,12 +205,19 @@ class HistoryWriter:
     HydroRunBaseMpi.cpp:10908 'totalTime dt mass divB')."""
 
     def __init__(self, params: RunParams, output_dir: str, prefix: str):
+        import jax
+
         self.params = params
         os.makedirs(output_dir, exist_ok=True)
         self.path = Path(output_dir) / f"{prefix}.history"
         self._header_written = self.path.exists()
+        # multi-host: every process computes the (collective) reductions,
+        # only process 0 touches the shared-filesystem file
+        self._active = jax.process_index() == 0
 
     def append(self, sample: dict[str, float]) -> None:
+        if not self._active:
+            return
         if not self._header_written:
             self.path.write_text("# " + " ".join(sample.keys()) + "\n")
             self._header_written = True

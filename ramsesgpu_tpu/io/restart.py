@@ -85,6 +85,9 @@ def load_restart(params: RunParams, config: ConfigMap):
     # init_simulation, HydroRunBaseMpi.cpp:10440-10442)
     if path.suffix == ".nc":
         from .netcdf import input_netcdf as _reader
+    elif path.name.endswith(".pieces.json"):
+        # multi-host piece-set snapshot (io/sharded.py manifest)
+        from .sharded import input_hdf5_pieces as _reader
     else:
         _reader = input_hdf5
 

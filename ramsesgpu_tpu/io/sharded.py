@@ -37,6 +37,38 @@ def iter_shards(U_sharded):
         yield shard.index, np.asarray(shard.data)
 
 
+def global_piece_table(U_sharded):
+    """Deterministic global piece table ``[(k, device, index)]``.
+
+    Built from the sharding's device->index map (NOT from addressable
+    shards), so every process of a multi-host run derives the identical
+    numbering and the rank-0 master can reference pieces written by other
+    processes (the reference's per-rank piece naming,
+    HydroRunBaseMpi.cpp:4206-4227).  Replicated shards collapse to the
+    lowest device id."""
+    imap = U_sharded.sharding.devices_indices_map(U_sharded.shape)
+    seen = set()
+    table = []
+    for dev in sorted(imap.keys(), key=lambda d: d.id):
+        index = imap[dev]
+        key = tuple(
+            (s.start, s.stop) for s in index if isinstance(s, slice)
+        )
+        if key in seen:
+            continue
+        seen.add(key)
+        table.append((len(table), dev, index))
+    return table
+
+
+def _local_shard_data(U_sharded):
+    """{device id -> host array} for this process's addressable shards."""
+    return {
+        shard.device.id: np.asarray(shard.data)
+        for shard in U_sharded.addressable_shards
+    }
+
+
 def _piece_offsets(params: RunParams, index) -> tuple[int, int, int]:
     """(ox, oy, oz) cell offsets of a shard's global position.
 
@@ -65,21 +97,34 @@ def output_vtk_pieces(
     Pieces are named ``<prefix>_<step:07d>_p<k:04d>.vti`` next to the
     master ``<prefix>_<step:07d>.pvti`` (the reference's per-rank naming,
     HydroRunBaseMpi.cpp:4206-4227)."""
+    import jax
+
     os.makedirs(output_dir, exist_ok=True)
     names = var_names(params.nb_var)
     origin = (params.xmin, params.ymin, params.zmin)
     spacing = (params.dx, params.dy, params.dz if params.dim == 3 else 1.0)
 
-    pieces = []  # (extent string, filename)
-    dtype = None
-    for k, (index, data) in enumerate(iter_shards(U_sharded)):
+    my_process = jax.process_index()
+    local = _local_shard_data(U_sharded)
+
+    pieces = []  # (extent string, filename) — the FULL global table
+    for k, dev, index in global_piece_table(U_sharded):
         ox, oy, oz = _piece_offsets(params, index)
-        if data.ndim == 3:  # [nvar, ny, nx]
-            nz, (ny, nx) = 1, data.shape[1:]
+        spatial = [s for s in index[1:]]
+        dims = [int(s.stop) - int(s.start) if s.start is not None
+                else U_sharded.shape[1 + i]
+                for i, s in enumerate(spatial)]
+        if params.dim == 2:
+            (ny, nx), nz = dims, 1
         else:
-            nz, ny, nx = data.shape[1:]
-        dtype = data.dtype
+            nz, ny, nx = dims
         piece_name = f"{prefix}_{n_step:07d}_p{k:04d}.vti"
+        pieces.append(
+            (f"{ox} {ox+nx} {oy} {oy+ny} {oz} {oz+nz}", piece_name)
+        )
+        if dev.process_index != my_process:
+            continue  # another host writes this piece
+        data = local[dev.id]
         write_vti(
             Path(output_dir) / piece_name,
             {name: data[i] for i, name in enumerate(names)},
@@ -88,10 +133,12 @@ def output_vtk_pieces(
             binary=binary,
             extent_offset=(ox, oy, oz),
         )
-        pieces.append(
-            (f"{ox} {ox+nx} {oy} {oy+ny} {oz} {oz+nz}", piece_name)
-        )
 
+    master = Path(output_dir) / f"{prefix}_{n_step:07d}.pvti"
+    if my_process != 0:
+        return master
+
+    dtype = np.float64 if params.dtype == "float64" else np.float32
     vtk_type = {"float32": "Float32", "float64": "Float64"}[np.dtype(dtype).name]
     nx, ny = params.nx, params.ny
     nz = params.nz if params.dim == 3 else 1
@@ -109,7 +156,6 @@ def output_vtk_pieces(
     for extent, piece_name in pieces:
         lines.append(f'    <Piece Extent="{extent}" Source="{piece_name}"/>')
     lines += ["  </PImageData>", "</VTKFile>", ""]
-    master = Path(output_dir) / f"{prefix}_{n_step:07d}.pvti"
     master.write_text("\n".join(lines))
     return master
 
@@ -134,6 +180,18 @@ def output_hdf5_sharded(
     import datetime
 
     import h5py
+    import jax
+
+    if jax.process_count() > 1:
+        # one process cannot own a global h5py file: write per-process
+        # piece files + a rank-0 manifest instead (the multi-host
+        # equivalent of the reference's collective PHDF5 write,
+        # HydroRunBaseMpi.cpp:4835-5557, without an MPI-IO dependency)
+        return _output_hdf5_pieces(
+            params, U_sharded, n_step, total_time=total_time,
+            output_dir=output_dir, prefix=prefix,
+            compression_level=compression_level,
+        )
 
     os.makedirs(output_dir, exist_ok=True)
     path = Path(output_dir) / f"{prefix}_{n_step:07d}.h5"
@@ -166,3 +224,123 @@ def output_hdf5_sharded(
     if write_xdmf:
         write_xdmf_wrapper(params, path, ghost_included=False)
     return path
+
+# --------------------------------------------------------------------- #
+# Multi-host HDF5: per-process piece files + rank-0 JSON manifest.
+
+
+def _output_hdf5_pieces(
+    params: RunParams,
+    U_sharded,
+    n_step: int,
+    total_time: float = 0.0,
+    output_dir: str = ".",
+    prefix: str = "output",
+    compression_level: int = 0,
+) -> Path:
+    """Each process writes its addressable shards into its own
+    ``<prefix>_<step>_r<pid>.h5`` (one group per piece, offset attrs);
+    process 0 writes ``<prefix>_<step>.pieces.json`` describing the full
+    set, which doubles as a restart input (``input_hdf5_pieces``)."""
+    import json
+
+    import h5py
+    import jax
+
+    os.makedirs(output_dir, exist_ok=True)
+    my_process = jax.process_index()
+    local = _local_shard_data(U_sharded)
+    names = dataset_names(params)
+    kwargs = {}
+    if compression_level > 0:
+        kwargs = dict(
+            compression="gzip", compression_opts=compression_level,
+            shuffle=True, chunks=True,
+        )
+
+    table = global_piece_table(U_sharded)
+    my_path = Path(output_dir) / f"{prefix}_{n_step:07d}_r{my_process:04d}.h5"
+    with h5py.File(my_path, "w") as f:
+        f.attrs["time step"] = np.int32(n_step)
+        f.attrs["total time"] = np.float64(total_time)
+        for k, dev, index in table:
+            if dev.process_index != my_process:
+                continue
+            data = local[dev.id]
+            grp = f.create_group(f"piece{k:04d}")
+            grp.attrs["offset"] = np.asarray(
+                [0 if s.start is None else int(s.start) for s in index[1:]],
+                np.int64,
+            )
+            for i, name in enumerate(names):
+                grp.create_dataset(name, data=data[i], **kwargs)
+
+    manifest = Path(output_dir) / f"{prefix}_{n_step:07d}.pieces.json"
+    if my_process == 0:
+        entries = []
+        for k, dev, index in table:
+            entries.append({
+                "piece": f"piece{k:04d}",
+                "file": f"{prefix}_{n_step:07d}_r{dev.process_index:04d}.h5",
+                "offset": [
+                    0 if s.start is None else int(s.start) for s in index[1:]
+                ],
+                "shape": [
+                    (U_sharded.shape[1 + i] if s.stop is None
+                     else int(s.stop))
+                    - (0 if s.start is None else int(s.start))
+                    for i, s in enumerate(index[1:])
+                ],
+            })
+        manifest.write_text(json.dumps({
+            "format": "ramsesgpu_tpu-hdf5-pieces",
+            "nx": params.nx, "ny": params.ny, "nz": params.nz,
+            "time step": n_step, "total time": total_time,
+            "datasets": list(names),
+            "pieces": entries,
+        }, indent=1))
+    return manifest
+
+
+def input_hdf5_pieces(
+    params: RunParams, manifest_path
+) -> tuple[np.ndarray, float, int]:
+    """Assemble a ghosted global state from a multi-host piece set.
+
+    Every process reads every piece file (shared filesystem, exactly the
+    reference's per-rank hyperslab restart read model,
+    HydroRunBaseMpi.cpp:7505-7862); ghosts are zero and refilled by the
+    first boundary fill.  Returns (U, total_time, time_step)."""
+    import json
+
+    import h5py
+
+    manifest_path = Path(manifest_path)
+    meta = json.loads(manifest_path.read_text())
+    if meta.get("format") != "ramsesgpu_tpu-hdf5-pieces":
+        raise ValueError(f"not a pieces manifest: {manifest_path}")
+
+    g = params.ghost_width
+    dtype = np.float64 if params.dtype == "float64" else np.float32
+    U = np.zeros(params.shape, dtype=dtype)
+    names = dataset_names(params)
+    if list(meta["datasets"]) != list(names):
+        raise ValueError(
+            f"piece manifest datasets {meta['datasets']} do not match the "
+            f"run's variables {list(names)}"
+        )
+
+    by_file: dict = {}
+    for entry in meta["pieces"]:
+        by_file.setdefault(entry["file"], []).append(entry)
+    for fname, entries in by_file.items():
+        with h5py.File(manifest_path.parent / fname, "r") as f:
+            for entry in entries:
+                grp = f[entry["piece"]]
+                sl = tuple(
+                    slice(g + o, g + o + s)
+                    for o, s in zip(entry["offset"], entry["shape"])
+                )
+                for i, name in enumerate(names):
+                    U[(i, *sl)] = np.asarray(grp[name])
+    return U, float(meta["total time"]), int(meta["time step"])

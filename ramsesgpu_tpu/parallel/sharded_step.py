@@ -862,10 +862,24 @@ def make_sharded_step(params: RunParams, mesh: Mesh, config=None) -> Callable:
 
 
 def shard_global_state(params: RunParams, mesh: Mesh, U_ghosted) -> jax.Array:
-    """Distribute a host-side ghosted global state: strip ghosts, device_put
-    with the mesh sharding."""
+    """Distribute a host-side ghosted global state: strip ghosts, lay it
+    over the mesh sharding.
+
+    Multi-process safe: under ``jax.distributed`` each process holds the
+    same host-side global state (problem inits are deterministic; restart
+    readers load the same file — the reference's per-rank hyperslab read,
+    HydroRunBaseMpi.cpp:7505-7862) and contributes only its addressable
+    shards via ``make_array_from_callback``."""
+    import numpy as np
+
     from .mesh import state_sharding
 
     g = params.ghost_width
     sl = (slice(None),) + (slice(g, -g),) * params.dim
-    return jax.device_put(jnp.asarray(U_ghosted)[sl], state_sharding(params, mesh))
+    sharding = state_sharding(params, mesh)
+    if jax.process_count() > 1:
+        interior = np.asarray(U_ghosted)[sl]
+        return jax.make_array_from_callback(
+            interior.shape, sharding, lambda idx: interior[idx]
+        )
+    return jax.device_put(jnp.asarray(U_ghosted)[sl], sharding)

@@ -44,6 +44,13 @@ class DistributedRun(Run):
 
     def __init__(self, config: ConfigMap, params: RunParams | None = None,
                  mesh=None):
+        # multi-host entry point (env-gated; the GlobalMpiSession successor,
+        # parallel/multihost.py) — must run before any jax.devices() use
+        from ..parallel.multihost import is_multiprocess, maybe_initialize_distributed
+
+        maybe_initialize_distributed()
+        self._multiprocess = is_multiprocess()
+
         base = params or params_from_config(config)
         mx, my, mz = topology_from_config(config)
         validate_decomposition(base, mx, my, mz)
@@ -97,6 +104,13 @@ class DistributedRun(Run):
         """Sharded snapshot output: stream shards to per-piece VTI and
         HDF5 hyperslabs; gather only for formats that need it."""
         if self._gather_output or self.ghost_included:
+            if self._multiprocess:
+                # no process can address the full array under multi-host
+                raise NotImplementedError(
+                    "[output] gatherOutput/ghostIncluded gather the global "
+                    "state on one host — unavailable in a multi-process "
+                    "run; use the sharded VTI/HDF5 writers"
+                )
             super().output()
             return
 
@@ -121,6 +135,30 @@ class DistributedRun(Run):
                 and self.params.problem == "turbulence-Ornstein-Uhlenbeck")
         )
         if rest:
+            if self._multiprocess:
+                # the long-tail formats go through the host-gather path;
+                # only the replicated OU-forcing state can be saved here
+                if (self._forced and self.params.problem
+                        == "turbulence-Ornstein-Uhlenbeck"):
+                    import jax as _jax
+
+                    if _jax.process_index() == 0:
+                        from ..ops.forcing import save_ou_forcing
+
+                        save_ou_forcing(
+                            self._fstate,
+                            f"{self.output_dir}/{self.output_prefix}"
+                            f"_forcing_{self.n_step:07d}.npz",
+                        )
+                if not getattr(self, "_warned_gather_formats", False):
+                    self._warned_gather_formats = True
+                    print(
+                        "multi-process run: PNG/NRRD/XSM/BIN/faces/NetCDF/"
+                        "online-SF outputs need the host-gather path and "
+                        "are skipped",
+                        file=sys.stderr,
+                    )
+                return
             saved = self.output_vtk, self.output_hdf5
             self.output_vtk = self.output_hdf5 = False
             try:
@@ -154,6 +192,23 @@ class DistributedRun(Run):
         + periodic boundaries on one device (output/history consumers read
         interiors by default but may ask for ghostIncluded)."""
         g = self.params.ghost_width
+        if self._multiprocess:
+            # the global array is not host-addressable: return a ghosted
+            # *global jax array* (pad + fill under SPMD). history/guard
+            # consumers only run jnp reductions, which execute as
+            # collectives on every process.
+            pad = ((0, 0),) + ((g, g),) * self.params.dim
+            if self._shear:
+                from .shear import make_all_boundaries_shear
+
+                return jax.jit(
+                    lambda u, t: make_all_boundaries_shear(
+                        self.params, jnp.pad(u, pad), t
+                    )
+                )(self.U, jnp.asarray(self.t, self.U.dtype))
+            return jax.jit(
+                lambda u: make_boundaries(self.params, jnp.pad(u, pad))
+            )(self.U)
         Ui = np.asarray(jax.device_get(self.U))
         Ug = np.pad(Ui, ((0, 0),) + ((g, g),) * self.params.dim)
         if self._shear:

@@ -18,6 +18,8 @@ distance, and accumulated for orders q = 1..max_q. Results are saved as .npz
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -39,42 +41,24 @@ def _fields(params: RunParams, U: np.ndarray):
     return rho, vel
 
 
-def compute_structure_functions(
-    params: RunParams,
-    U: np.ndarray,
-    n_samples: int = 1000,
-    max_q: int = 5,
-    seed: int = 0,
-):
-    """Returns dict with per-type arrays of shape [max_q, n_bins]:
-    sf_long, sf_tran (mean |increment|^q) plus counts and bin distances."""
-    rho, vel = _fields(params, U)
-    dims = rho.shape  # (nz, ny, nx) or (ny, nx)
-    ndim = len(dims)
+def _sf_geometry(dims, max_q: int):
+    """(n_bins, ref-index sampler inputs) shared by both SF paths."""
     n_bins = int(np.ceil(max(dims) / 2.0 * np.sqrt(3.0))) + 2
+    return n_bins
 
+
+def _sample_ref_points(dims, n_samples: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
-    ref_idx = np.stack([rng.randint(0, d, size=n_samples) for d in dims], axis=1)
+    return np.stack([rng.randint(0, d, size=n_samples) for d in dims], axis=1)
 
-    # cell index grids (for separation vectors, periodic minimal image)
-    grids = np.meshgrid(*[np.arange(d) for d in dims], indexing="ij")
 
-    rho_j = jnp.asarray(rho)
-    vel_j = jnp.asarray(vel)
-    grids_j = [jnp.asarray(g_) for g_ in grids]
+def _make_point_accumulator(dims, n_bins: int, max_q: int):
+    """Per-reference-point increment accumulation, shared by the host
+    path and the sharded SPMD path (identical math and reduction order)."""
+    ndim = len(dims)
     dims_j = np.array(dims)
 
-    q_orders = jnp.arange(1, max_q + 1)
-
-    def fields_of_type(t):
-        if t == 0:
-            return vel_j
-        if t == 1:
-            return vel_j * jnp.sqrt(rho_j)[None]
-        return vel_j * jnp.cbrt(rho_j)[None]
-
-    @jax.jit
-    def accumulate_point(ref, acc_long, acc_tran, counts):
+    def accumulate_point(rho_j, vel_j, grids_j, ref, acc_long, acc_tran, counts):
         # separation vector with periodic minimal image
         sep = []
         for d in range(ndim):
@@ -86,6 +70,13 @@ def compute_structure_functions(
         dist = jnp.sqrt(sum(s * s for s in sep))
         bins = jnp.clip(jnp.rint(dist).astype(jnp.int32), 0, n_bins - 1)
         inv_dist = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
+
+        def fields_of_type(t):
+            if t == 0:
+                return vel_j
+            if t == 1:
+                return vel_j * jnp.sqrt(rho_j)[None]
+            return vel_j * jnp.cbrt(rho_j)[None]
 
         for t in range(3):
             f = fields_of_type(t)
@@ -113,14 +104,10 @@ def compute_structure_functions(
         counts = counts + jnp.zeros(n_bins).at[bins.ravel()].add(1.0)
         return acc_long, acc_tran, counts
 
-    acc_long = jnp.zeros((3, max_q, n_bins))
-    acc_tran = jnp.zeros((3, max_q, n_bins))
-    counts = jnp.zeros(n_bins)
-    for p in range(n_samples):
-        acc_long, acc_tran, counts = accumulate_point(
-            jnp.asarray(ref_idx[p]), acc_long, acc_tran, counts
-        )
+    return accumulate_point
 
+
+def _sf_result(counts, acc_long, acc_tran, n_bins, max_q):
     counts = np.asarray(counts)
     safe = np.maximum(counts, 1.0)
     return {
@@ -131,6 +118,119 @@ def compute_structure_functions(
         "types": np.array(SF_TYPE_NAMES),
         "max_q": np.array([max_q]),
     }
+
+
+def compute_structure_functions(
+    params: RunParams,
+    U: np.ndarray,
+    n_samples: int = 1000,
+    max_q: int = 5,
+    seed: int = 0,
+):
+    """Returns dict with per-type arrays of shape [max_q, n_bins]:
+    sf_long, sf_tran (mean |increment|^q) plus counts and bin distances."""
+    rho, vel = _fields(params, U)
+    dims = rho.shape  # (nz, ny, nx) or (ny, nx)
+    n_bins = _sf_geometry(dims, max_q)
+    ref_idx = _sample_ref_points(dims, n_samples, seed)
+
+    # cell index grids (for separation vectors, periodic minimal image)
+    grids = np.meshgrid(*[np.arange(d) for d in dims], indexing="ij")
+
+    rho_j = jnp.asarray(rho)
+    vel_j = jnp.asarray(vel)
+    grids_j = [jnp.asarray(g_) for g_ in grids]
+    point = _make_point_accumulator(dims, n_bins, max_q)
+
+    accumulate_point = jax.jit(
+        lambda ref, al, at_, c: point(rho_j, vel_j, grids_j, ref, al, at_, c)
+    )
+
+    acc_long = jnp.zeros((3, max_q, n_bins))
+    acc_tran = jnp.zeros((3, max_q, n_bins))
+    counts = jnp.zeros(n_bins)
+    for p in range(n_samples):
+        acc_long, acc_tran, counts = accumulate_point(
+            jnp.asarray(ref_idx[p]), acc_long, acc_tran, counts
+        )
+
+    return _sf_result(counts, acc_long, acc_tran, n_bins, max_q)
+
+
+def compute_structure_functions_sharded(
+    params: RunParams,
+    U_interior,
+    n_samples: int = 1000,
+    max_q: int = 5,
+    seed: int = 0,
+):
+    """Structure functions directly on the *sharded interior-only* global
+    state — no host gather, ever.
+
+    The per-point increment math runs as one SPMD program over the device
+    mesh: the reference-point value is a cross-shard gather, the binned
+    accumulations reduce with scatter-adds that XLA completes with a
+    psum-style cross-device reduction into the replicated accumulators
+    (the successor of the reference's cross-rank SF reduction,
+    structureFunctionsMpi.cpp).  Multi-process safe: every process gets
+    the replicated result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dims = U_interior.shape[1:]
+    ndim = len(dims)
+    n_bins = _sf_geometry(dims, max_q)
+    ref_idx = _sample_ref_points(dims, n_samples, seed)
+    point = _make_point_accumulator(dims, n_bins, max_q)
+
+    out_shardings = None
+    if isinstance(U_interior.sharding, NamedSharding):
+        rep = NamedSharding(U_interior.sharding.mesh, P())
+        out_shardings = (rep, rep, rep)
+
+    comps = (IU, IV, IW)[:ndim]
+
+    @partial(jax.jit, out_shardings=out_shardings)
+    def run(U, refs):
+        rho_j = U[ID]
+        vel_j = jnp.stack([U[c] / rho_j for c in comps])
+        grids_j = [
+            jax.lax.broadcasted_iota(jnp.int32, tuple(dims), d)
+            for d in range(ndim)
+        ]
+
+        def body(p, carry):
+            return point(rho_j, vel_j, grids_j, refs[p], *carry)
+
+        init = (
+            jnp.zeros((3, max_q, n_bins)),
+            jnp.zeros((3, max_q, n_bins)),
+            jnp.zeros(n_bins),
+        )
+        return jax.lax.fori_loop(0, n_samples, body, init)
+
+    acc_long, acc_tran, counts = run(U_interior, jnp.asarray(ref_idx))
+    return _sf_result(counts, acc_long, acc_tran, n_bins, max_q)
+
+
+def structure_functions_online_sharded(
+    params: RunParams,
+    config: ConfigMap,
+    U_interior,
+    n_step: int,
+) -> str:
+    """On-line hook for distributed runs: SPMD accumulation, rank-0 write."""
+    import jax as _jax
+
+    n_samples = config.get_integer("structureFunctions", "nSampleTotal", 1000)
+    max_q = config.get_integer("structureFunctions", "max_q", 5)
+    output_dir = config.get_string("output", "outputDir", "./")
+    prefix = config.get_string("output", "outputPrefix", "output")
+    result = compute_structure_functions_sharded(
+        params, U_interior, n_samples, max_q)
+    path = f"{output_dir}/{prefix}_sf_{n_step:07d}.npz"
+    if _jax.process_index() == 0:
+        np.savez(path, **result)
+    return path
 
 
 def structure_functions_online(

@@ -344,3 +344,80 @@ def input_hdf5_pieces(
                 for i, name in enumerate(names):
                     U[(i, *sl)] = np.asarray(grp[name])
     return U, float(meta["total time"]), int(meta["time step"])
+
+# --------------------------------------------------------------------- #
+# Streamed long-tail outputs: small slices extracted under SPMD with a
+# replicated result — the global volume is never gathered.
+
+
+def _replicated_slice(U_sharded, fn):
+    """jit ``fn(U)`` (which must return a small array) with a replicated
+    output sharding; every process can then read the value."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kwargs = {}
+    if isinstance(U_sharded.sharding, NamedSharding):
+        kwargs["out_shardings"] = NamedSharding(U_sharded.sharding.mesh, P())
+    return np.asarray(jax.jit(fn, **kwargs)(U_sharded))
+
+
+def output_png_sharded(
+    params: RunParams,
+    U_sharded,
+    n_step: int,
+    output_dir: str = ".",
+    prefix: str = "output",
+    cmap: str = "viridis",
+) -> Path:
+    """Density-plane PNG from the sharded interior state (2D: the full
+    plane; 3D: the mid-z plane) — only the 2D plane ever leaves the mesh."""
+    import jax
+
+    from ..core.constants import ID
+    from .png import write_png_colormap
+
+    if params.dim == 3:
+        fn = lambda U: U[ID, U.shape[1] // 2]  # noqa: E731
+    else:
+        fn = lambda U: U[ID]  # noqa: E731
+    rho = _replicated_slice(U_sharded, fn)
+    os.makedirs(output_dir, exist_ok=True)
+    path = Path(output_dir) / f"{prefix}_{n_step:07d}.png"
+    if jax.process_index() == 0:
+        write_png_colormap(path, rho, cmap=cmap)
+    return path
+
+
+def output_faces_sharded(
+    params: RunParams,
+    U_sharded,
+    n_step: int,
+    output_dir: str = ".",
+    prefix: str = "output",
+) -> list:
+    """The six domain faces of every variable, each extracted as one
+    SPMD slice (the reference's movie output, copyFaces.cuh:46-197)."""
+    import jax
+
+    from ..core.constants import var_names
+
+    names = var_names(params.nb_var)
+    os.makedirs(output_dir, exist_ok=True)
+    face_fns = {
+        "xmin": lambda U: U[..., 0],
+        "xmax": lambda U: U[..., -1],
+        "ymin": lambda U: U[..., 0, :],
+        "ymax": lambda U: U[..., -1, :],
+    }
+    if params.dim == 3:
+        face_fns["zmin"] = lambda U: U[:, 0]
+        face_fns["zmax"] = lambda U: U[:, -1]
+    out = []
+    for face, fn in face_fns.items():
+        data = _replicated_slice(U_sharded, fn)
+        path = Path(output_dir) / f"{prefix}_face_{face}_{n_step:07d}.npz"
+        if jax.process_index() == 0:
+            np.savez(path, **{n: data[i] for i, n in enumerate(names)})
+        out.append(path)
+    return out

@@ -127,44 +127,71 @@ class DistributedRun(Run):
                     self.params, self.U, self.n_step, total_time=self.t,
                     output_dir=self.output_dir, prefix=self.output_prefix,
                 )
+        # --- streamed long-tail outputs: PNG / face dumps / online SF all
+        # run as SPMD slice-or-reduce programs over the mesh (io/sharded.py,
+        # analysis/structure_functions.py) — the global volume is never
+        # gathered for them (reference analogue: per-rank movie faces +
+        # cross-rank SF reduction, copyFaces.cuh, structureFunctionsMpi.cpp)
+        with self.io_timer:
+            if self.output_png:
+                from ..io.sharded import output_png_sharded
+
+                output_png_sharded(
+                    self.params, self.U, self.n_step,
+                    output_dir=self.output_dir, prefix=self.output_prefix,
+                )
+            if self.output_faces:
+                from ..io.sharded import output_faces_sharded
+
+                output_faces_sharded(
+                    self.params, self.U, self.n_step,
+                    output_dir=self.output_dir, prefix=self.output_prefix,
+                )
+            if self.sf_enabled:
+                from ..analysis.structure_functions import (
+                    structure_functions_online_sharded,
+                )
+
+                structure_functions_online_sharded(
+                    self.params, self.config, self.U, self.n_step
+                )
+            if (self._forced and self.params.problem
+                    == "turbulence-Ornstein-Uhlenbeck"):
+                # the OU mode state is replicated: rank-0 host save
+                if jax.process_index() == 0:
+                    from ..ops.forcing import save_ou_forcing
+
+                    save_ou_forcing(
+                        self._fstate,
+                        f"{self.output_dir}/{self.output_prefix}"
+                        f"_forcing_{self.n_step:07d}.npz",
+                    )
+
         rest = (
-            self.output_png or self.output_nrrd or self.output_xsm
-            or self.output_bin or self.output_faces or self.output_netcdf
-            or self.sf_enabled
-            or (self._forced
-                and self.params.problem == "turbulence-Ornstein-Uhlenbeck")
+            self.output_nrrd or self.output_xsm
+            or self.output_bin or self.output_netcdf
         )
         if rest:
             if self._multiprocess:
-                # the long-tail formats go through the host-gather path;
-                # only the replicated OU-forcing state can be saved here
-                if (self._forced and self.params.problem
-                        == "turbulence-Ornstein-Uhlenbeck"):
-                    import jax as _jax
-
-                    if _jax.process_index() == 0:
-                        from ..ops.forcing import save_ou_forcing
-
-                        save_ou_forcing(
-                            self._fstate,
-                            f"{self.output_dir}/{self.output_prefix}"
-                            f"_forcing_{self.n_step:07d}.npz",
-                        )
                 if not getattr(self, "_warned_gather_formats", False):
                     self._warned_gather_formats = True
                     print(
-                        "multi-process run: PNG/NRRD/XSM/BIN/faces/NetCDF/"
-                        "online-SF outputs need the host-gather path and "
-                        "are skipped",
+                        "multi-process run: NRRD/XSM/BIN/NetCDF outputs "
+                        "need the host-gather path and are skipped "
+                        "(use VTI pieces / HDF5 pieces)",
                         file=sys.stderr,
                     )
                 return
-            saved = self.output_vtk, self.output_hdf5
-            self.output_vtk = self.output_hdf5 = False
+            saved = (self.output_vtk, self.output_hdf5, self.output_png,
+                     self.output_faces, self.sf_enabled, self._forced)
+            self.output_vtk = self.output_hdf5 = self.output_png = False
+            self.output_faces = self.sf_enabled = False
+            self._forced = False  # OU state already saved above
             try:
                 super().output()
             finally:
-                self.output_vtk, self.output_hdf5 = saved
+                (self.output_vtk, self.output_hdf5, self.output_png,
+                 self.output_faces, self.sf_enabled, self._forced) = saved
 
     def perf_summary(self, elapsed: float) -> str:
         """Aggregate + per-device throughput, the reference's MPI report

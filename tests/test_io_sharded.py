@@ -144,3 +144,94 @@ def test_distributed_profile_reports_overlap():
     assert "halo" in text
     if "overlap %" in phases:
         assert 0.0 <= phases["overlap %"] <= 1.0
+
+
+def test_sf_sharded_matches_host(sharded_state):
+    """The SPMD structure-function accumulation (no host gather) matches
+    the host-side path bit-for-bit in inputs: same seed, same reference
+    points, same binned reductions (reference cross-rank reduction:
+    structureFunctionsMpi.cpp)."""
+    from ramsesgpu_tpu.analysis.structure_functions import (
+        compute_structure_functions,
+        compute_structure_functions_sharded,
+    )
+
+    params, Us, interior = sharded_state
+    g = params.ghost_width
+    U_ghosted = np.pad(interior, ((0, 0),) + ((g, g),) * params.dim)
+    host = compute_structure_functions(params, U_ghosted,
+                                       n_samples=20, max_q=3, seed=7)
+    dist = compute_structure_functions_sharded(params, Us,
+                                               n_samples=20, max_q=3, seed=7)
+    np.testing.assert_array_equal(host["counts"], dist["counts"])
+    np.testing.assert_allclose(host["sf_long"], dist["sf_long"],
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(host["sf_tran"], dist["sf_tran"],
+                               rtol=2e-5, atol=1e-7)
+
+
+def test_streamed_png_and_faces(sharded_state, tmp_path):
+    """PNG + face dumps extracted as SPMD slices from the sharded state
+    match the host-side writers' content."""
+    from ramsesgpu_tpu.io.sharded import (
+        output_faces_sharded,
+        output_png_sharded,
+    )
+
+    params, Us, interior = sharded_state
+    png = output_png_sharded(params, Us, 3, output_dir=str(tmp_path),
+                             prefix="st")
+    # byte-identical to the host-side writer on the gathered state
+    from ramsesgpu_tpu.io.png import output_png
+
+    g = params.ghost_width
+    U_ghosted = np.pad(interior, ((0, 0),) + ((g, g),) * params.dim)
+    host_png = output_png(params, U_ghosted, 3, output_dir=str(tmp_path),
+                          prefix="host")
+    assert png.read_bytes() == open(host_png, "rb").read()
+
+    paths = output_faces_sharded(params, Us, 3, output_dir=str(tmp_path),
+                                 prefix="st")
+    assert len(paths) == 6
+    names = var_names(params.nb_var)
+    data = np.load(str(tmp_path / "st_face_xmin_0000003.npz"))
+    for i, n in enumerate(names):
+        np.testing.assert_array_equal(data[n], interior[i][..., 0])
+    data = np.load(str(tmp_path / "st_face_zmax_0000003.npz"))
+    for i, n in enumerate(names):
+        np.testing.assert_array_equal(data[n], interior[i][-1])
+
+
+def test_distributed_run_streams_long_tail(tmp_path):
+    """DistributedRun writes PNG/faces/online-SF through the SPMD
+    streamed paths (never gathering) when gatherOutput=no."""
+    from ramsesgpu_tpu.solvers.run_distributed import DistributedRun
+
+    ini = MHD3D_INI + f"""
+[mpi]
+mx=2
+my=2
+mz=1
+[run]
+nstepmax=2
+noutput=2
+[output]
+outputDir={tmp_path}
+outputPrefix=lt
+outputVtk=no
+outputHdf5=no
+outputPng=yes
+outputFaces=yes
+[structureFunctions]
+enabled=yes
+nSampleTotal=5
+max_q=2
+"""
+    config = ConfigMap(text=ini)
+    run = DistributedRun(config)
+    run.start(max_steps=2, do_output=True)
+    assert (tmp_path / "lt_0000002.png").exists()
+    faces = sorted(tmp_path.glob("lt_face_*_0000002.npz"))
+    assert len(faces) == 6
+    sf = np.load(str(tmp_path / "lt_sf_0000002.npz"))
+    assert sf["counts"].sum() > 0

@@ -45,15 +45,31 @@ CASES = {
     "mri3d": ("data/mhd_mri_3d.ini", {("mesh", "nx"): 32,
                                       ("mesh", "ny"): 32,
                                       ("mesh", "nz"): 16}),
+    "orszag-tang3d": ("data/orszag-tang3d.ini", {("mesh", "nx"): 32,
+                                                 ("mesh", "ny"): 32,
+                                                 ("mesh", "nz"): 32}),
 }
 
+# 3D cases additionally measure the Kahan-compensated f32 regime
+# ([implementation] compensated — the packed-kernel double-precision
+# story, pallas/packed_io.py) in interpret mode on CPU
+COMPENSATED_CASES = ("mri3d", "orszag-tang3d")
 
-def run_case(ini, overrides, dtype, n_steps):
+
+def run_case(ini, overrides, mode, n_steps):
+    """mode: 'float64' | 'float32' (whole-array oracle path) |
+    'compensated' (packed Pallas kernels in interpret mode)."""
     config = ConfigMap(ini)
     for (sec, key), v in overrides.items():
         config.set_integer(sec, key, v)
-    config.set_string("implementation", "dtype", dtype)
-    config.set_string("implementation", "kernel", "jnp")
+    if mode == "compensated":
+        config.set_string("implementation", "dtype", "float32")
+        config.set_string("implementation", "kernel", "pallas")
+        config.set_bool("implementation", "compensated", True)
+    else:
+        config.set_string("implementation", "dtype", mode)
+        config.set_string("implementation", "kernel", "jnp")
+        config.set_bool("implementation", "compensated", False)
     config.set_float("run", "tend", 1e9)
     config.set_integer("run", "nstepmax", 100000)
     params = params_from_config(config)
@@ -78,14 +94,25 @@ def run_case(ini, overrides, dtype, n_steps):
 
 def main() -> int:
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+    import ramsesgpu_tpu.pallas as pk
+
+    pk.INTERPRET = True  # compensated runs the packed kernels on CPU
+
     print(f"relative L2 vs the f64 oracle after {n_steps} steps "
           f"(reference budget model: computeL2relatif.py.in):")
     for name, (ini, overrides) in CASES.items():
         oracle = run_case(ini, overrides, "float64", n_steps)
-        f32 = run_case(ini, overrides, "float32", n_steps)
         norm = np.sqrt((oracle ** 2).sum())
-        l2 = np.sqrt(((f32 - oracle) ** 2).sum()) / norm
-        print(f"  {name:16s}: f32 L2 = {l2:.3e}")
+
+        def l2_of(mode):
+            got = run_case(ini, overrides, mode, n_steps)
+            return np.sqrt(((got - oracle) ** 2).sum()) / norm
+
+        cols = f"f32 L2 = {l2_of('float32'):.3e}"
+        if name in COMPENSATED_CASES:
+            cols += f"  compensated L2 = {l2_of('compensated'):.3e}"
+        print(f"  {name:16s}: {cols}")
     return 0
 
 

@@ -1,0 +1,265 @@
+"""Regenerable performance + accuracy table -> PERF.md + PERF.json.
+
+The auditability fix for "perf numbers live only in prose" (VERDICT
+round 2, weak #7/#9): one script regenerates every headline throughput
+row on the active backend — 2D hydro, 3D hydro, periodic 3D MHD+CT
+(plain f32 and the compensated double-precision regime), the MRI
+shearing box (the reference's flagship workload, reference:
+README.md:5-7), dissipative MRI at the Re=25000/Pm=4 coefficients, and
+stratified MRI — plus the relative-L2-vs-f64-oracle accuracy columns
+(reference budget model: test/computeL2relatif.py.in:44-50), harvested
+by running scripts/accuracy_table.py in a CPU subprocess.
+
+The throughput metric matches the reference's built-in report
+("cell updates per seconds", MHDRunGodunov.cpp:4063-4068).
+
+Usage:
+  python scripts/perf_table.py            # full sizes (wants the TPU)
+  python scripts/perf_table.py --quick    # tiny CPU smoke, no accuracy
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from ramsesgpu_tpu.config.configmap import ConfigMap  # noqa: E402
+from ramsesgpu_tpu.config.params import params_from_config  # noqa: E402
+from ramsesgpu_tpu.problems import init_problem  # noqa: E402
+from ramsesgpu_tpu.solvers.step import make_advance_n, uses_shear  # noqa: E402
+
+# (name, ini file, overrides, extra notes)
+# sizes follow BASELINE.md / STATUS.md conventions; --quick shrinks them
+ROWS = [
+    {
+        "name": "hydro 2D (Sod, HLLC)",
+        "ini": "data/hydro_sod2d.ini",
+        "size": {"nx": 1024, "ny": 1024},
+        "quick": {"nx": 128, "ny": 128},
+    },
+    {
+        "name": "hydro 3D (implode, HLLC)",
+        "ini": "data/implode3d.ini",
+        "size": {"nx": 256, "ny": 256, "nz": 256},
+        "quick": {"nx": 32, "ny": 32, "nz": 32},
+        "set": {("implementation", "zSlabNb"): "16"},
+        "quick_set": {("implementation", "zSlabNb"): "1"},
+    },
+    {
+        "name": "MHD 3D periodic (OT, HLLD)",
+        "ini": "data/orszag-tang3d.ini",
+        "size": {"nx": 256, "ny": 256, "nz": 256},
+        "quick": {"nx": 32, "ny": 32, "nz": 32},
+        "set": {("implementation", "zSlabNb"): "16"},
+        "quick_set": {("implementation", "zSlabNb"): "1"},
+        "modes": ("f32", "compensated"),
+    },
+    {
+        "name": "MRI shearing box (flagship)",
+        "ini": "data/mhd_mri_3d.ini",
+        "size": {"nx": 128, "ny": 256, "nz": 128},
+        "quick": {"nx": 32, "ny": 64, "nz": 32},
+        "modes": ("f32", "compensated"),
+    },
+    {
+        "name": "MRI viscous-resistive (Re=25000, Pm=4)",
+        "ini": "data/mhd_mri_3d.ini",
+        "size": {"nx": 128, "ny": 256, "nz": 128},
+        "quick": {"nx": 32, "ny": 64, "nz": 32},
+        # Re = c_s H / nu with c_s=1, H=1: Re=25000 -> nu=4e-5, Pm=4 ->
+        # eta=1e-5 (the reference's headline MRI regime, README.md:5-7)
+        "set": {("hydro", "nu"): "4e-5", ("MHD", "eta"): "1e-5"},
+        "modes": ("f32",),
+    },
+    {
+        "name": "MRI stratified",
+        "ini": "data/mhd_mri_3d_stratified.ini",
+        "size": {"nx": 128, "ny": 256, "nz": 128},
+        "quick": {"nx": 32, "ny": 64, "nz": 32},
+        "modes": ("f32",),
+    },
+]
+
+
+def bench_row(row, quick: bool, n_iter: int):
+    out = []
+    for mode in row.get("modes", ("f32",)):
+        config = ConfigMap(str(REPO / row["ini"]))
+        sizes = row["quick"] if quick else row["size"]
+        for k, v in sizes.items():
+            config.set_integer("mesh", k, v)
+        for (sec, key), v in row.get("set", {}).items():
+            config.set_string(sec, key, v)
+        if quick:
+            for (sec, key), v in row.get("quick_set", {}).items():
+                config.set_string(sec, key, v)
+        config.set_float("run", "tend", 1e9)
+        config.set_integer("run", "nstepmax", 1000000)
+        config.set_bool(
+            "implementation", "compensated", mode == "compensated"
+        )
+        params = params_from_config(config)
+
+        from ramsesgpu_tpu.solvers.boundary import make_boundaries
+        from ramsesgpu_tpu.solvers.shear import make_all_boundaries_shear
+
+        U = jnp.asarray(init_problem(params, config))
+        if uses_shear(params):
+            U = jax.jit(
+                lambda u, p=params: make_all_boundaries_shear(p, u, 0.0)
+            )(U)
+        else:
+            U = jax.jit(lambda u, p=params: make_boundaries(p, u))(U)
+        advance = make_advance_n(params, config)
+        t = jnp.asarray(0.0, U.dtype)
+
+        # two warmup chunks (first post-compile execution through the
+        # device tunnel is ~10x slow); value-forcing sync via a
+        # device->host scalar (block_until_ready is unreliable here)
+        for _ in range(2):
+            U_w, t_w, k = advance(U, t, jnp.array(2, jnp.int32))
+            float(jnp.sum(t_w))
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            U2, t2, k = advance(U, t, jnp.array(n_iter, jnp.int32))
+            checksum = float(jnp.sum(U2[0]))
+            best = min(best, time.perf_counter() - t0)
+        if int(k) != n_iter:
+            raise RuntimeError(f"{row['name']}: advanced {int(k)}/{n_iter}")
+        if checksum != checksum:
+            raise RuntimeError(f"{row['name']}: non-finite state")
+
+        cells = 1
+        for v in sizes.values():
+            cells *= v
+        out.append({
+            "name": row["name"],
+            "mode": mode,
+            "grid": "x".join(str(v) for v in sizes.values()),
+            "cells_per_s": n_iter * cells / best,
+            "ms_per_step": best / n_iter * 1e3,
+        })
+        print(f"  {row['name']} [{mode}] {out[-1]['grid']}: "
+              f"{out[-1]['cells_per_s']:.4g} cells/s "
+              f"({out[-1]['ms_per_step']:.2f} ms/step)", flush=True)
+    return out
+
+
+def harvest_accuracy(n_steps: int = 50) -> dict[str, dict[str, float]]:
+    """Run scripts/accuracy_table.py in a CPU subprocess; parse columns."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "accuracy_table.py"),
+         str(n_steps)],
+        capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    acc: dict[str, dict[str, float]] = {}
+    for line in proc.stdout.splitlines():
+        m = re.match(r"\s+(\S+)\s*:\s*(.*)", line)
+        if not m:
+            continue
+        cols = dict(re.findall(r"(\S+) L2 = ([0-9.e+-]+)", m.group(2)))
+        if cols:
+            acc[m.group(1)] = {k: float(v) for k, v in cols.items()}
+    if proc.returncode != 0:
+        print(f"accuracy_table failed rc={proc.returncode}:\n"
+              f"{proc.stderr[-2000:]}", file=sys.stderr)
+    return acc
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="tiny CPU smoke grids, skip accuracy")
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--out", default=str(REPO / "PERF.md"))
+    args = parser.parse_args()
+
+    from ramsesgpu_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+
+    backend = jax.default_backend()
+    dev = str(jax.devices()[0])
+    print(f"backend: {backend} ({dev})", flush=True)
+
+    results = []
+    for row in ROWS:
+        try:
+            results.extend(bench_row(row, args.quick, args.iters))
+        except Exception as exc:
+            print(f"  {row['name']}: FAILED {type(exc).__name__}: {exc}",
+                  file=sys.stderr, flush=True)
+            results.append({"name": row["name"], "mode": "f32",
+                            "error": f"{type(exc).__name__}: {exc}"})
+
+    accuracy = {} if args.quick else harvest_accuracy()
+
+    stamp = datetime.datetime.now().isoformat(timespec="seconds")
+    tag = "CPU smoke (--quick; NOT the recorded perf)" if args.quick \
+        else f"{backend} ({dev})"
+    lines = [
+        "# Performance table",
+        "",
+        f"Regenerated by `python scripts/perf_table.py"
+        f"{' --quick' if args.quick else ''}` on {stamp}.",
+        f"Backend: **{tag}**. Metric: cell updates per second per chip",
+        "(the reference's report, MHDRunGodunov.cpp:4063-4068); best of 3",
+        f"chunks of {args.iters} steps after 2 warmup chunks.",
+        "",
+        "| workload | mode | grid | cells/s | ms/step |",
+        "|---|---|---|---|---|",
+    ]
+    for r in results:
+        if "error" in r:
+            lines.append(f"| {r['name']} | {r['mode']} | - | ERROR: "
+                         f"{r['error']} | - |")
+        else:
+            lines.append(
+                f"| {r['name']} | {r['mode']} | {r['grid']} | "
+                f"{r['cells_per_s']:.4g} | {r['ms_per_step']:.2f} |"
+            )
+    if accuracy:
+        lines += [
+            "",
+            "## Accuracy: relative L2 vs the f64 oracle (50 steps)",
+            "",
+            "Budget model: the reference's golden-run comparison",
+            "(test/computeL2relatif.py.in:44-50).",
+            "",
+            "| case | " + " | ".join(
+                sorted({k for v in accuracy.values() for k in v})) + " |",
+            "|---|" + "---|" * len(
+                {k for v in accuracy.values() for k in v}),
+        ]
+        keys = sorted({k for v in accuracy.values() for k in v})
+        for case, cols in accuracy.items():
+            lines.append(
+                f"| {case} | " + " | ".join(
+                    f"{cols.get(k, float('nan')):.3e}" for k in keys) + " |"
+            )
+    Path(args.out).write_text("\n".join(lines) + "\n")
+    Path(args.out).with_suffix(".json").write_text(json.dumps({
+        "generated": stamp, "backend": backend, "device": dev,
+        "quick": args.quick, "rows": results, "accuracy": accuracy,
+    }, indent=1))
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -375,8 +375,23 @@ def make_shear_packed_step(
 
     stratified = gravity_z is not None
     tiles = tiles or _pick_tiles(params)
-    main = _make_main_kernel(params, tiles, interpret,
-                             gravity_z=gravity_z)
+    from .zcarry_mhd3d import (
+        make_zcarry_mhd_packed_io,
+        zcarry_shear_supported,
+    )
+
+    if params.kernel == "zcarry" and zcarry_shear_supported(
+        params.replace(pallas_tiles=tiles)
+    ):
+        # opt-in z-block-streaming MAIN kernel ([implementation]
+        # kernel=zcarry): same packed in/out contract, ~1.37x less z
+        # recompute per stage (pallas/zcarry_mhd3d.py)
+        main = make_zcarry_mhd_packed_io(
+            params, tiles=tiles, interpret=interpret, gravity_z=gravity_z
+        )
+    else:
+        main = _make_main_kernel(params, tiles, interpret,
+                                 gravity_z=gravity_z)
     strip_k = _make_strip_kernel(params, tiles[0], interpret,
                                  gravity_z=gravity_z)
     nv = params.nb_var

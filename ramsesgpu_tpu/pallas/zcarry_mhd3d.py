@@ -68,12 +68,28 @@ def zcarry_supported(params: RunParams) -> bool:
     bz, by = params.pallas_tiles or _pick_tiles(params)
     return (
         pallas_packed_supported(params)
-        and not params.compensated
         and params.nu == 0.0
         and params.eta == 0.0
         and bz >= params.ghost_width
         and params.nz % bz == 0
         and params.ny % by == 0
+    )
+
+
+def zcarry_shear_supported(params: RunParams) -> bool:
+    """Can the z-block-streaming kernel serve as the MAIN kernel of the
+    packed shearing-box step (shear_packed.make_shear_packed_step)?  The
+    outer step already gates on shear_packed_supported; this only checks
+    the zcarry-specific tile divisibility (dissipation is fine here — the
+    viscous/resistive sub-step is a separate packed-io launch)."""
+    from .fused_mhd3d import _pick_tiles
+
+    bz, by = params.pallas_tiles or _pick_tiles(params)
+    return (
+        bz >= params.ghost_width
+        and params.nz % bz == 0
+        and params.ny % by == 0
+        and by >= YB
     )
 
 
@@ -83,8 +99,26 @@ def make_zcarry_mhd_packed_io(
     interpret: bool = False,
     with_inv_dt: bool = False,
     prefetch: bool = False,
+    gravity_z=None,
 ) -> Callable:
     """Build ``step_packed(P, dt) -> P_new`` on the packed loop state.
+
+    Rotating-frame runs (params.omega0 > 0, the shearing-box MAIN kernel)
+    evaluate xpos from a static in-kernel iota exactly like the packed
+    shear kernel (shear_packed._make_main_kernel): x is ghost-free and
+    lane-exact, so window column == global column.
+
+    ``gravity_z``: stratified-MRI analytic vertical gravity gz(z); the
+    half-dt kick is applied to the trace state parts BEFORE they enter the
+    cross-tile carry stacks (gravity is time-static and dt is fixed within
+    a step, so carried planes were kicked with the same values a fresh
+    computation would use), and the conservative source enters
+    mhd_apply_update per output tile.
+
+    With params.compensated the packed state carries 2*nvar channels
+    (state + Kahan carry): the stencil buffers hold only the nvar state
+    channels, and each real tile additionally DMAs the carry channels of
+    its own bz output planes (carries are per-cell — no stencil reach).
 
     ``prefetch``: double-buffer the fresh-plane input DMA through a
     landing buffer (the direct path stalls ~5-10 us per tile on the DMA
@@ -102,7 +136,7 @@ def make_zcarry_mhd_packed_io(
     VMEM state — no extra DMA. max() is exactly associative, so the
     result is bit-identical to timestep.compute_inv_dt_mhd_packed on the
     output (tested in tests/test_pallas.py)."""
-    from ..core.constants import IA, IB, IC
+    from ..core.constants import IA, IB, IC, IU, IV, IW
     from ..ops.backend import BOX, BoxField
     from ..ops.eos import constoprim_mhd
     from ..ops.trace_mhd3d import (
@@ -117,10 +151,10 @@ def make_zcarry_mhd_packed_io(
     from ..solvers.timestep import _inv_dt_mhd_fields
     from .fused_mhd3d import _pick_tiles
 
-    if params.omega0 > 0:
-        raise ValueError("zcarry kernel does not cover the rotating frame")
     g = params.ghost_width
     nv = params.nb_var
+    comp = params.compensated
+    nvc = 2 * nv if comp else nv
     nz, ny, nx = params.nz, params.ny, params.nx
     bz, by = tiles or _pick_tiles(params)
     if nz % bz or ny % by or by < YB or bz < g:
@@ -150,6 +184,9 @@ def make_zcarry_mhd_packed_io(
         (u_b, q_b, sh0, sh1, sh2, sh3, st0, st1, st2, st3, st4,
          res) = rest[:12]
         rest = rest[12:]
+        if comp:
+            c_buf, sem_comp = rest[:2]
+            rest = rest[2:]
         if with_inv_dt:
             prevpl, firstpl, rows0, rows1, firstrow, acc = rest[:6]
             rest = rest[6:]
@@ -196,21 +233,39 @@ def make_zcarry_mhd_packed_io(
 
         # ---- fresh U planes [3, bz+3) by DMA (warmup: valid sub-range
         # [-g, 3) -> slots [bz-g+1, bz+4); normal: [z0+3, z0+bz+3)) ----
+        # (channel slice [0, nv): compensated carries never enter stencils)
         @pl.when(zi == 0)
         def _():
             c = pltpu.make_async_copy(
-                p_hbm.at[:, pl.ds(0, g + 3), pl.ds(yi * by, wy), :],
+                p_hbm.at[pl.ds(0, nv), pl.ds(0, g + 3),
+                         pl.ds(yi * by, wy), :],
                 u_b.at[:, pl.ds(bz + 1 - g, g + 3)],
                 sem_in,
             )
             c.start()
             c.wait()
 
+        if comp:
+            # this tile's own output planes' Kahan-carry channels (no
+            # stencil reach — per-cell); started here, waited right before
+            # the state update consumes them
+            def comp_dma():
+                return pltpu.make_async_copy(
+                    p_hbm.at[pl.ds(nv, nv), pl.ds(g + z0, bz),
+                             pl.ds(yi * by + YB, by), :],
+                    c_buf,
+                    sem_comp,
+                )
+
+            @pl.when(zi > 0)
+            def _():
+                comp_dma().start()
+
         if not prefetch:
             @pl.when(zi > 0)
             def _():
                 c = pltpu.make_async_copy(
-                    p_hbm.at[:, pl.ds(g + z0 + 3, bz),
+                    p_hbm.at[pl.ds(0, nv), pl.ds(g + z0 + 3, bz),
                              pl.ds(yi * by, wy), :],
                     u_b.at[:, pl.ds(4, bz)],
                     sem_in,
@@ -229,7 +284,7 @@ def make_zcarry_mhd_packed_io(
                 yn = jax.lax.div(jn, nzb)
                 zn0 = jax.lax.rem(jn, nzb) * bz
                 return pltpu.make_async_copy(
-                    p_hbm.at[:, pl.ds(g + zn0 + 3, bz),
+                    p_hbm.at[pl.ds(0, nv), pl.ds(g + zn0 + 3, bz),
                              pl.ds(yn * by, wy), :],
                     land.at[slot_n],
                     sem_land.at[slot_n],
@@ -256,6 +311,29 @@ def make_zcarry_mhd_packed_io(
                 lo, YB - g,
             )
 
+        # rotating frame: global x from a static iota (x is ghost-free and
+        # lane-exact — shear_packed._make_main_kernel's convention)
+        xpos = None
+        if params.omega0 > 0:
+            ii = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2).astype(
+                dtype
+            )
+            xpos = params.xmin + params.dx / 2 + ii * params.dx
+
+        # stratified-MRI analytic vertical gravity over local planes
+        # [-1, bz+2) (covers every part box the half-dt kick touches); the
+        # warmup tile evaluates gz at sub-domain planes whose values feed
+        # only junk the demand chain never reads
+        grav = None
+        if gravity_z is not None:
+            kz = (
+                jax.lax.broadcasted_iota(jnp.int32, (bz + 3, 1, 1), 0)
+                - 1 + z0
+            )
+            zc = params.zmin + params.dz / 2 + kz.astype(dtype) * params.dz
+            gz = jnp.broadcast_to(gravity_z(zc), (bz + 3, rows_c, nx))
+            grav = (None, None, BoxField(gz, -1, YB - g))
+
         # ---- Q fresh [2, bz+2) <- U [2, bz+3) ----
         Q_new, _c = constoprim_mhd(
             tile_params, u_slab(2, bz + 1), dt, xp=BOX
@@ -270,7 +348,7 @@ def make_zcarry_mhd_packed_io(
         u1 = u_slab(1, bz + 1)
         sh_new = trace_mhd3d_shared_precursors(
             tile_params, q_slab(1, bz + 1),
-            u1[IA], u1[IB], u1[IC], None, xp=BOX,
+            u1[IA], u1[IB], u1[IC], xpos, xp=BOX,
         )
         for k, f in enumerate(sh_new):
             store(sh_bufs[k], f"sh{k}", f, 2, bz, lambda p: p)
@@ -300,8 +378,22 @@ def make_zcarry_mhd_packed_io(
         P = trace_mhd3d_state_parts(
             tile_params, q_slab(0, bz + 1),
             u0[IA], u0[IB], u0[IC], bfz_p,
-            shared, shared_p, local, dt, None, xp=BOX,
+            shared, shared_p, local, dt, xpos, xp=BOX,
         )
+        if grav is not None:
+            # half-dt gravity kick on every trace part BEFORE the carry
+            # stores (carried planes are then kick-consistent: gravity is
+            # time-static and dt fixed within the step) — the same wrap
+            # _mhd_3d_fluxes_emfs applies in the whole-array path
+            def kick(q):
+                for d, slot in enumerate((IU, IV, IW)):
+                    if grav[d] is not None:
+                        q = BOX.set_component(
+                            q, slot, q[slot] + 0.5 * dt * grav[d]
+                        )
+                return q
+
+            P = {k: (lambda f=v: kick(f())) for k, v in P.items()}
         # persist the 5 cross-tile stacks; hand the flux assembly the
         # carried [-1, bz) slabs in their place (their shift_m(_Z) in the
         # assembly then aligns them at the consuming plane)
@@ -319,11 +411,18 @@ def make_zcarry_mhd_packed_io(
             P2[nm] = (lambda k=k: carried(k))
 
         fluxes, emfs = mhd_fluxes_emfs_from_parts(
-            tile_params, P2, None, xp=BOX
+            tile_params, P2, xpos, xp=BOX
         )
+        comp_box = None
+        if comp:
+            @pl.when(zi > 0)
+            def _():
+                comp_dma().wait()
+
+            comp_box = BoxField(c_buf[...], 0, YB)
         upd = mhd_apply_update(
             tile_params, u_slab(0, bz), fluxes, emfs, dt,
-            margin=(0, YB, 0), xp=BOX,
+            margin=(0, YB, 0), xp=BOX, comp=comp_box, gravity=grav,
         )
 
         if with_inv_dt:
@@ -352,7 +451,7 @@ def make_zcarry_mhd_packed_io(
 
             @pl.when(zi > 0)
             def _():
-                blk = upd
+                blk = upd[0:nv] if comp else upd
                 ys = slice(0, by - 1)
                 # stashes first (the same tile's C pieces read firstrow)
                 @pl.when(yi == 0)
@@ -510,7 +609,7 @@ def make_zcarry_mhd_packed_io(
                 run(out_dmas(zp1, yp1, 1 - slot), lambda c: c.wait())
 
     p_shape = jax.ShapeDtypeStruct(
-        (nv, nz + 2 * g, ny + 2 * YB, nx), dtype
+        (nvc, nz + 2 * g, ny + 2 * YB, nx), dtype
     )
     scratch = [
         pltpu.VMEM((nv, bz + 4, wy, nx), dtype),            # U
@@ -524,8 +623,13 @@ def make_zcarry_mhd_packed_io(
         pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st2
         pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st3
         pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # st4
-        pltpu.VMEM((2, nv, bz, by, nx), dtype),             # result
+        pltpu.VMEM((2, nvc, bz, by, nx), dtype),            # result
     ]
+    if comp:
+        scratch += [
+            pltpu.VMEM((nv, bz, by, nx), dtype),            # Kahan carries
+            pltpu.SemaphoreType.DMA,
+        ]
     if with_inv_dt:
         out_specs = (
             pl.BlockSpec(memory_space=pltpu.ANY),

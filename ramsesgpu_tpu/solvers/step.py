@@ -281,10 +281,12 @@ def make_advance_n(params: RunParams, config=None) -> Callable:
     if (
         params.dim == 3
         and params.mhd
-        and params.kernel in ("auto", "pallas")
+        and params.kernel in ("auto", "pallas", "zcarry")
         and uses_shear(params)
     ):
-        backend_ok = params.kernel == "pallas" or jax.default_backend() == "tpu"
+        backend_ok = params.kernel in ("pallas", "zcarry") or (
+            jax.default_backend() == "tpu"
+        )
         gravity = make_gravity_field(params, config)
         if backend_ok and gravity is None:
             from ..pallas.shear_packed import (

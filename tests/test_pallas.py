@@ -218,6 +218,46 @@ def test_zcarry_step_matches_packed(dims):
     )
 
 
+def test_zcarry_compensated_matches_packed():
+    """z-block-streaming kernel in the Kahan-compensated regime (state +
+    carry channels; the carries are DMAed per output tile — no stencil
+    reach) vs the compensated packed-IO kernel, incl. the in-kernel CFL
+    reduction over the state channels."""
+    from ramsesgpu_tpu.pallas.fused_mhd3d import make_fused_mhd_packed_io
+    from ramsesgpu_tpu.pallas.packed_io import YB, pack_state
+    from ramsesgpu_tpu.pallas.zcarry_mhd3d import (
+        make_zcarry_mhd_packed_io,
+        zcarry_supported,
+    )
+    from ramsesgpu_tpu.solvers.timestep import compute_inv_dt_mhd_packed
+
+    nx, ny, nz = 16, 16, 16
+    config = ConfigMap(text=OT3D_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config).replace(
+        pallas_tiles=(8, 8), compensated=True
+    )
+    # compensated no longer disqualifies zcarry (lane-exact sizes only)
+    assert zcarry_supported(
+        params.replace(nx=128, xmax=params.xmin + 128 * params.dx)
+    )
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    interior = U0[:, 3:-3, 3:-3, 3:-3]
+    # non-trivial carries: pretend a prior step left them behind
+    carries = 1e-7 * jnp.sin(jnp.cumsum(jnp.ones_like(interior), axis=-1))
+    P = pack_state(params, jnp.concatenate([interior, carries], axis=0))
+    dt = jnp.asarray(0.003, P.dtype)
+    ref = make_fused_mhd_packed_io(params, tiles=(8, 8), interpret=True)
+    zc = make_zcarry_mhd_packed_io(params, tiles=(8, 8), interpret=True,
+                                   with_inv_dt=True)
+    Pz, inv = zc(P, dt)
+    np.testing.assert_allclose(
+        np.asarray(Pz), np.asarray(ref(P, dt)), rtol=0, atol=5e-8
+    )
+    assert float(inv) == float(
+        compute_inv_dt_mhd_packed(params, Pz, y0=YB)
+    )
+
+
 @pytest.mark.parametrize("dims", [(128, 16, 8), (128, 24, 12)])
 def test_zstream_step_matches_whole_array(dims):
     """One z-streaming kernel step (per-plane pipeline, ring-carried

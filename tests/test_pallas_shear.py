@@ -423,3 +423,128 @@ def test_stratified_routing_selects_packed_path():
     from ramsesgpu_tpu.pallas.shear_packed import shear_packed_supported
 
     assert not shear_packed_supported(params64, stratified=True)
+
+
+# --------------------------------------------------------------------- #
+# z-block-streaming (zcarry) MAIN kernel under the shearing box
+# --------------------------------------------------------------------- #
+
+def test_zcarry_main_matches_packed_main_shear():
+    """The z-block-streaming kernel with the rotating-frame terms (static
+    in-kernel xpos iota) vs the packed-IO main kernel on the same packed
+    MRI state: identical pipeline, different z staging."""
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        _make_main_kernel,
+        pack_shear,
+        shear_packed_supported,
+    )
+    from ramsesgpu_tpu.pallas.zcarry_mhd3d import (
+        make_zcarry_mhd_packed_io,
+        zcarry_shear_supported,
+    )
+
+    nx, ny, nz = 128, 16, 16
+    config = ConfigMap(text=MRI_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config).replace(pallas_tiles=(8, 8))
+    assert shear_packed_supported(params)
+    assert zcarry_shear_supported(params)
+    assert params.omega0 > 0
+
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+    P, _kept = pack_shear(params, U0)
+    dt = jnp.asarray(1e-3, P.dtype)
+
+    main = _make_main_kernel(params, (8, 8), interpret=True)
+    zc = make_zcarry_mhd_packed_io(params, tiles=(8, 8), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(zc(P, dt)), np.asarray(main(P, dt)), rtol=0, atol=5e-8
+    )
+
+
+@pytest.mark.parametrize("compensated", [False, True])
+def test_shear_packed_zcarry_step_matches_packed_step(compensated):
+    """Full packed MRI step with the zcarry MAIN kernel ([implementation]
+    kernel=zcarry) vs the packed-main step, multi-step incl. the kept-Bx
+    face; the compensated variant exercises the per-tile Kahan-carry DMA."""
+    from ramsesgpu_tpu.pallas.shear_packed import make_shear_packed_step_fn
+
+    nx, ny, nz = 128, 16, 16
+    config = ConfigMap(text=MRI_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config).replace(
+        pallas_tiles=(8, 8), compensated=compensated
+    )
+    step_pk = make_shear_packed_step_fn(params, interpret=True)
+    step_zc = make_shear_packed_step_fn(
+        params.replace(kernel="zcarry"), interpret=True
+    )
+
+    from ramsesgpu_tpu.core.constants import IA
+
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+    Up = Uz = U0
+    t_p = t_z = jnp.asarray(0.0, U0.dtype)
+    g = params.ghost_width
+    for n, atol in enumerate((2e-7, 1e-6)):
+        Up, dt_p = step_pk(Up, t_p)
+        Uz, dt_z = step_zc(Uz, t_z)
+        np.testing.assert_allclose(float(dt_z), float(dt_p), rtol=1e-6)
+        t_p = t_p + dt_p
+        t_z = t_z + dt_z
+        np.testing.assert_allclose(
+            np.asarray(Uz)[:, g:-g, g:-g, g:-g],
+            np.asarray(Up)[:, g:-g, g:-g, g:-g],
+            rtol=0, atol=atol, err_msg=f"interior step {n}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(Uz)[IA, g:-g, g:-g, nx + g],
+            np.asarray(Up)[IA, g:-g, g:-g, nx + g],
+            rtol=0, atol=atol, err_msg=f"kept Bx face step {n}",
+        )
+
+
+def test_shear_packed_zcarry_stratified_matches_packed_step():
+    """Stratified MRI with the zcarry MAIN kernel: the analytic gz enters
+    through the carried trace parts (kick before the cross-tile stores)
+    and the conservative source in the update."""
+    import os
+
+    from ramsesgpu_tpu.pallas.shear_packed import make_shear_packed_step_fn
+    from ramsesgpu_tpu.solvers.step import (
+        _mri_gz_profile,
+        make_gravity_field,
+    )
+
+    ini = os.path.join(os.path.dirname(__file__), "..", "data",
+                       "mhd_mri_3d_stratified.ini")
+    config = ConfigMap(ini)
+    for k, v in (("nx", 128), ("ny", 16), ("nz", 16)):
+        config.set_integer("mesh", k, v)
+    config.set_bool("implementation", "compensated", False)
+    params = params_from_config(config).replace(pallas_tiles=(8, 8))
+    gravity = make_gravity_field(params, config)
+    prof = _mri_gz_profile(params, config, gravity)
+    assert prof is not None
+
+    step_pk = make_shear_packed_step_fn(params, interpret=True,
+                                        gravity_z=prof)
+    step_zc = make_shear_packed_step_fn(
+        params.replace(kernel="zcarry"), interpret=True, gravity_z=prof
+    )
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+    Up = Uz = U0
+    t_p = t_z = jnp.asarray(0.0, U0.dtype)
+    g = params.ghost_width
+    for n, atol in enumerate((2e-7, 1e-6)):
+        Up, dt_p = step_pk(Up, t_p)
+        Uz, dt_z = step_zc(Uz, t_z)
+        np.testing.assert_allclose(float(dt_z), float(dt_p), rtol=1e-6)
+        t_p = t_p + dt_p
+        t_z = t_z + dt_z
+        np.testing.assert_allclose(
+            np.asarray(Uz)[:, g:-g, g:-g, g:-g],
+            np.asarray(Up)[:, g:-g, g:-g, g:-g],
+            rtol=0, atol=atol, err_msg=f"interior step {n}",
+        )

@@ -161,24 +161,37 @@ def _shear_slabs_from_interior(params: RunParams, interior, kept_bx, t):
     bmin = interior[..., 0:g]
     bmax = interior[..., nx - g : nx]
 
-    def slopes_of(buf):
-        padded = jnp.pad(buf, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap")
-        return slope_1d(params, padded, _Y)[:, :, 1:-1, :]
-
-    def remap(buf, slopes, shift, eps, lam, sign):
-        b_r = jnp.roll(buf, -shift, axis=_Y)
-        b_rp1 = jnp.roll(buf, -(shift + 1), axis=_Y)
-        s_r = jnp.roll(slopes, -shift, axis=_Y)
-        s_rp1 = jnp.roll(slopes, -(shift + 1), axis=_Y)
-        interp = (1.0 - eps) * b_r + eps * b_rp1 + lam * sign * (s_r - s_rp1)
-        return interp.at[IB].set(b_r[IB] + eps * s_r[IB])
+    # batched slopes + ONE dynamic roll per side (the +-(jplus+1) variants
+    # are a static roll of the jplus roll — permutations compose exactly,
+    # so the values are bit-identical to rolling each field separately;
+    # dynamic rolls are the dispatch-dominant ops of this thin-slab pass)
+    pair = jnp.stack([bmax, bmin])
+    padded = jnp.pad(
+        pair, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)), mode="wrap"
+    )
+    sl = slope_1d(params, padded, _Y)[..., 1:-1, :]
 
     eps_min = 1.0 - epsi / dy
     lam_min = 0.5 * eps_min * (eps_min - 1.0)
-    gmin = remap(bmax, slopes_of(bmax), -jplus - 1, eps_min, lam_min, +1.0)
+    st_max = jnp.stack([bmax, sl[0]])          # [2, nv, nz, ny, g]
+    r0 = jnp.roll(st_max, jplus, axis=_Y)      # b/s at roll jplus
+    r1 = jnp.roll(r0, 1, axis=_Y)              # b/s at roll jplus+1
+    gmin = (
+        (1.0 - eps_min) * r1[0] + eps_min * r0[0]
+        + lam_min * (r1[1] - r0[1])
+    )
+    gmin = gmin.at[IB].set(r1[0][IB] + eps_min * r1[1][IB])
+
     eps_max = epsi / dy
     lam_max = 0.5 * eps_max * (eps_max - 1.0)
-    gmax = remap(bmin, slopes_of(bmin), jplus, eps_max, lam_max, -1.0)
+    st_min = jnp.stack([bmin, sl[1]])
+    q0 = jnp.roll(st_min, -jplus, axis=_Y)     # b/s at roll -jplus
+    q1 = jnp.roll(q0, -1, axis=_Y)             # b/s at roll -(jplus+1)
+    gmax = (
+        (1.0 - eps_max) * q0[0] + eps_max * q1[0]
+        - lam_max * (q0[1] - q1[1])
+    )
+    gmax = gmax.at[IB].set(q0[0][IB] + eps_max * q0[1][IB])
     # kept Bx face: the first XMAX ghost column of Bx is the interior's own
     # face (make_boundary_shear.h:276-288)
     gmax = gmax.at[IA, :, :, 0].set(kept_bx)
@@ -351,6 +364,107 @@ def _interp() -> bool:
     return bool(getattr(_pkg, "INTERPRET", False))
 
 
+def make_shear_cfl_kernel(params: RunParams, interpret: bool = False):
+    """``inv_dt(P, kept_face) -> scalar``: the shearing-box MHD CFL
+    reduction as ONE streaming Pallas kernel — the packed_io
+    make_packed_cfl_mhd design with the x+1 face-B of the LAST column
+    selected from the kept Bx face (a lane-select, exactly the ghosted
+    state's value) instead of the periodic roll wrap.  Bit-identical to
+    the slice-based reduction (same formulas, max exactly associative).
+    Returns None when the z slab can't be 8-aligned (tiny test grids fall
+    back to the XLA pass)."""
+    from ..solvers.timestep import _inv_dt_mhd_fields
+
+    g = params.ghost_width
+    nv = params.nb_var
+    nz, ny, nx = params.nz, params.ny, params.nx
+    if nz % 8 and nz > 8:
+        return None
+    bzc = next(b for b in (8, 4, 2, 1) if nz % b == 0)
+    nzb = nz // bzc
+    wy = ny + 2 * YB
+    dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+
+    def kernel(p_hbm, k_hbm, out_ref, win, kwin, sem, ksem):
+        zi = pl.program_id(0)
+        slot = jax.lax.rem(zi, 2)
+
+        def in_dma(z, s):
+            return pltpu.make_async_copy(
+                p_hbm.at[pl.ds(0, nv), pl.ds(g + z * bzc, bzc + 1), :, :],
+                win.at[s],
+                sem.at[s],
+            )
+
+        def k_dma(z, s):
+            return pltpu.make_async_copy(
+                k_hbm.at[pl.ds(z * bzc, bzc), :],
+                kwin.at[s],
+                ksem.at[s],
+            )
+
+        @pl.when(zi == 0)
+        def _():
+            in_dma(zi, slot).start()
+            k_dma(zi, slot).start()
+
+        @pl.when(zi + 1 < nzb)
+        def _():
+            in_dma(zi + 1, 1 - slot).start()
+            k_dma(zi + 1, 1 - slot).start()
+
+        in_dma(zi, slot).wait()
+        k_dma(zi, slot).wait()
+        W = win[slot]
+        zs, ys = slice(0, bzc), slice(YB, YB + ny)
+        rho = jnp.maximum(W[ID, zs, ys, :], params.smallr)
+        ia = W[IA, zs, ys, :]
+        last = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2) == nx - 1
+        )
+        ia_p = jnp.where(last, kwin[slot][..., None], jnp.roll(ia, -1, -1))
+        inv = _inv_dt_mhd_fields(
+            params,
+            W[ID, zs, ys, :],
+            W[IP, zs, ys, :],
+            W[IU, zs, ys, :] / rho,
+            W[IV, zs, ys, :] / rho,
+            W[IW, zs, ys, :] / rho,
+            0.5 * (ia + ia_p),
+            0.5 * (W[IB, zs, ys, :] + W[IB, zs, YB + 1 : YB + ny + 1, :]),
+            0.5 * (W[IC, zs, ys, :] + W[IC, 1 : bzc + 1, ys, :]),
+        )
+        prev = jnp.where(zi == 0, jnp.zeros_like(inv), out_ref[0, 0])
+        out_ref[0, 0] = jnp.maximum(prev, inv)
+
+    fused = pl.pallas_call(
+        kernel,
+        grid=(nzb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, nv, bzc + 1, wy, nx), dtype),
+            pltpu.VMEM((2, bzc, ny), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret or _interp(),
+    )
+
+    def inv_dt(P, kept_face):
+        P, kept_face = jax.lax.optimization_barrier((P, kept_face))
+        return jax.lax.optimization_barrier(fused(P, kept_face))[0, 0]
+
+    return inv_dt
+
+
 def make_shear_packed_step(
     params: RunParams, tiles=None, interpret: bool = False,
     gravity_z=None,
@@ -363,7 +477,7 @@ def make_shear_packed_step(
     from .fused_mhd3d import _pick_tiles
     from ..solvers.godunov_mhd import (
         _mhd_3d_fluxes_emfs,
-        _shear_remap_pair,
+        _shear_remap_pair_stacked,
         mhd_apply_update,
     )
     from ..solvers.timestep import _inv_dt_mhd_fields
@@ -530,10 +644,16 @@ def make_shear_packed_step(
             axis=-1,
         )
 
+    cfl_kernel = make_shear_cfl_kernel(params, interpret=interpret)
+
     def step(P, kept_bx, t):
         # kept carry layout: [nz, ny] plain, [2, nz, ny] compensated
         kept_face = kept_bx[0] if comp else kept_bx
-        dt = params.cfl / inv_dt_of(P, kept_face)
+        if cfl_kernel is not None:
+            # streaming Pallas reduction (bit-identical to inv_dt_of)
+            dt = params.cfl / cfl_kernel(P, kept_face)
+        else:
+            dt = params.cfl / inv_dt_of(P, kept_face)
         dtdx, dtdy, dtdz = dt / dx, dt / dy, dt / dz
 
         P_main = main(P, dt)
@@ -546,9 +666,16 @@ def make_shear_packed_step(
         # (shearingBox_utils.cuh:47-170, incl. the :484-485 density floor);
         # the update is linear in the face flux/EMF, so correcting the
         # border columns after equals remapping before — the whole-array
-        # ordering (_godunov_unsplit_mhd_3d)
-        fmin_r, fmax_r = _shear_remap_pair(params, fpl_min, fpl_max, t, dt)
-        emin_r, emax_r = _shear_remap_pair(params, eypl_min, eypl_max, t, dt)
+        # ordering (_godunov_unsplit_mhd_3d); both pairs remap in one
+        # stacked call (bit-identical per channel)
+        min_r, max_r = _shear_remap_pair_stacked(
+            params,
+            jnp.stack([fpl_min, eypl_min]),
+            jnp.stack([fpl_max, eypl_max]),
+            t, dt,
+        )
+        fmin_r, emin_r = min_r[0], min_r[1]
+        fmax_r, emax_r = max_r[0], max_r[1]
         d_emin = emin_r - eypl_min
         d_emax = emax_r - eypl_max
 

@@ -550,6 +550,28 @@ def _shear_remap_pair(params: RunParams, f_xmin, f_xmax, t, dt):
     return 0.5 * (f_xmin + interp_for_min), 0.5 * (f_xmax + interp_for_max)
 
 
+def _shear_remap_pair_stacked(params: RunParams, f_xmin, f_xmax, t, dt):
+    """_shear_remap_pair on STACKED border fields ([k, nz, ny]; the packed
+    shear step remaps density flux and emfY together): two dynamic rolls
+    instead of eight — roll(x, s+1) == roll(roll(x, s), 1) exactly, and a
+    stacked roll is per-channel identical to separate rolls, so each
+    channel is bit-identical to _shear_remap_pair."""
+    dy = params.dy
+    Ly = params.ymax - params.ymin
+    Lx = params.xmax - params.xmin
+    deltay = jnp.mod(1.5 * params.omega0 * Lx * (t + 0.5 * dt), Ly)
+    jplus = jnp.floor(deltay / dy).astype(jnp.int32)
+    w = jnp.mod(deltay, dy) / dy  # weight of the (j - jplus - 1) sample
+
+    rmax0 = jnp.roll(f_xmax, jplus, axis=-1)
+    rmax1 = jnp.roll(rmax0, 1, axis=-1)
+    rmin0 = jnp.roll(f_xmin, -jplus, axis=-1)
+    rmin1 = jnp.roll(rmin0, -1, axis=-1)
+    interp_for_min = w * rmax1 + (1.0 - w) * rmax0
+    interp_for_max = (1.0 - w) * rmin0 + w * rmin1
+    return 0.5 * (f_xmin + interp_for_min), 0.5 * (f_xmax + interp_for_max)
+
+
 def _godunov_unsplit_mhd_3d(
     params: RunParams, U: jnp.ndarray, dt, gravity=None, t=None,
     shear_comm=None, xpos=None, apply_dissipation=True,

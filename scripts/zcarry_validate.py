@@ -1,0 +1,430 @@
+"""Staged TPU validation of the z-block-streaming (zcarry) kernels.
+
+Executes the STATUS.md zcarry checklist as one resumable command: every
+stage runs in a SUBPROCESS with its own timeout (a TPU-side kernel crash
+wedges this box's device tunnel — the parent stays alive and records the
+failure), stages are ordered smallest-first (64^3 before 256^3 before
+any timing loop), and a short device-liveness probe runs between stages
+so a wedged tunnel stops the ladder immediately instead of hanging every
+later stage.  Results append to ZCARRY_VALIDATION.json.
+
+Usage:
+  python scripts/zcarry_validate.py              # run the whole ladder
+  python scripts/zcarry_validate.py --stage zc64 # one stage, in-process
+  python scripts/zcarry_validate.py --list
+
+Reference analogue of the kernel being validated: the CUDA 4-plane
+shared-memory ring (godunov_unsplit_mhd.cuh:753-800), generalized to
+bz-plane blocks.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+OUT = REPO / "ZCARRY_VALIDATION.json"
+
+OT_INI = """
+[run]
+tend=100.0
+[mesh]
+nx={n}
+ny={n}
+nz={n}
+boundary_xmin=3
+boundary_xmax=3
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=3
+boundary_zmax=3
+[hydro]
+problem=Orszag-Tang
+cfl=0.4
+gamma0=1.666
+slope_type=2.0
+riemannSolver=hlld
+smallr=1e-7
+smallc=1e-7
+[MHD]
+enable=true
+magRiemannSolver=hlld
+"""
+
+
+def _setup_periodic(n, compensated=False):
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.config.configmap import ConfigMap
+    from ramsesgpu_tpu.config.params import params_from_config
+    from ramsesgpu_tpu.pallas.packed_io import pack_state
+    from ramsesgpu_tpu.problems import init_problem
+    from ramsesgpu_tpu.solvers.boundary import make_boundaries
+
+    config = ConfigMap(text=OT_INI.format(n=n))
+    params = params_from_config(config).replace(compensated=compensated)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    g = params.ghost_width
+    interior = U[:, g:-g, g:-g, g:-g]
+    if compensated:
+        interior = jnp.concatenate(
+            [interior, jnp.zeros_like(interior)], axis=0
+        )
+    P = pack_state(params, interior)
+    return params, P
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    # block_until_ready is unreliable through the device tunnel; force a
+    # device->host scalar instead (memory: tpu-env-quirks)
+    return float(jnp.sum(jnp.ravel(x)[:8]))
+
+
+def _timeit(fn, *args, iters=5):
+    best = float("inf")
+    for _ in range(2):
+        _sync(fn(*args))
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def _parity(n, with_inv_dt=False, prefetch=False, compensated=False,
+            time_it=False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ramsesgpu_tpu.pallas.fused_mhd3d import make_fused_mhd_packed_io
+    from ramsesgpu_tpu.pallas.zcarry_mhd3d import make_zcarry_mhd_packed_io
+
+    params, P = _setup_periodic(n, compensated=compensated)
+    dt = jnp.asarray(1e-3, P.dtype)
+    ref = jax.jit(make_fused_mhd_packed_io(params))
+    zc = jax.jit(make_zcarry_mhd_packed_io(
+        params, with_inv_dt=with_inv_dt, prefetch=prefetch
+    ))
+    print(f"  [{n}^3] packed reference call...", flush=True)
+    P_ref = ref(P, dt)
+    _sync(P_ref)
+    print(f"  [{n}^3] zcarry call...", flush=True)
+    out = zc(P, dt)
+    P_zc = out[0] if with_inv_dt else out
+    _sync(P_zc)
+    err = float(jnp.max(jnp.abs(P_zc - P_ref)))
+    rec = {"max_abs_err": err, "ok": bool(err < 1e-5)}
+    if with_inv_dt:
+        from ramsesgpu_tpu.pallas.packed_io import YB
+        from ramsesgpu_tpu.solvers.timestep import compute_inv_dt_mhd_packed
+
+        inv_ref = float(compute_inv_dt_mhd_packed(params, P_zc, y0=YB))
+        inv = float(out[1])
+        rec["inv_dt"] = inv
+        rec["inv_dt_ref"] = inv_ref
+        rec["ok"] = rec["ok"] and inv == inv_ref
+    if time_it:
+        def zc_state(P_, dt_):
+            o = zc(P_, dt_)
+            return o[0] if with_inv_dt else o
+
+        rec["ms_packed"] = _timeit(ref, P, dt) * 1e3
+        t_zc = _timeit(zc_state, P, dt)
+        rec["ms_zcarry"] = t_zc * 1e3
+        rec["cells_per_s_zcarry"] = n ** 3 / t_zc
+    return rec
+
+
+# ------------------------------------------------------------------ #
+# stages
+# ------------------------------------------------------------------ #
+
+def stage_probe():
+    from ramsesgpu_tpu.utils.platform import probe_device_alive
+
+    alive, detail = probe_device_alive(timeout_s=240.0)
+    return {"ok": alive, "detail": detail}
+
+
+def stage_zc64():
+    return _parity(64)
+
+
+def stage_zc128():
+    return _parity(128)
+
+
+def stage_zc256():
+    return _parity(256, time_it=True)
+
+
+def stage_zc_invdt():
+    return _parity(256, with_inv_dt=True, time_it=True)
+
+
+def stage_zc_prefetch():
+    return _parity(256, with_inv_dt=True, prefetch=True, time_it=True)
+
+
+def stage_zc_comp():
+    return _parity(128, compensated=True)
+
+
+def stage_advance():
+    """advance_n loop with kernel=zcarry at 256^3 (the bench path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.config.configmap import ConfigMap
+    from ramsesgpu_tpu.config.params import params_from_config
+    from ramsesgpu_tpu.problems import init_problem
+    from ramsesgpu_tpu.solvers.boundary import make_boundaries
+    from ramsesgpu_tpu.solvers.step import make_advance_n
+
+    n = 256
+    config = ConfigMap(text=OT_INI.format(n=n))
+    params = params_from_config(config).replace(kernel="zcarry")
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    adv = make_advance_n(params, config)
+    t = jnp.asarray(0.0, U.dtype)
+    n_iter = 10
+    U1, t1, k = adv(U, t, jnp.array(2, jnp.int32))
+    _sync(U1)
+    # parity vs the packed advance over the same 2 steps
+    adv_ref = make_advance_n(params.replace(kernel="pallas"), config)
+    U1r, t1r, kr = adv_ref(U, t, jnp.array(2, jnp.int32))
+    err = float(jnp.max(jnp.abs(U1 - U1r)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        U2, t2, k2 = adv(U, t, jnp.array(n_iter, jnp.int32))
+        _sync(U2)
+        best = min(best, time.perf_counter() - t0)
+    cps = n ** 3 * n_iter / best
+    return {
+        "max_abs_err_2steps": err,
+        "ms_per_step": best / n_iter * 1e3,
+        "cells_per_s": cps,
+        "ok": bool(err < 2e-4 and int(k2) == n_iter),
+    }
+
+
+def stage_shear_small():
+    """zcarry MAIN kernel vs packed main on a small MRI grid + the shear
+    CFL kernel bitwise check."""
+    import jax
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.config.configmap import ConfigMap
+    from ramsesgpu_tpu.config.params import params_from_config
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        _make_main_kernel,
+        make_shear_cfl_kernel,
+        pack_shear,
+    )
+    from ramsesgpu_tpu.pallas.zcarry_mhd3d import make_zcarry_mhd_packed_io
+    from ramsesgpu_tpu.problems import init_problem
+    from ramsesgpu_tpu.solvers.shear import make_all_boundaries_shear
+
+    config = ConfigMap(str(REPO / "data" / "mhd_mri_3d.ini"))
+    for k, v in (("nx", 128), ("ny", 64), ("nz", 32)):
+        config.set_integer("mesh", k, v)
+    config.set_bool("implementation", "compensated", False)
+    params = params_from_config(config)
+    U = jnp.asarray(init_problem(params, config))
+    U = jax.jit(lambda u: make_all_boundaries_shear(params, u, 0.0))(U)
+    P, kept = pack_shear(params, U)
+    from ramsesgpu_tpu.solvers.timestep import compute_dt
+
+    dt = jnp.asarray(float(compute_dt(params, U)), P.dtype)
+    tiles = params.pallas_tiles or (8, 32)
+    main = jax.jit(_make_main_kernel(params, tiles, False))
+    zc = jax.jit(make_zcarry_mhd_packed_io(params, tiles=tiles))
+    P_m = main(P, dt)
+    _sync(P_m)
+    P_z = zc(P, dt)
+    _sync(P_z)
+    err = float(jnp.max(jnp.abs(P_z - P_m)))
+    cfl = make_shear_cfl_kernel(params)
+    rec = {"max_abs_err": err, "ok": bool(err < 1e-5)}
+    if cfl is not None:
+        from ramsesgpu_tpu.core.constants import (
+            IA, IB, IC, ID, IP, IU, IV, IW,
+        )
+        from ramsesgpu_tpu.pallas.packed_io import YB
+        from ramsesgpu_tpu.solvers.timestep import _inv_dt_mhd_fields
+
+        g = params.ghost_width
+        nz, ny = params.nz, params.ny
+        zi, yi = slice(g, g + nz), slice(YB, YB + ny)
+        rho = jnp.maximum(P[ID, zi, yi, :], params.smallr)
+        ia = P[IA, zi, yi, :]
+        ia_p = jnp.concatenate([ia[..., 1:], kept[..., None]], axis=-1)
+        inv_ref = float(_inv_dt_mhd_fields(
+            params, P[ID, zi, yi, :], P[IP, zi, yi, :],
+            P[IU, zi, yi, :] / rho, P[IV, zi, yi, :] / rho,
+            P[IW, zi, yi, :] / rho,
+            0.5 * (ia + ia_p),
+            0.5 * (P[IB, zi, yi, :] + P[IB, zi, YB + 1 : YB + ny + 1, :]),
+            0.5 * (P[IC, zi, yi, :] + P[IC, g + 1 : g + nz + 1, yi, :]),
+        ))
+        inv = float(cfl(P, kept))
+        rec["inv_dt"], rec["inv_dt_ref"] = inv, inv_ref
+        rec["ok"] = rec["ok"] and inv == inv_ref
+    return rec
+
+
+def stage_shear_flagship():
+    """Full packed MRI step, packed-main vs zcarry-main, flagship grid,
+    with timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.config.configmap import ConfigMap
+    from ramsesgpu_tpu.config.params import params_from_config
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        make_pallas_shear_advance_n,
+    )
+    from ramsesgpu_tpu.problems import init_problem
+    from ramsesgpu_tpu.solvers.shear import make_all_boundaries_shear
+
+    nx, ny, nz = 128, 256, 128
+    config = ConfigMap(str(REPO / "data" / "mhd_mri_3d.ini"))
+    for k, v in (("nx", nx), ("ny", ny), ("nz", nz)):
+        config.set_integer("mesh", k, v)
+    config.set_bool("implementation", "compensated", False)
+    params = params_from_config(config)
+    U = jnp.asarray(init_problem(params, config))
+    U = jax.jit(lambda u: make_all_boundaries_shear(params, u, 0.0))(U)
+    t = jnp.asarray(0.0, U.dtype)
+    n_iter = 10
+    rec = {}
+    for name, p in (("packed", params),
+                    ("zcarry", params.replace(kernel="zcarry"))):
+        adv = make_pallas_shear_advance_n(p)
+        U1, t1, k1 = adv(U, t, jnp.array(2, jnp.int32))
+        _sync(U1)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            U2, t2, k2 = adv(U, t, jnp.array(n_iter, jnp.int32))
+            _sync(U2)
+            best = min(best, time.perf_counter() - t0)
+        rec[f"ms_per_step_{name}"] = best / n_iter * 1e3
+        rec[f"cells_per_s_{name}"] = nx * ny * nz * n_iter / best
+        rec[f"state_{name}"] = U2
+    err = float(jnp.max(jnp.abs(rec.pop("state_zcarry")
+                                - rec.pop("state_packed"))))
+    rec["max_abs_err_10steps"] = err
+    rec["ok"] = bool(err < 1e-3)
+    return rec
+
+
+STAGES = [
+    ("probe", stage_probe, 300),
+    ("zc64", stage_zc64, 900),
+    ("zc128", stage_zc128, 900),
+    ("zc256", stage_zc256, 1500),
+    ("zc_invdt", stage_zc_invdt, 1500),
+    ("zc_prefetch", stage_zc_prefetch, 1500),
+    ("zc_comp", stage_zc_comp, 1200),
+    ("advance", stage_advance, 1800),
+    ("shear_small", stage_shear_small, 1200),
+    ("shear_flagship", stage_shear_flagship, 2400),
+]
+
+
+def _record(name, rec):
+    hist = []
+    if OUT.exists():
+        try:
+            hist = json.loads(OUT.read_text())
+        except Exception:
+            hist = []
+    hist.append({"stage": name, "ts": time.time(), **rec})
+    OUT.write_text(json.dumps(hist, indent=1))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", help="run ONE stage in-process")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--from", dest="from_stage",
+                    help="start the ladder at this stage")
+    args = ap.parse_args()
+
+    if args.list:
+        for n, _, to in STAGES:
+            print(f"{n}  (timeout {to}s)")
+        return 0
+
+    if args.stage:
+        from ramsesgpu_tpu.utils.platform import honor_platform_env
+
+        honor_platform_env()  # JAX_PLATFORMS=cpu smoke runs work
+        import jax
+
+        if jax.default_backend() != "tpu":
+            import ramsesgpu_tpu.pallas as _pk
+
+            _pk.INTERPRET = True  # CPU smoke: interpret-mode kernels
+        fn = dict((n, f) for n, f, _ in STAGES)[args.stage]
+        rec = fn()
+        print(json.dumps({"stage": args.stage, **rec}))
+        return 0 if rec.get("ok") else 1
+
+    started = args.from_stage is None
+    for name, _fn, to in STAGES:
+        if not started:
+            if name == args.from_stage:
+                started = True
+            else:
+                continue
+        print(f"=== stage {name} (timeout {to}s) ===", flush=True)
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--stage", name],
+                capture_output=True, text=True, timeout=to,
+            )
+        except subprocess.TimeoutExpired:
+            rec = {"ok": False, "error": f"timeout after {to}s "
+                   "(tunnel wedged?)"}
+            _record(name, rec)
+            print(f"  FAILED: {rec['error']} — stopping the ladder")
+            return 1
+        tail = proc.stdout.strip().splitlines()
+        rec = None
+        for line in reversed(tail):
+            try:
+                rec = json.loads(line)
+                break
+            except Exception:
+                continue
+        if rec is None:
+            rec = {"ok": False,
+                   "error": (proc.stderr or "no output")[-1500:]}
+        rec["wall_s"] = round(time.time() - t0, 1)
+        _record(name, rec)
+        print(f"  -> {json.dumps(rec)[:400]}", flush=True)
+        if not rec.get("ok"):
+            print("  stage failed — stopping the ladder "
+                  "(fix, then resume with --from)", flush=True)
+            return 1
+    print("ALL STAGES GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

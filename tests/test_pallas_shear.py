@@ -548,3 +548,47 @@ def test_shear_packed_zcarry_stratified_matches_packed_step():
             np.asarray(Up)[:, g:-g, g:-g, g:-g],
             rtol=0, atol=atol, err_msg=f"interior step {n}",
         )
+
+
+def test_shear_cfl_kernel_bitwise():
+    """Streaming shear CFL kernel (kept-Bx lane-select at the last column)
+    is BIT-IDENTICAL to the slice-based XLA reduction."""
+    from ramsesgpu_tpu.core.constants import (
+        IA, IB, IC, ID, IP, IU, IV, IW,
+    )
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        make_shear_cfl_kernel,
+        pack_shear,
+    )
+    from ramsesgpu_tpu.solvers.timestep import _inv_dt_mhd_fields
+
+    nx, ny, nz = 128, 16, 8
+    config = ConfigMap(text=MRI_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config)
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+    P, kept = pack_shear(params, U0)
+
+    from ramsesgpu_tpu.pallas.packed_io import YB
+
+    g = params.ghost_width
+    zi, yi = slice(g, g + nz), slice(YB, YB + ny)
+    rho = jnp.maximum(P[ID, zi, yi, :], params.smallr)
+    ia = P[IA, zi, yi, :]
+    ia_p = jnp.concatenate([ia[..., 1:], kept[..., None]], axis=-1)
+    ref = _inv_dt_mhd_fields(
+        params,
+        P[ID, zi, yi, :], P[IP, zi, yi, :],
+        P[IU, zi, yi, :] / rho, P[IV, zi, yi, :] / rho,
+        P[IW, zi, yi, :] / rho,
+        0.5 * (ia + ia_p),
+        0.5 * (P[IB, zi, yi, :] + P[IB, zi, YB + 1 : YB + ny + 1, :]),
+        0.5 * (P[IC, zi, yi, :] + P[IC, g + 1 : g + nz + 1, yi, :]),
+    )
+    kern = make_shear_cfl_kernel(params, interpret=True)
+    assert kern is not None
+    assert float(kern(P, kept)) == float(ref)
+    # un-alignable z extents fall back to the XLA pass
+    assert make_shear_cfl_kernel(
+        params.replace(nz=12, zmax=params.zmin + 12 * params.dz)
+    ) is None

@@ -296,3 +296,35 @@ def test_zstream_step_matches_whole_array(dims):
     np.testing.assert_allclose(
         float(inv_dt), float(want_inv), rtol=2e-7, atol=0
     )
+
+
+def test_zcarry_advance_n_matches_packed_advance():
+    """The full advance loop with kernel=zcarry (packed carry + in-kernel
+    CFL chained across the while_loop) tracks the packed advance loop.
+    Also guards the in/out buffer independence of the pallas call inside
+    the loop body (the kernel reads input ghost planes its own output
+    DMAs would clobber under aliasing)."""
+    from ramsesgpu_tpu.pallas.fused_mhd3d import make_pallas_advance_n
+
+    nx, ny, nz = 128, 16, 16
+    config = ConfigMap(text=OT3D_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config).replace(pallas_tiles=(8, 8))
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    t0 = jnp.asarray(0.0, U0.dtype)
+    n = jnp.asarray(3, jnp.int32)
+
+    import ramsesgpu_tpu.pallas as pk
+
+    pk.INTERPRET = True
+    try:
+        adv_pk = make_pallas_advance_n(params.replace(kernel="pallas"))
+        adv_zc = make_pallas_advance_n(params.replace(kernel="zcarry"))
+        U_p, t_p, k_p = adv_pk(U0, t0, n)
+        U_z, t_z, k_z = adv_zc(U0, t0, n)
+    finally:
+        pk.INTERPRET = False
+    assert int(k_p) == int(k_z) == 3
+    np.testing.assert_allclose(float(t_z), float(t_p), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(U_z), np.asarray(U_p), rtol=0, atol=1e-5
+    )

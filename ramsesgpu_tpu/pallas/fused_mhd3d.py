@@ -290,21 +290,26 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     ny = params.ny
     nv = params.nb_var
     bz, by = params.pallas_tiles or _pick_tiles(params)
+    dissip = params.nu > 0 or params.eta > 0
     zcarry = params.kernel == "zcarry"
     if zcarry:
         # opt-in z-block-streaming kernel ([implementation] kernel=zcarry):
         # stage carries across z tiles + fully in-kernel CFL reduction,
         # pallas/zcarry_mhd3d.py. Kept off the auto path until
         # hardware-validated (first TPU run crashed the axon tunnel; the
-        # drain fix is in, see STATUS.md).
+        # drain fix is in, see STATUS.md). Dissipative runs keep the
+        # generic loop shape (separate CFL pass) because the in-kernel
+        # inv-dt reduces the pre-dissipation state.
         from .zcarry_mhd3d import make_zcarry_mhd_packed_io, zcarry_supported
 
         if not zcarry_supported(params):
             raise ValueError("configuration outside the zcarry kernel")
         fused = make_zcarry_mhd_packed_io(params, tiles=(bz, by),
-                                          with_inv_dt=True)
+                                          with_inv_dt=not dissip)
+        zcarry_inv_loop = not dissip
     else:
         fused = make_fused_mhd_packed_io(params, tiles=(bz, by))
+        zcarry_inv_loop = False
     cfl_kernel = make_packed_cfl_mhd(params)
     fused_dissip = None
     if params.nu > 0 or params.eta > 0:
@@ -350,7 +355,7 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     def advance_n(U, t, n_steps):
         P0 = pack(U[:, g:-g, g:-g, g:-g])
 
-        if zcarry:
+        if zcarry_inv_loop:
             # carry the inverse dt: the kernel reduces the ENTIRE updated
             # state in-kernel (bit-identical to the separate pass)
             inv0 = compute_inv_dt_mhd_packed(params, P0, y0=YB)

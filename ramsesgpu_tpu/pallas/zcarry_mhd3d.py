@@ -63,13 +63,16 @@ def _interpret_flag() -> bool:
 
 
 def zcarry_supported(params: RunParams) -> bool:
+    """zcarry can serve the packed advance loop's Godunov phase.
+    Dissipative runs compose it with the packed dissipation launch and a
+    separate streaming CFL pass (the in-kernel inv-dt reduces the
+    pre-dissipation state, so the inv-carry loop shape only applies when
+    nu == eta == 0 — make_pallas_advance_n picks the right shape)."""
     from .fused_mhd3d import _pick_tiles, pallas_packed_supported
 
     bz, by = params.pallas_tiles or _pick_tiles(params)
     return (
         pallas_packed_supported(params)
-        and params.nu == 0.0
-        and params.eta == 0.0
         and bz >= params.ghost_width
         and params.nz % bz == 0
         and params.ny % by == 0

@@ -298,17 +298,22 @@ def test_zstream_step_matches_whole_array(dims):
     )
 
 
-def test_zcarry_advance_n_matches_packed_advance():
+@pytest.mark.parametrize("dissip", [False, True])
+def test_zcarry_advance_n_matches_packed_advance(dissip):
     """The full advance loop with kernel=zcarry (packed carry + in-kernel
     CFL chained across the while_loop) tracks the packed advance loop.
     Also guards the in/out buffer independence of the pallas call inside
     the loop body (the kernel reads input ghost planes its own output
-    DMAs would clobber under aliasing)."""
+    DMAs would clobber under aliasing). The dissipative variant uses the
+    generic loop shape (zcarry Godunov phase + packed dissipation pass +
+    separate streaming CFL)."""
     from ramsesgpu_tpu.pallas.fused_mhd3d import make_pallas_advance_n
 
     nx, ny, nz = 128, 16, 16
     config = ConfigMap(text=OT3D_INI.format(nx=nx, ny=ny, nz=nz))
     params = params_from_config(config).replace(pallas_tiles=(8, 8))
+    if dissip:
+        params = params.replace(nu=1e-4, eta=5e-5)
     U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
     t0 = jnp.asarray(0.0, U0.dtype)
     n = jnp.asarray(3, jnp.int32)

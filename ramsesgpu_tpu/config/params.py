@@ -117,6 +117,11 @@ class RunParams:
     # "pallas" (force), or "jnp" (whole-array XLA)
     kernel: str = "auto"
     pallas_tiles: tuple[int, int] | None = None  # (bz, by) override
+    # shearing box: fold the sheared-slab build, flux/emfY remap, border
+    # corrections and kept-Bx CT into the strip kernel ([implementation]
+    # stripFused; needs lane-exact ny — pallas/shear_packed.py). Opt-in
+    # until hardware-validated (uses Mosaic dynamic lane rolls).
+    strip_fused: bool = False
     # sharded path: overlap the bulk halo exchange with the deep-interior
     # update ([implementation] haloOverlap; see parallel/overlap.py)
     halo_overlap: bool = False
@@ -301,6 +306,7 @@ def params_from_config(config: ConfigMap, **overrides) -> RunParams:
         pjet=config.get_float("jet", "pjet", 0.0),
         offset_jet=config.get_integer("jet", "offsetJet", 0),
         kernel=config.get_string("implementation", "kernel", "auto"),
+        strip_fused=config.get_bool("implementation", "stripFused", False),
         halo_overlap=config.get_bool("implementation", "haloOverlap", False),
         dtype=config.get_string("implementation", "dtype", "float32"),
         compensated=config.get_bool("implementation", "compensated", False),

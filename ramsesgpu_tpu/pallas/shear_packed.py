@@ -364,6 +364,263 @@ def _interp() -> bool:
     return bool(getattr(_pkg, "INTERPRET", False))
 
 
+def strip_fused_supported(params: RunParams) -> bool:
+    """The fused-borders strip kernel folds the sheared-slab build, the
+    flux/emfY remap (Mosaic DYNAMIC lane rolls — the lanes carry exactly
+    ny samples, so a roll wraps at ny: the shear-periodic geometry
+    itself), the border-column corrections and the kept-Bx CT into the
+    one strip launch, leaving ~8 thin XLA ops per step instead of ~60.
+    Needs lane-exact ny, 8-aligned z tiles, and periodic z (stratified
+    keeps the v1 strip + XLA glue)."""
+    bz, _by = params.pallas_tiles or (8, 32)
+    return (
+        params.ny % 128 == 0
+        and params.nz % bz == 0
+        and bz % 8 == 0
+    )
+
+
+def _make_strip_kernel_fused(params: RunParams, bz: int, interpret: bool):
+    """Fused-borders strip kernel (see strip_fused_supported).
+
+    strip_k(scalars [t, dt], St [nvc, nz+2g, 16, ny], kpad [nz+16, ny])
+      -> out [nvc+1, nz, 16, ny]:
+        out[:nvc, :, 0:g]   corrected right columns, global x = nx-3..nx-1
+                            (remap corrections + density floor at nx-1)
+        out[:nvc, :, g:2g]  corrected left columns, global x = 0..2
+        out[nvc, :, 0]      d_kept: the CT delta of the kept Bx face
+                            (remapped emfY, shearingBox_utils.cuh:428-492)
+
+    St sublanes: [interior nx-2g..nx-1 | interior 0..2g | pad] — the
+    sheared ghost slabs are built IN-KERNEL from the border columns and
+    kpad (the wrap-padded kept Bx face), per z tile over the full window
+    extent (recompute replaces cross-tile materialization).
+    Remap z+1 couplings (d_emin, emax_r) use a bz+1-plane extent per
+    tile; the window's z wrap ghosts make the last tile's +1 plane the
+    global wrap, matching the whole-array jnp.roll over nz."""
+    from ..ops.backend import JNP, JNP_T
+    from ..ops.slopes import slope_1d
+    from ..solvers.godunov_mhd import _mhd_3d_fluxes_emfs, mhd_apply_update
+
+    g = params.ghost_width
+    nz, ny, nx = params.nz, params.ny, params.nx
+    dx, dy, dz = params.dx, params.dy, params.dz
+    Lx, Ly = dx * nx, dy * ny
+    omega0 = params.omega0
+    wz = bz + 2 * g
+    nzb = nz // bz
+    xw = 8 * g                           # 24 sublanes: 18 live + 6 dead
+    nv = params.nb_var
+    comp = params.compensated
+    nvc = 2 * nv if comp else nv
+    smallr = params.smallr
+
+    p_win = params.replace(
+        nz=bz, zmax=params.zmin + bz * params.dz,
+        nx=g, xmax=params.xmin + g * dx,
+    )
+
+    def kernel(sc_ref, s_hbm, kpad, out_ref, win, w24, sem):
+        zi = pl.program_id(0)
+        copy = pltpu.make_async_copy(
+            s_hbm.at[:, pl.ds(zi * bz, wz), :, :], win, sem
+        )
+        copy.start()
+        copy.wait()
+        Sw = win[...]                    # [nvc, wz, 16, ny]
+        t = sc_ref[0, 0]
+        dt = sc_ref[0, 1]
+        dtdx, dtdy, dtdz = dt / dx, dt / dy, dt / dz
+        lanes_last = Sw.ndim - 1
+
+        def deltay_of(tt):
+            return jnp.mod(1.5 * omega0 * Lx * tt, Ly)
+
+        # ---- sheared x-ghost slabs in-kernel (ghosts for time t+dt,
+        # MHDRunGodunov.cpp:3551); lanes carry exactly ny samples so the
+        # dynamic roll wraps at ny — the shear-periodic geometry ----
+        d_fill = deltay_of(t + dt)
+        jp = jnp.floor(d_fill / dy).astype(jnp.int32)
+        epsi = jnp.mod(d_fill, dy)
+        bmax = Sw[:nv, :, g : 2 * g, :]      # global cols nx-g..nx-1
+        bmin = Sw[:nv, :, 2 * g : 3 * g, :]  # global cols 0..g-1
+        sl_max = slope_1d(params, bmax, -1, xp=JNP)
+        sl_min = slope_1d(params, bmin, -1, xp=JNP)
+
+        eps_min = 1.0 - epsi / dy
+        lam_min = 0.5 * eps_min * (eps_min - 1.0)
+        st_max = jnp.stack([bmax, sl_max])
+        r0 = pltpu.roll(st_max, jp, st_max.ndim - 1)
+        r1 = jnp.roll(r0, 1, axis=-1)
+        gmin = (
+            (1.0 - eps_min) * r1[0] + eps_min * r0[0]
+            + lam_min * (r1[1] - r0[1])
+        )
+        gmin = JNP.set_component(
+            gmin, IB, r1[0][IB] + eps_min * r1[1][IB]
+        )
+
+        eps_max = epsi / dy
+        lam_max = 0.5 * eps_max * (eps_max - 1.0)
+        st_min = jnp.stack([bmin, sl_min])
+        q0 = pltpu.roll(st_min, ny - jp, st_min.ndim - 1)  # == roll -jp
+        q1 = jnp.roll(q0, -1, axis=-1)
+        gmax = (
+            (1.0 - eps_max) * q0[0] + eps_max * q1[0]
+            - lam_max * (q0[1] - q1[1])
+        )
+        gmax = JNP.set_component(
+            gmax, IB, q0[0][IB] + eps_max * q0[1][IB]
+        )
+        # kept Bx face: first XMAX ghost column of Bx is the interior's
+        # own face (make_boundary_shear.h:276-288); sublane-0 select
+        kw = kpad[pl.ds(zi * bz, 16), :][:wz]          # [wz, ny]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, g, 1), 1)
+        gmax = JNP.set_component(
+            gmax, IA,
+            jnp.where(sub == 0, kw[:, None, :], gmax[IA]),
+        )
+
+        # ---- assemble the 24-sublane window (v1 strip layout) ----
+        w24[:, :, 0 : 2 * g] = Sw[:, :, 0 : 2 * g]
+        w24[0:nv, :, 2 * g : 3 * g] = gmax
+        w24[0:nv, :, 3 * g : 4 * g] = gmin
+        if comp:
+            w24[nv:, :, 2 * g : 4 * g] = jnp.zeros(
+                (nv, wz, 2 * g, ny), Sw.dtype
+            )
+        w24[:, :, 4 * g : 6 * g] = Sw[:, :, 2 * g : 4 * g]
+        w24[:, :, 6 * g :] = jnp.zeros((nvc, wz, xw - 6 * g, ny), Sw.dtype)
+        W = w24[...]
+
+        # ---- the border pipeline (identical to the v1 strip kernel) ----
+        s = jax.lax.broadcasted_iota(jnp.int32, (1, xw, 1), 1)
+        c = jnp.where(s < 3 * g, nx - 2 * g + s,
+                      jnp.where(s < 6 * g, s - 4 * g, 0)).astype(W.dtype)
+        xpos = params.xmin + dx / 2 + c * dx
+        Wc = W[nv:] if comp else None
+        fluxes, emfs = _mhd_3d_fluxes_emfs(p_win, W[:nv], dt, xp=JNP_T,
+                                           xpos=xpos)
+        (flux_x, _fy, _fz), (emf_z, emf_y, _ex) = fluxes, emfs
+        right = mhd_apply_update(p_win, W[:nv], fluxes, emfs, dt,
+                                 margin=(g, 0, g), xp=JNP_T, comp=Wc)
+        left = mhd_apply_update(p_win, W[:nv], fluxes, emfs, dt,
+                                margin=(g, 0, 4 * g), xp=JNP_T, comp=Wc)
+
+        # ---- remap + corrections in-kernel (bz+1 planes: the z+1
+        # couplings stay in-tile; the last tile's +1 plane is the global
+        # wrap via the window's z ghosts) ----
+        zs = slice(g, g + bz)
+        zs1 = slice(g, g + bz + 1)
+        fpl_min = flux_x[ID, zs1, 4 * g, :]        # x-face global 0
+        fpl_max = flux_x[ID, zs1, 2 * g, :]        # x-face global nx
+        eypl_min = emf_y[zs1, 4 * g, :]
+        eypl_max = emf_y[zs1, 2 * g, :]
+        ezpl_max = emf_z[zs, 2 * g, :]
+
+        d_rm = deltay_of(t + 0.5 * dt)
+        jr = jnp.floor(d_rm / dy).astype(jnp.int32)
+        w = jnp.mod(d_rm, dy) / dy
+        fmin_st = jnp.stack([fpl_min, eypl_min])
+        fmax_st = jnp.stack([fpl_max, eypl_max])
+        rmax0 = pltpu.roll(fmax_st, jr, fmax_st.ndim - 1)
+        rmax1 = jnp.roll(rmax0, 1, axis=-1)
+        rmin0 = pltpu.roll(fmin_st, ny - jr, fmin_st.ndim - 1)
+        rmin1 = jnp.roll(rmin0, -1, axis=-1)
+        min_r = 0.5 * (fmin_st + (w * rmax1 + (1.0 - w) * rmax0))
+        max_r = 0.5 * (fmax_st + ((1.0 - w) * rmin0 + w * rmin1))
+        fmin_r, emin_r = min_r[0], min_r[1]
+        fmax_r, emax_r = max_r[0], max_r[1]
+        d_emin = emin_r - eypl_min
+        d_emax = emax_r - eypl_max
+
+        col_lo = left[:, :, 0, :]                  # global x = 0
+        col_hi = right[:, :, g - 1, :]             # global x = nx-1
+        d_lo = {ID: dtdx * (fmin_r[:bz] - fpl_min[:bz]),
+                IA: -dtdz * (d_emin[1 : bz + 1] - d_emin[:bz]),
+                IC: -dtdx * d_emin[:bz]}
+        d_hi = {ID: -dtdx * (fmax_r[:bz] - fpl_max[:bz]),
+                IC: dtdx * d_emax[:bz]}
+
+        def kadd(val, carry, delta):
+            y = delta - carry
+            t_ = val + y
+            return t_, (t_ - val) - y
+
+        def apply(col, deltas):
+            for slot, delta in deltas.items():
+                if comp:
+                    v, cc = kadd(col[slot], col[nv + slot], delta)
+                    if slot == ID:
+                        fl = jnp.maximum(v, smallr)
+                        cc = jnp.where(fl == v, cc, 0.0)
+                        v = fl
+                    col = JNP.set_component(col, slot, v)
+                    col = JNP.set_component(col, nv + slot, cc)
+                else:
+                    v = col[slot] + delta
+                    if slot == ID:
+                        v = jnp.maximum(v, smallr)
+                    col = JNP.set_component(col, slot, v)
+            return col
+
+        col_lo = apply(col_lo, d_lo)
+        col_hi = apply(col_hi, d_hi)
+
+        d_kept = dtdy * (
+            jnp.roll(ezpl_max, -1, axis=-1) - ezpl_max
+        ) - dtdz * (emax_r[1 : bz + 1] - emax_r[:bz])
+
+        sub_g = jax.lax.broadcasted_iota(jnp.int32, (1, 1, g, 1), 2)
+        right3 = jnp.where(sub_g == g - 1, col_hi[:, :, None, :], right)
+        left3 = jnp.where(sub_g == 0, col_lo[:, :, None, :], left)
+
+        def z(ch, xs):
+            return jnp.zeros((ch, bz, xs, ny), W.dtype)
+
+        out_main = jnp.concatenate(
+            [right3, left3, z(nvc, 16 - 2 * g)], axis=2
+        )
+        extra = jnp.concatenate(
+            [d_kept[:, None, :], z(1, 15)[0]], axis=1
+        )[None]
+        out_ref[...] = jnp.concatenate([out_main, extra], axis=0)
+
+    dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+    out_shape = jax.ShapeDtypeStruct((nvc + 1, nz, 16, ny), dtype)
+    fused = pl.pallas_call(
+        kernel,
+        grid=(nzb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((nz + 16, ny), lambda zi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nvc + 1, bz, 16, ny), lambda zi: (0, zi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nvc, wz, 16, ny), dtype),
+            pltpu.VMEM((nvc, wz, xw, ny), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret or _interp(),
+    )
+
+    def strip_fused(St, kpad, t, dt):
+        sc = jnp.stack([t, dt]).reshape(1, 2).astype(St.dtype)
+        St, kpad, sc = jax.lax.optimization_barrier((St, kpad, sc))
+        return jax.lax.optimization_barrier(fused(sc, St, kpad))
+
+    return strip_fused
+
+
 def make_shear_cfl_kernel(params: RunParams, interpret: bool = False):
     """``inv_dt(P, kept_face) -> scalar``: the shearing-box MHD CFL
     reduction as ONE streaming Pallas kernel — the packed_io
@@ -489,6 +746,13 @@ def make_shear_packed_step(
 
     stratified = gravity_z is not None
     tiles = tiles or _pick_tiles(params)
+    fused_strip = None
+    if (
+        params.strip_fused
+        and not stratified
+        and strip_fused_supported(params.replace(pallas_tiles=tiles))
+    ):
+        fused_strip = _make_strip_kernel_fused(params, tiles[0], interpret)
     from .zcarry_mhd3d import (
         make_zcarry_mhd_packed_io,
         zcarry_shear_supported,
@@ -657,6 +921,52 @@ def make_shear_packed_step(
         dtdx, dtdy, dtdz = dt / dx, dt / dy, dt / dz
 
         P_main = main(P, dt)
+        if fused_strip is not None:
+            # fused-borders strip: sheared slabs, remap, corrections and
+            # the kept-Bx CT all happen in ONE kernel launch; XLA only
+            # builds the thin border input and applies the outputs
+            yg = slice(YB, YB + ny)
+            S = jnp.concatenate(
+                [P[:, :, yg, nx - 2 * g :], P[:, :, yg, : 2 * g]],
+                axis=-1,
+            )
+            St = jnp.pad(
+                jnp.swapaxes(S, -1, -2),
+                ((0, 0), (0, 0), (0, 16 - 4 * g), (0, 0)),
+            )
+            kpad = jnp.pad(
+                jnp.pad(kept_face, ((g, g), (0, 0)), mode="wrap"),
+                ((0, 16 - 2 * g), (0, 0)),
+            )
+            t_arr = jnp.asarray(t, P.dtype)
+            out = fused_strip(St, kpad, t_arr, dt)
+            right3 = jnp.swapaxes(out[:nvc, :, 0:g, :], -1, -2)
+            left3 = jnp.swapaxes(out[:nvc, :, g : 2 * g, :], -1, -2)
+            d_kept = out[nvc, :, 0, :]
+            if comp:
+                kf, kc = kadd(kept_bx[0], kept_bx[1], d_kept)
+                kept_new = jnp.stack([kf, kc])
+            else:
+                kept_new = kept_bx + d_kept
+            P_new = assemble(P_main, left3, right3)
+            if dissip:
+                kept_face2 = kept_new[0] if comp else kept_new
+                left_d, right_d, planes_d = strip_pass(
+                    P_new, kept_face2, t + dt, dt, strip_d
+                )
+                P_d = main_d(P_new, dt)
+                P_new = assemble(P_d, left_d, right_d)
+                if params.eta > 0:
+                    eypl2, ezpl2 = planes_d[0], planes_d[1]
+                    d_kept2 = dtdy * (
+                        jnp.roll(ezpl2, -1, axis=1) - ezpl2
+                    ) - dtdz * (jnp.roll(eypl2, -1, axis=0) - eypl2)
+                    if comp:
+                        kf, kc = kadd(kept_new[0], kept_new[1], d_kept2)
+                        kept_new = jnp.stack([kf, kc])
+                    else:
+                        kept_new = kept_new + d_kept2
+            return P_new, kept_new, dt
         # the reference fills shear ghosts for time totalTime+dt
         # (MHDRunGodunov.cpp:3551)
         left, right, planes = strip_pass(P, kept_face, t + dt, dt, strip_k)

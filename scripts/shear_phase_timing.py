@@ -144,6 +144,18 @@ def main() -> int:
                     P, kept, 0.0)
     print(f"zcarry-main step throughput: {ncells / t_step:.4g} cells/s",
           flush=True)
+
+    from ramsesgpu_tpu.pallas.shear_packed import strip_fused_supported
+
+    if strip_fused_supported(params.replace(pallas_tiles=tiles)):
+        step_f = make_shear_packed_step(
+            params.replace(kernel="zcarry", strip_fused=True), tiles=tiles
+        )
+        t_f = timeit("full step (zcarry + fused strip)",
+                     jax.jit(lambda P, k, t: step_f(P, k, t)),
+                     P, kept, 0.0)
+        print(f"zcarry + fused-strip throughput: {ncells / t_f:.4g} "
+              "cells/s", flush=True)
     return 0
 
 

@@ -331,6 +331,90 @@ def stage_shear_flagship():
     return rec
 
 
+def stage_strip_fused():
+    """Fused-borders strip kernel (dynamic Mosaic lane rolls) vs the v1
+    strip + XLA glue, one step on a small MRI grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.config.configmap import ConfigMap
+    from ramsesgpu_tpu.config.params import params_from_config
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        make_shear_packed_step_fn,
+        strip_fused_supported,
+    )
+    from ramsesgpu_tpu.problems import init_problem
+    from ramsesgpu_tpu.solvers.shear import make_all_boundaries_shear
+
+    config = ConfigMap(str(REPO / "data" / "mhd_mri_3d.ini"))
+    for k, v in (("nx", 128), ("ny", 128), ("nz", 16)):
+        config.set_integer("mesh", k, v)
+    config.set_bool("implementation", "compensated", False)
+    params = params_from_config(config).replace(pallas_tiles=(8, 8))
+    assert strip_fused_supported(params)
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = jax.jit(lambda u: make_all_boundaries_shear(params, u, 0.0))(U0)
+    t0 = jnp.asarray(0.0, U0.dtype)
+    step_v1 = jax.jit(make_shear_packed_step_fn(params))
+    step_v2 = jax.jit(make_shear_packed_step_fn(
+        params.replace(strip_fused=True)
+    ))
+    U1, dt1 = step_v1(U0, t0)
+    _sync(U1)
+    U2, dt2 = step_v2(U0, t0)
+    _sync(U2)
+    err = float(jnp.max(jnp.abs(U2 - U1)))
+    return {"max_abs_err": err, "dt_rel": abs(float(dt2) - float(dt1)),
+            "ok": bool(err < 1e-5)}
+
+
+def stage_shear_flagship_fused():
+    """Flagship MRI with zcarry main + fused strip, timed."""
+    import jax
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.config.configmap import ConfigMap
+    from ramsesgpu_tpu.config.params import params_from_config
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        make_pallas_shear_advance_n,
+    )
+    from ramsesgpu_tpu.problems import init_problem
+    from ramsesgpu_tpu.solvers.shear import make_all_boundaries_shear
+
+    nx, ny, nz = 128, 256, 128
+    config = ConfigMap(str(REPO / "data" / "mhd_mri_3d.ini"))
+    for k, v in (("nx", nx), ("ny", ny), ("nz", nz)):
+        config.set_integer("mesh", k, v)
+    config.set_bool("implementation", "compensated", False)
+    params = params_from_config(config).replace(
+        kernel="zcarry", strip_fused=True
+    )
+    U = jnp.asarray(init_problem(params, config))
+    U = jax.jit(lambda u: make_all_boundaries_shear(params, u, 0.0))(U)
+    t = jnp.asarray(0.0, U.dtype)
+    n_iter = 10
+    adv = make_pallas_shear_advance_n(params)
+    adv_ref = make_pallas_shear_advance_n(
+        params.replace(kernel="pallas", strip_fused=False)
+    )
+    U1, t1, k1 = adv(U, t, jnp.array(2, jnp.int32))
+    _sync(U1)
+    U1r, t1r, k1r = adv_ref(U, t, jnp.array(2, jnp.int32))
+    err = float(jnp.max(jnp.abs(U1 - U1r)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        U2, t2, k2 = adv(U, t, jnp.array(n_iter, jnp.int32))
+        _sync(U2)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "max_abs_err_2steps": err,
+        "ms_per_step": best / n_iter * 1e3,
+        "cells_per_s": nx * ny * nz * n_iter / best,
+        "ok": bool(err < 1e-3),
+    }
+
+
 STAGES = [
     ("probe", stage_probe, 300),
     ("zc64", stage_zc64, 900),
@@ -341,7 +425,9 @@ STAGES = [
     ("zc_comp", stage_zc_comp, 1200),
     ("advance", stage_advance, 1800),
     ("shear_small", stage_shear_small, 1200),
+    ("strip_fused", stage_strip_fused, 1200),
     ("shear_flagship", stage_shear_flagship, 2400),
+    ("shear_flagship_fused", stage_shear_flagship_fused, 2400),
 ]
 
 

@@ -592,3 +592,50 @@ def test_shear_cfl_kernel_bitwise():
     assert make_shear_cfl_kernel(
         params.replace(nz=12, zmax=params.zmin + 12 * params.dz)
     ) is None
+
+
+@pytest.mark.parametrize("compensated", [False, True])
+def test_shear_packed_fused_strip_matches_v1(compensated):
+    """Fused-borders strip kernel ([implementation] stripFused): sheared
+    slabs, remap, border corrections and the kept-Bx CT in-kernel
+    (dynamic lane rolls wrap at the lane-exact ny = the shear-periodic
+    geometry) vs the v1 strip + XLA glue, multi-step."""
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        make_shear_packed_step_fn,
+        strip_fused_supported,
+    )
+
+    nx, ny, nz = 128, 128, 16
+    config = ConfigMap(text=MRI_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config).replace(
+        pallas_tiles=(8, 8), compensated=compensated
+    )
+    assert strip_fused_supported(params)
+    step_v1 = make_shear_packed_step_fn(params, interpret=True)
+    step_v2 = make_shear_packed_step_fn(
+        params.replace(strip_fused=True), interpret=True
+    )
+
+    from ramsesgpu_tpu.core.constants import IA
+
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+    U1 = U2 = U0
+    t1 = t2 = jnp.asarray(0.0, U0.dtype)
+    g = params.ghost_width
+    for n, atol in enumerate((5e-7, 2e-6)):
+        U1, dt1 = step_v1(U1, t1)
+        U2, dt2 = step_v2(U2, t2)
+        np.testing.assert_allclose(float(dt2), float(dt1), rtol=1e-6)
+        t1 = t1 + dt1
+        t2 = t2 + dt2
+        np.testing.assert_allclose(
+            np.asarray(U2)[:, g:-g, g:-g, g:-g],
+            np.asarray(U1)[:, g:-g, g:-g, g:-g],
+            rtol=0, atol=atol, err_msg=f"interior step {n}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(U2)[IA, g:-g, g:-g, nx + g],
+            np.asarray(U1)[IA, g:-g, g:-g, nx + g],
+            rtol=0, atol=atol, err_msg=f"kept Bx face step {n}",
+        )

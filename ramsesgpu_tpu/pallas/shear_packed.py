@@ -380,7 +380,8 @@ def strip_fused_supported(params: RunParams) -> bool:
     )
 
 
-def _make_strip_kernel_fused(params: RunParams, bz: int, interpret: bool):
+def _make_strip_kernel_fused(params: RunParams, bz: int, interpret: bool,
+                             mode: str = "godunov"):
     """Fused-borders strip kernel (see strip_fused_supported).
 
     strip_k(scalars [t, dt], St [nvc, nz+2g, 16, ny], kpad [nz+16, ny])
@@ -389,7 +390,8 @@ def _make_strip_kernel_fused(params: RunParams, bz: int, interpret: bool):
                             (remap corrections + density floor at nx-1)
         out[:nvc, :, g:2g]  corrected left columns, global x = 0..2
         out[nvc, :, 0]      d_kept: the CT delta of the kept Bx face
-                            (remapped emfY, shearingBox_utils.cuh:428-492)
+                            (remapped emfY, shearingBox_utils.cuh:428-492;
+                            mode="dissip": the resistive-CT delta, or 0)
 
     St sublanes: [interior nx-2g..nx-1 | interior 0..2g | pad] — the
     sheared ghost slabs are built IN-KERNEL from the border columns and
@@ -397,7 +399,11 @@ def _make_strip_kernel_fused(params: RunParams, bz: int, interpret: bool):
     extent (recompute replaces cross-tile materialization).
     Remap z+1 couplings (d_emin, emax_r) use a bz+1-plane extent per
     tile; the window's z wrap ghosts make the last tile's +1 plane the
-    global wrap, matching the whole-array jnp.roll over nz."""
+    global wrap, matching the whole-array jnp.roll over nz.
+
+    ``mode="dissip"``: the viscous/resistive sub-step instead of the
+    Godunov pipeline — same in-kernel slabs and output contract, no
+    remap corrections (the reference has none for dissipation)."""
     from ..ops.backend import JNP, JNP_T
     from ..ops.slopes import slope_1d
     from ..solvers.godunov_mhd import _mhd_3d_fluxes_emfs, mhd_apply_update
@@ -492,13 +498,52 @@ def _make_strip_kernel_fused(params: RunParams, bz: int, interpret: bool):
         w24[:, :, 4 * g : 6 * g] = Sw[:, :, 2 * g : 4 * g]
         w24[:, :, 6 * g :] = jnp.zeros((nvc, wz, xw - 6 * g, ny), Sw.dtype)
         W = w24[...]
+        zs = slice(g, g + bz)
+        zs1 = slice(g, g + bz + 1)
+        Wc = W[nv:] if comp else None
+
+        if mode == "dissip":
+            from ..solvers.dissipation import (
+                compute_resistivity_emf,
+                mhd_dissipation_interior_update,
+            )
+
+            right = mhd_dissipation_interior_update(
+                p_win, W[:nv], dt, margin=(g, 0, g), xp=JNP_T, comp=Wc)
+            left = mhd_dissipation_interior_update(
+                p_win, W[:nv], dt, margin=(g, 0, 4 * g), xp=JNP_T,
+                comp=Wc)
+            if params.eta > 0:
+                # resistive CT delta of the kept Bx face, z+1 in-tile
+                # via the bz+1 extent (fused_mhd3d shear path analogue)
+                emf_z_r, emf_y_r, _ex = compute_resistivity_emf(
+                    p_win, W, xp=JNP_T)
+                eypl2 = emf_y_r[zs1, 2 * g, :]
+                ezpl2 = emf_z_r[zs, 2 * g, :]
+                d_kept = dtdy * (
+                    jnp.roll(ezpl2, -1, axis=-1) - ezpl2
+                ) - dtdz * (eypl2[1 : bz + 1] - eypl2[:bz])
+            else:
+                d_kept = jnp.zeros((bz, ny), W.dtype)
+
+            # no remap corrections in dissip mode (the reference has none)
+            def z(ch, xs):
+                return jnp.zeros((ch, bz, xs, ny), W.dtype)
+
+            out_main = jnp.concatenate(
+                [right, left, z(nvc, 16 - 2 * g)], axis=2
+            )
+            extra = jnp.concatenate(
+                [d_kept[:, None, :], z(1, 15)[0]], axis=1
+            )[None]
+            out_ref[...] = jnp.concatenate([out_main, extra], axis=0)
+            return
 
         # ---- the border pipeline (identical to the v1 strip kernel) ----
         s = jax.lax.broadcasted_iota(jnp.int32, (1, xw, 1), 1)
         c = jnp.where(s < 3 * g, nx - 2 * g + s,
                       jnp.where(s < 6 * g, s - 4 * g, 0)).astype(W.dtype)
         xpos = params.xmin + dx / 2 + c * dx
-        Wc = W[nv:] if comp else None
         fluxes, emfs = _mhd_3d_fluxes_emfs(p_win, W[:nv], dt, xp=JNP_T,
                                            xpos=xpos)
         (flux_x, _fy, _fz), (emf_z, emf_y, _ex) = fluxes, emfs
@@ -510,8 +555,6 @@ def _make_strip_kernel_fused(params: RunParams, bz: int, interpret: bool):
         # ---- remap + corrections in-kernel (bz+1 planes: the z+1
         # couplings stay in-tile; the last tile's +1 plane is the global
         # wrap via the window's z ghosts) ----
-        zs = slice(g, g + bz)
-        zs1 = slice(g, g + bz + 1)
         fpl_min = flux_x[ID, zs1, 4 * g, :]        # x-face global 0
         fpl_max = flux_x[ID, zs1, 2 * g, :]        # x-face global nx
         eypl_min = emf_y[zs1, 4 * g, :]
@@ -746,13 +789,17 @@ def make_shear_packed_step(
 
     stratified = gravity_z is not None
     tiles = tiles or _pick_tiles(params)
-    fused_strip = None
+    fused_strip = fused_strip_d = None
     if (
         params.strip_fused
         and not stratified
         and strip_fused_supported(params.replace(pallas_tiles=tiles))
     ):
         fused_strip = _make_strip_kernel_fused(params, tiles[0], interpret)
+        if params.nu > 0 or params.eta > 0:
+            fused_strip_d = _make_strip_kernel_fused(
+                params, tiles[0], interpret, mode="dissip"
+            )
     from .zcarry_mhd3d import (
         make_zcarry_mhd_packed_io,
         zcarry_shear_supported,
@@ -925,47 +972,50 @@ def make_shear_packed_step(
             # fused-borders strip: sheared slabs, remap, corrections and
             # the kept-Bx CT all happen in ONE kernel launch; XLA only
             # builds the thin border input and applies the outputs
-            yg = slice(YB, YB + ny)
-            S = jnp.concatenate(
-                [P[:, :, yg, nx - 2 * g :], P[:, :, yg, : 2 * g]],
-                axis=-1,
-            )
-            St = jnp.pad(
-                jnp.swapaxes(S, -1, -2),
-                ((0, 0), (0, 0), (0, 16 - 4 * g), (0, 0)),
-            )
-            kpad = jnp.pad(
-                jnp.pad(kept_face, ((g, g), (0, 0)), mode="wrap"),
-                ((0, 16 - 2 * g), (0, 0)),
-            )
+            def fused_inputs(Pf, kface):
+                yg = slice(YB, YB + ny)
+                S = jnp.concatenate(
+                    [Pf[:, :, yg, nx - 2 * g :], Pf[:, :, yg, : 2 * g]],
+                    axis=-1,
+                )
+                St = jnp.pad(
+                    jnp.swapaxes(S, -1, -2),
+                    ((0, 0), (0, 0), (0, 16 - 4 * g), (0, 0)),
+                )
+                kpad = jnp.pad(
+                    jnp.pad(kface, ((g, g), (0, 0)), mode="wrap"),
+                    ((0, 16 - 2 * g), (0, 0)),
+                )
+                return St, kpad
+
+            def fused_outputs(out):
+                right3 = jnp.swapaxes(out[:nvc, :, 0:g, :], -1, -2)
+                left3 = jnp.swapaxes(out[:nvc, :, g : 2 * g, :], -1, -2)
+                return left3, right3, out[nvc, :, 0, :]
+
+            def kept_add(kept_in, delta):
+                if comp:
+                    kf, kc = kadd(kept_in[0], kept_in[1], delta)
+                    return jnp.stack([kf, kc])
+                return kept_in + delta
+
             t_arr = jnp.asarray(t, P.dtype)
-            out = fused_strip(St, kpad, t_arr, dt)
-            right3 = jnp.swapaxes(out[:nvc, :, 0:g, :], -1, -2)
-            left3 = jnp.swapaxes(out[:nvc, :, g : 2 * g, :], -1, -2)
-            d_kept = out[nvc, :, 0, :]
-            if comp:
-                kf, kc = kadd(kept_bx[0], kept_bx[1], d_kept)
-                kept_new = jnp.stack([kf, kc])
-            else:
-                kept_new = kept_bx + d_kept
+            St, kpad = fused_inputs(P, kept_face)
+            left3, right3, d_kept = fused_outputs(
+                fused_strip(St, kpad, t_arr, dt)
+            )
+            kept_new = kept_add(kept_bx, d_kept)
             P_new = assemble(P_main, left3, right3)
             if dissip:
                 kept_face2 = kept_new[0] if comp else kept_new
-                left_d, right_d, planes_d = strip_pass(
-                    P_new, kept_face2, t + dt, dt, strip_d
+                St_d, kpad_d = fused_inputs(P_new, kept_face2)
+                left_d, right_d, d_kept2 = fused_outputs(
+                    fused_strip_d(St_d, kpad_d, t_arr, dt)
                 )
                 P_d = main_d(P_new, dt)
                 P_new = assemble(P_d, left_d, right_d)
                 if params.eta > 0:
-                    eypl2, ezpl2 = planes_d[0], planes_d[1]
-                    d_kept2 = dtdy * (
-                        jnp.roll(ezpl2, -1, axis=1) - ezpl2
-                    ) - dtdz * (jnp.roll(eypl2, -1, axis=0) - eypl2)
-                    if comp:
-                        kf, kc = kadd(kept_new[0], kept_new[1], d_kept2)
-                        kept_new = jnp.stack([kf, kc])
-                    else:
-                        kept_new = kept_new + d_kept2
+                    kept_new = kept_add(kept_new, d_kept2)
             return P_new, kept_new, dt
         # the reference fills shear ghosts for time totalTime+dt
         # (MHDRunGodunov.cpp:3551)

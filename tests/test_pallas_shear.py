@@ -594,8 +594,12 @@ def test_shear_cfl_kernel_bitwise():
     ) is None
 
 
-@pytest.mark.parametrize("compensated", [False, True])
-def test_shear_packed_fused_strip_matches_v1(compensated):
+@pytest.mark.parametrize("compensated,dissip", [
+    (False, False),
+    (True, False),
+    (False, True),   # viscous-resistive: fused dissip strip + kept CT
+])
+def test_shear_packed_fused_strip_matches_v1(compensated, dissip):
     """Fused-borders strip kernel ([implementation] stripFused): sheared
     slabs, remap, border corrections and the kept-Bx CT in-kernel
     (dynamic lane rolls wrap at the lane-exact ny = the shear-periodic
@@ -610,6 +614,8 @@ def test_shear_packed_fused_strip_matches_v1(compensated):
     params = params_from_config(config).replace(
         pallas_tiles=(8, 8), compensated=compensated
     )
+    if dissip:
+        params = params.replace(nu=1e-5, eta=4e-6)
     assert strip_fused_supported(params)
     step_v1 = make_shear_packed_step_fn(params, interpret=True)
     step_v2 = make_shear_packed_step_fn(

@@ -90,6 +90,35 @@ ROWS = [
         "quick": {"nx": 32, "ny": 64, "nz": 32},
         "modes": ("f32",),
     },
+    # opt-in kernels (round-3; hardware-gated — rows error gracefully if
+    # the Mosaic features regress): z-block-streaming main + fused strip
+    {
+        "name": "MHD 3D periodic (zcarry)",
+        "ini": "data/orszag-tang3d.ini",
+        "size": {"nx": 256, "ny": 256, "nz": 256},
+        "quick": {"nx": 128, "ny": 32, "nz": 32},
+        "set": {("implementation", "kernel"): "zcarry"},
+        "modes": ("f32", "compensated"),
+    },
+    {
+        "name": "MRI (zcarry + fused strip)",
+        "ini": "data/mhd_mri_3d.ini",
+        "size": {"nx": 128, "ny": 256, "nz": 128},
+        "quick": {"nx": 128, "ny": 128, "nz": 16},
+        "set": {("implementation", "kernel"): "zcarry",
+                ("implementation", "stripFused"): "yes"},
+        "modes": ("f32", "compensated"),
+    },
+    {
+        "name": "MRI viscous-resistive (zcarry + fused strip)",
+        "ini": "data/mhd_mri_3d.ini",
+        "size": {"nx": 128, "ny": 256, "nz": 128},
+        "quick": {"nx": 128, "ny": 128, "nz": 16},
+        "set": {("hydro", "nu"): "4e-5", ("MHD", "eta"): "1e-5",
+                ("implementation", "kernel"): "zcarry",
+                ("implementation", "stripFused"): "yes"},
+        "modes": ("f32",),
+    },
 ]
 
 

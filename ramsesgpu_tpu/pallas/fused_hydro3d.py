@@ -188,7 +188,20 @@ def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
     g = params.ghost_width
     ny = params.ny
     bz, by = params.pallas_tiles or _pick_tiles(params)
-    fused = make_fused_hydro_packed_io(params, tiles=(bz, by))
+    if params.kernel == "zcarry":
+        # opt-in z-block-streaming hydro kernel ([implementation]
+        # kernel=zcarry): carried stage planes, 1.0x DMA per step
+        # (pallas/zcarry_hydro3d.py)
+        from .zcarry_hydro3d import (
+            make_zcarry_hydro_packed_io,
+            zcarry_hydro_supported,
+        )
+
+        if not zcarry_hydro_supported(params):
+            raise ValueError("configuration outside the hydro zcarry kernel")
+        fused = make_zcarry_hydro_packed_io(params, tiles=(bz, by))
+    else:
+        fused = make_fused_hydro_packed_io(params, tiles=(bz, by))
     t_end = params.t_end
 
     def dt_of(P):

@@ -93,6 +93,13 @@ ROWS = [
     # opt-in kernels (round-3; hardware-gated — rows error gracefully if
     # the Mosaic features regress): z-block-streaming main + fused strip
     {
+        "name": "hydro 3D (zcarry)",
+        "ini": "data/implode3d.ini",
+        "size": {"nx": 256, "ny": 256, "nz": 256},
+        "quick": {"nx": 128, "ny": 32, "nz": 32},
+        "set": {("implementation", "kernel"): "zcarry"},
+    },
+    {
         "name": "MHD 3D periodic (zcarry)",
         "ini": "data/orszag-tang3d.ini",
         "size": {"nx": 256, "ny": 256, "nz": 256},

@@ -331,6 +331,69 @@ def stage_shear_flagship():
     return rec
 
 
+def stage_hydro_zcarry():
+    """Hydro z-block-streaming kernel: 64^3 parity, then 256^3 timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.config.configmap import ConfigMap
+    from ramsesgpu_tpu.config.params import params_from_config
+    from ramsesgpu_tpu.pallas.fused_hydro3d import (
+        make_fused_hydro_packed_io,
+    )
+    from ramsesgpu_tpu.pallas.packed_io import pack_state
+    from ramsesgpu_tpu.pallas.zcarry_hydro3d import (
+        make_zcarry_hydro_packed_io,
+    )
+    from ramsesgpu_tpu.problems import init_problem
+    from ramsesgpu_tpu.solvers.boundary import make_boundaries
+
+    ini = """
+[mesh]
+nx={n}
+ny={n}
+nz={n}
+boundary_xmin=3
+boundary_xmax=3
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=3
+boundary_zmax=3
+[hydro]
+problem=blast
+riemannSolver=hllc
+[blast]
+radius=0.2
+"""
+    rec = {}
+    for n, time_it in ((64, False), (256, True)):
+        config = ConfigMap(text=ini.format(n=n))
+        params = params_from_config(config)
+        U = make_boundaries(params,
+                            jnp.asarray(init_problem(params, config)))
+        g = params.ghost_width
+        P = pack_state(params, U[:, g:-g, g:-g, g:-g])
+        dt = jnp.asarray(1e-3, P.dtype)
+        ref = jax.jit(make_fused_hydro_packed_io(params))
+        zc = jax.jit(make_zcarry_hydro_packed_io(params))
+        P_r = ref(P, dt)
+        _sync(P_r)
+        P_z = zc(P, dt)
+        _sync(P_z)
+        err = float(jnp.max(jnp.abs(P_z - P_r)))
+        rec[f"max_abs_err_{n}"] = err
+        if time_it:
+            rec["ms_packed"] = _timeit(ref, P, dt) * 1e3
+            t_zc = _timeit(zc, P, dt)
+            rec["ms_zcarry"] = t_zc * 1e3
+            rec["cells_per_s_zcarry"] = n ** 3 / t_zc
+        if err > 1e-5:
+            rec["ok"] = False
+            return rec
+    rec["ok"] = True
+    return rec
+
+
 def stage_strip_fused():
     """Fused-borders strip kernel (dynamic Mosaic lane rolls) vs the v1
     strip + XLA glue, one step on a small MRI grid."""
@@ -425,6 +488,7 @@ STAGES = [
     ("zc_comp", stage_zc_comp, 1200),
     ("advance", stage_advance, 1800),
     ("shear_small", stage_shear_small, 1200),
+    ("hydro_zcarry", stage_hydro_zcarry, 1500),
     ("strip_fused", stage_strip_fused, 1200),
     ("shear_flagship", stage_shear_flagship, 2400),
     ("shear_flagship_fused", stage_shear_flagship_fused, 2400),

@@ -333,3 +333,73 @@ def test_zcarry_advance_n_matches_packed_advance(dissip):
     np.testing.assert_allclose(
         np.asarray(U_z), np.asarray(U_p), rtol=0, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("dims", [
+    (16, 16, 16),
+    (16, 8, 8),      # single real tile (warmup + drain edge cases)
+    (16, 8, 16),     # single column
+    (16, 24, 8),     # columns only
+])
+def test_zcarry_hydro_step_matches_packed(dims):
+    """Hydro z-block-streaming kernel (pallas/zcarry_hydro3d.py) vs the
+    packed-IO hydro kernel on the full packed state incl. wrap ghost
+    bands, over the warmup/drain edge shapes."""
+    from ramsesgpu_tpu.pallas.fused_hydro3d import (
+        make_fused_hydro_packed_io,
+    )
+    from ramsesgpu_tpu.pallas.packed_io import pack_state
+    from ramsesgpu_tpu.pallas.zcarry_hydro3d import (
+        make_zcarry_hydro_packed_io,
+    )
+
+    nx, ny, nz = dims
+    config = ConfigMap(
+        text=HYDRO3D_INI.format(nx=nx, ny=ny, nz=nz, solver="hllc")
+    )
+    params = params_from_config(config).replace(pallas_tiles=(8, 8))
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    g = params.ghost_width
+    P = pack_state(params, U0[:, g:-g, g:-g, g:-g])
+    dt = jnp.asarray(0.002, P.dtype)
+    ref = make_fused_hydro_packed_io(params, tiles=(8, 8), interpret=True)
+    zc = make_zcarry_hydro_packed_io(params, tiles=(8, 8), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(zc(P, dt)), np.asarray(ref(P, dt)), rtol=0, atol=5e-8
+    )
+
+
+def test_zcarry_hydro_advance_n_matches_packed():
+    """Full hydro advance loop with kernel=zcarry vs the packed loop."""
+    from ramsesgpu_tpu.pallas.fused_hydro3d import (
+        make_pallas_hydro_advance_n,
+        hydro_packed_supported,
+    )
+    from ramsesgpu_tpu.pallas.zcarry_hydro3d import zcarry_hydro_supported
+
+    nx, ny, nz = 128, 16, 16
+    config = ConfigMap(
+        text=HYDRO3D_INI.format(nx=nx, ny=ny, nz=nz, solver="hllc")
+    )
+    params = params_from_config(config).replace(pallas_tiles=(8, 8))
+    assert hydro_packed_supported(params)
+    assert zcarry_hydro_supported(params)
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    t0 = jnp.asarray(0.0, U0.dtype)
+    n = jnp.asarray(3, jnp.int32)
+
+    import ramsesgpu_tpu.pallas as pk
+
+    pk.INTERPRET = True
+    try:
+        adv_pk = make_pallas_hydro_advance_n(params.replace(kernel="pallas"))
+        adv_zc = make_pallas_hydro_advance_n(params.replace(kernel="zcarry"))
+        U_p, t_p, k_p = adv_pk(U0, t0, n)
+        U_z, t_z, k_z = adv_zc(U0, t0, n)
+    finally:
+        pk.INTERPRET = False
+    assert int(k_p) == int(k_z) == 3
+    np.testing.assert_allclose(float(t_z), float(t_p), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(U_z), np.asarray(U_p), rtol=0, atol=1e-5
+    )

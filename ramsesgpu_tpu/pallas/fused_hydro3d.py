@@ -188,10 +188,11 @@ def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
     g = params.ghost_width
     ny = params.ny
     bz, by = params.pallas_tiles or _pick_tiles(params)
-    if params.kernel == "zcarry":
+    zcarry = params.kernel == "zcarry"
+    if zcarry:
         # opt-in z-block-streaming hydro kernel ([implementation]
-        # kernel=zcarry): carried stage planes, 1.0x DMA per step
-        # (pallas/zcarry_hydro3d.py)
+        # kernel=zcarry): carried stage planes, 1.0x DMA per step, and a
+        # fully in-kernel CFL reduction (pallas/zcarry_hydro3d.py)
         from .zcarry_hydro3d import (
             make_zcarry_hydro_packed_io,
             zcarry_hydro_supported,
@@ -199,7 +200,8 @@ def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
 
         if not zcarry_hydro_supported(params):
             raise ValueError("configuration outside the hydro zcarry kernel")
-        fused = make_zcarry_hydro_packed_io(params, tiles=(bz, by))
+        fused = make_zcarry_hydro_packed_io(params, tiles=(bz, by),
+                                            with_inv_dt=True)
     else:
         fused = make_fused_hydro_packed_io(params, tiles=(bz, by))
     t_end = params.t_end
@@ -211,6 +213,31 @@ def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
     @jax.jit
     def advance_n(U, t, n_steps):
         P0 = pack_state(params, U[:, g:-g, g:-g, g:-g])
+
+        if zcarry:
+            inv0 = compute_inv_dt_hydro(
+                params, P0[:, g : g + params.nz, YB : YB + ny, :], ghost=0
+            )
+
+            def cond_z(carry):
+                _, _, t_c, k = carry
+                in_time = (t_c < t_end) if t_end > 0 else True
+                return jnp.logical_and(k < n_steps, in_time)
+
+            def body_z(carry):
+                P, inv, t_c, k = carry
+                dt = params.cfl / inv
+                P1, inv1 = fused(P, dt)
+                return (P1, inv1, t_c + dt, k + 1)
+
+            P_f, _, t_f, k_f = jax.lax.while_loop(
+                cond_z, body_z, (P0, inv0, t, jnp.array(0, jnp.int32))
+            )
+            U_f = jnp.pad(
+                P_f[:, g:-g, YB : YB + ny, :], ((0, 0),) + ((g, g),) * 3,
+                mode="wrap",
+            )
+            return U_f, t_f, k_f
 
         def cond(carry):
             _, t_c, k = carry

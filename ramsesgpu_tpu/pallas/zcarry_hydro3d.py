@@ -59,8 +59,17 @@ def make_zcarry_hydro_packed_io(
     params: RunParams,
     tiles: tuple[int, int] | None = None,
     interpret: bool = False,
+    with_inv_dt: bool = False,
 ) -> Callable:
-    """Build ``step_packed(P, dt) -> P_new`` on the packed hydro state."""
+    """Build ``step_packed(P, dt) -> P_new`` on the packed hydro state.
+
+    ``with_inv_dt``: additionally reduce the NEXT step's CFL over the
+    updated state in-kernel and return ``(P_new, inv_dt)``.  The hydro
+    CFL is per-cell (no face averages — cmpdt.cuh:84-86), the real tiles
+    partition the interior exactly, and max is exactly associative — the
+    result matches timestep.compute_inv_dt_hydro on the output interior
+    to within 1 ULP of FMA-contraction difference (the per-cell
+    expression is recomputed in a different fusion context)."""
     from ..ops.backend import BOX, BoxField
     from ..ops.eos import constoprim_hydro
     from ..ops.riemann import riemann_hydro
@@ -90,11 +99,18 @@ def make_zcarry_hydro_packed_io(
     meta: dict[str, tuple[int, int]] = {}
 
     def kernel(dt_ref, p_hbm, out_ref, *rest):
-        (u_b, q_b, dq0, dq1, dq2, qmz_b, res, sem_in, sem_out) = rest
+        rest = list(rest)
+        inv_ref = rest.pop(0) if with_inv_dt else None
+        (u_b, q_b, dq0, dq1, dq2, qmz_b, res) = rest[:7]
+        rest = rest[7:]
+        if with_inv_dt:
+            acc = rest.pop(0)
+        sem_in, sem_out = rest
         dq_bufs = (dq0, dq1, dq2)
         yi = pl.program_id(0)
         zi = pl.program_id(1)          # 0 = warmup tile of this column
         z0 = (zi - 1) * bz
+        i = yi * (nzb + 1) + zi        # linear grid step
         dt = dt_ref[0, 0]
 
         def store(buf, name, field, lo_plane, n, slot_of_plane):
@@ -217,6 +233,30 @@ def make_zcarry_hydro_packed_io(
                 flux - BOX.shift_p(flux, axis)
             )
 
+        if with_inv_dt:
+            # per-cell CFL of the updated block (cmpdt.cuh:84-86);
+            # exactly compute_inv_dt_hydro's expression, max-reduced
+            Q_upd, c_upd = constoprim_hydro(tile_params, upd)
+            inv_blk = (
+                (c_upd + jnp.abs(Q_upd[2])) / params.dx
+                + (c_upd + jnp.abs(Q_upd[3])) / params.dy
+                + (c_upd + jnp.abs(Q_upd[4])) / params.dz
+            )
+
+            @pl.when(i == 0)
+            def _():
+                acc[0, 0] = jnp.zeros((), dtype)
+
+            @pl.when(zi > 0)
+            def _():
+                acc[0, 0] = jnp.maximum(acc[0, 0], jnp.max(inv_blk))
+
+            @pl.when(
+                jnp.logical_and(yi == nyb - 1, zi == nzb)
+            )
+            def _():
+                inv_ref[0, 0] = acc[0, 0]
+
         # ---- output DMAs (same spec + deferred-drain bookkeeping as the
         # MHD zcarry kernel) ----
         j = yi * nzb + (zi - 1)
@@ -298,6 +338,18 @@ def make_zcarry_hydro_packed_io(
         pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # dqz
         pltpu.VMEM((nv, bz + 2, rows_c, nx), dtype),        # qm_z
         pltpu.VMEM((2, nv, bz, by, nx), dtype),             # result
+    ]
+    if with_inv_dt:
+        out_specs = (
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+        out_shape = (p_shape, jax.ShapeDtypeStruct((1, 1), dtype))
+        scratch += [pltpu.SMEM((1, 1), dtype)]               # acc
+    else:
+        out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+        out_shape = p_shape
+    scratch += [
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA((2,)),
     ]
@@ -309,8 +361,8 @@ def make_zcarry_hydro_packed_io(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=p_shape,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
@@ -321,6 +373,9 @@ def make_zcarry_hydro_packed_io(
     def step_packed(P, dt):
         dt_arr = jnp.reshape(dt, (1, 1)).astype(P.dtype)
         P, dt_arr = jax.lax.optimization_barrier((P, dt_arr))
+        if with_inv_dt:
+            P_new, inv = jax.lax.optimization_barrier(fused(dt_arr, P))
+            return P_new, inv[0, 0]
         return jax.lax.optimization_barrier(fused(dt_arr, P))
 
     return step_packed

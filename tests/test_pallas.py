@@ -367,6 +367,20 @@ def test_zcarry_hydro_step_matches_packed(dims):
     np.testing.assert_allclose(
         np.asarray(zc(P, dt)), np.asarray(ref(P, dt)), rtol=0, atol=5e-8
     )
+    # in-kernel CFL: bit-identical to the pointwise pass on the output
+    from ramsesgpu_tpu.pallas.packed_io import YB
+    from ramsesgpu_tpu.solvers.timestep import compute_inv_dt_hydro
+
+    zc2 = make_zcarry_hydro_packed_io(params, tiles=(8, 8), interpret=True,
+                                      with_inv_dt=True)
+    Pz, inv = zc2(P, dt)
+    want = compute_inv_dt_hydro(
+        params, Pz[:, g : g + nz, YB : YB + ny, :], ghost=0
+    )
+    # the reduction tree is exact (max), but the per-cell expression is
+    # RECOMPUTED in a different fusion context -> up to 1 ULP of FMA
+    # contraction difference
+    np.testing.assert_allclose(float(inv), float(want), rtol=1e-6)
 
 
 def test_zcarry_hydro_advance_n_matches_packed():

@@ -133,7 +133,8 @@ def _parity(n, with_inv_dt=False, prefetch=False, compensated=False,
         inv = float(out[1])
         rec["inv_dt"] = inv
         rec["inv_dt_ref"] = inv_ref
-        rec["ok"] = rec["ok"] and inv == inv_ref
+        # different fusion context -> allow FMA-contraction ULPs
+        rec["ok"] = rec["ok"] and abs(inv - inv_ref) <= 1e-5 * abs(inv_ref)
     if time_it:
         def zc_state(P_, dt_):
             o = zc(P_, dt_)
@@ -281,7 +282,7 @@ def stage_shear_small():
         ))
         inv = float(cfl(P, kept))
         rec["inv_dt"], rec["inv_dt_ref"] = inv, inv_ref
-        rec["ok"] = rec["ok"] and inv == inv_ref
+        rec["ok"] = rec["ok"] and abs(inv - inv_ref) <= 1e-5 * abs(inv_ref)
     return rec
 
 

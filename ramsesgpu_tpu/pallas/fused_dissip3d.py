@@ -91,7 +91,7 @@ def make_fused_mhd_dissipation(
         zi = pl.program_id(0)
         yi = pl.program_id(1)
         i = zi * nyb + yi
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, jnp.int32(2))
 
         def in_dma(z, y, s):
             return pltpu.make_async_copy(

@@ -70,7 +70,7 @@ def make_packed_cfl_mhd(params: RunParams, interpret: bool = False):
 
     def kernel(p_hbm, out_ref, win, sem):
         zi = pl.program_id(0)
-        slot = jax.lax.rem(zi, 2)
+        slot = jax.lax.rem(zi, jnp.int32(2))
 
         def in_dma(z, s):
             return pltpu.make_async_copy(
@@ -171,7 +171,7 @@ def make_packed_io_step(
         yi = pl.program_id(1)
         i = zi * nyb + yi          # linear grid step
         n_iter = nzb * nyb
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, jnp.int32(2))
 
         def in_dma(z, y, s):
             # window: z rows [z*bz, +wz) of the packed layout (interior tile
@@ -239,8 +239,8 @@ def make_packed_io_step(
         @pl.when(i >= 2)
         def _():
             ip = i - 2
-            zp = jax.lax.div(ip, nyb)
-            yp = jax.lax.rem(ip, nyb)
+            zp = jax.lax.div(ip, jnp.int32(nyb))
+            yp = jax.lax.rem(ip, jnp.int32(nyb))
             for cond, copy in out_dmas(zp, yp, slot):
                 if cond is True:
                     copy.wait()
@@ -270,8 +270,8 @@ def make_packed_io_step(
         @pl.when(jnp.logical_and(i == n_iter - 1, n_iter > 1))
         def _():
             ip = i - 1
-            zp = jax.lax.div(ip, nyb)
-            yp = jax.lax.rem(ip, nyb)
+            zp = jax.lax.div(ip, jnp.int32(nyb))
+            yp = jax.lax.rem(ip, jnp.int32(nyb))
             for cond, copy in out_dmas(zp, yp, 1 - slot):
                 if cond is True:
                     copy.wait()

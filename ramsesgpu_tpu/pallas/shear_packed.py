@@ -687,7 +687,7 @@ def make_shear_cfl_kernel(params: RunParams, interpret: bool = False):
 
     def kernel(p_hbm, k_hbm, out_ref, win, kwin, sem, ksem):
         zi = pl.program_id(0)
-        slot = jax.lax.rem(zi, 2)
+        slot = jax.lax.rem(zi, jnp.int32(2))
 
         def in_dma(z, s):
             return pltpu.make_async_copy(

@@ -260,7 +260,7 @@ def make_zcarry_hydro_packed_io(
         # ---- output DMAs (same spec + deferred-drain bookkeeping as the
         # MHD zcarry kernel) ----
         j = yi * nzb + (zi - 1)
-        slot = jax.lax.rem(j, 2)
+        slot = jax.lax.rem(j, jnp.int32(2))
 
         def out_dmas(z, y, s):
             zmain = pl.ds(g + z * bz, bz)
@@ -302,8 +302,8 @@ def make_zcarry_hydro_packed_io(
                     pl.when(cond)(lambda c=copy: op(c))
 
         jp2 = j - 2
-        zp2 = jax.lax.rem(jp2, nzb)
-        yp2 = jax.lax.div(jp2, nzb)
+        zp2 = jax.lax.rem(jp2, jnp.int32(nzb))
+        yp2 = jax.lax.div(jp2, jnp.int32(nzb))
 
         @pl.when(jnp.logical_and(zi > 0, jp2 >= 0))
         def _():
@@ -316,8 +316,8 @@ def make_zcarry_hydro_packed_io(
 
         last_j = nyb * nzb - 1
         jp1 = j - 1
-        zp1 = jax.lax.rem(jp1, nzb)
-        yp1 = jax.lax.div(jp1, nzb)
+        zp1 = jax.lax.rem(jp1, jnp.int32(nzb))
+        yp1 = jax.lax.div(jp1, jnp.int32(nzb))
 
         @pl.when(jnp.logical_and(zi > 0, j == last_j))
         def _():

@@ -284,8 +284,8 @@ def make_zcarry_mhd_packed_io(
 
             def land_dma(jn, slot_n):
                 # real tile jn = (yn, zn): fresh packed planes
-                yn = jax.lax.div(jn, nzb)
-                zn0 = jax.lax.rem(jn, nzb) * bz
+                yn = jax.lax.div(jn, jnp.int32(nzb))
+                zn0 = jax.lax.rem(jn, jnp.int32(nzb)) * bz
                 return pltpu.make_async_copy(
                     p_hbm.at[pl.ds(0, nv), pl.ds(g + zn0 + 3, bz),
                              pl.ds(yn * by, wy), :],
@@ -299,7 +299,7 @@ def make_zcarry_mhd_packed_io(
 
             @pl.when(zi > 0)
             def _():
-                sl = jax.lax.rem(j_pre, 2)
+                sl = jax.lax.rem(j_pre, jnp.int32(2))
                 land_dma(j_pre, sl).wait()
                 u_b[:, 4 : 4 + bz] = land[sl]
 
@@ -461,11 +461,11 @@ def make_zcarry_mhd_packed_io(
                 def _():
                     firstrow[:, pl.ds(z0, bz)] = blk[:, :, 0, :]
 
-                @pl.when(jax.lax.rem(yi, 2) == 0)
+                @pl.when(jax.lax.rem(yi, jnp.int32(2)) == 0)
                 def _():
                     rows0[:, pl.ds(z0, bz)] = blk[:, :, by - 1, :]
 
-                @pl.when(jax.lax.rem(yi, 2) == 1)
+                @pl.when(jax.lax.rem(yi, jnp.int32(2)) == 1)
                 def _():
                     rows1[:, pl.ds(z0, bz)] = blk[:, :, by - 1, :]
 
@@ -492,7 +492,7 @@ def make_zcarry_mhd_packed_io(
                 # B: previous column's stashed last row, planes [z0, z1)
                 @pl.when(yi > 0)
                 def _():
-                    even = jax.lax.rem(yi, 2) == 1  # prev column parity 0
+                    even = jax.lax.rem(yi, jnp.int32(2)) == 1  # prev column parity 0
                     stp = jnp.where(even, rows0[:, pl.ds(z0, bz)],
                                     rows1[:, pl.ds(z0, bz)])
                     bz_in = jnp.where(
@@ -540,7 +540,7 @@ def make_zcarry_mhd_packed_io(
         # Slots and deferred drains index REAL tiles (warmups issue no
         # DMAs and must not advance the slot/drain bookkeeping).
         j = yi * nzb + (zi - 1)        # real-tile linear index (zi >= 1)
-        slot = jax.lax.rem(j, 2)
+        slot = jax.lax.rem(j, jnp.int32(2))
 
         def out_dmas(z, y, s):
             zmain = pl.ds(g + z * bz, bz)
@@ -584,8 +584,8 @@ def make_zcarry_mhd_packed_io(
         # drain the DMAs issued two REAL tiles ago on this slot, then
         # stage + start this tile's
         jp2 = j - 2
-        zp2 = jax.lax.rem(jp2, nzb)
-        yp2 = jax.lax.div(jp2, nzb)
+        zp2 = jax.lax.rem(jp2, jnp.int32(nzb))
+        yp2 = jax.lax.div(jp2, jnp.int32(nzb))
 
         @pl.when(jnp.logical_and(zi > 0, jp2 >= 0))
         def _():
@@ -600,8 +600,8 @@ def make_zcarry_mhd_packed_io(
         # real tile's (other slot)
         last_j = nyb * nzb - 1
         jp1 = j - 1
-        zp1 = jax.lax.rem(jp1, nzb)
-        yp1 = jax.lax.div(jp1, nzb)
+        zp1 = jax.lax.rem(jp1, jnp.int32(nzb))
+        yp1 = jax.lax.div(jp1, jnp.int32(nzb))
 
         @pl.when(jnp.logical_and(zi > 0, j == last_j))
         def _():

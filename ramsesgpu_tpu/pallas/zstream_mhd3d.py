@@ -168,7 +168,7 @@ def make_zstream_mhd_packed_io(
         # z-major mirror-padded ring (..., depth+mirror, wy, nx):
         # windowed consumers read contiguous dynamic slices
         rows = _record(name, field)
-        s = jax.lax.rem(plane, depth)
+        s = jax.lax.rem(plane, jnp.int32(depth))
         ref[..., pl.ds(s, 1), 0:rows, :] = field.value
 
         @pl.when(s < mirror)
@@ -177,7 +177,7 @@ def make_zstream_mhd_packed_io(
 
     def getz(ref, name, plane, n, depth, oz):
         oy, rows = meta[name]
-        s = jax.lax.rem(plane, depth)
+        s = jax.lax.rem(plane, jnp.int32(depth))
         return BoxField(ref[..., pl.ds(s, n), 0:rows, :], oz, oy)
 
     def zslice(field, z):
@@ -201,7 +201,7 @@ def make_zstream_mhd_packed_io(
         dt = dt_ref[0, 0]
 
         def in_dma(plane, sem_slot):
-            s = jax.lax.rem(plane, UD)
+            s = jax.lax.rem(plane, jnp.int32(UD))
             return pltpu.make_async_copy(
                 p_hbm.at[:, pl.ds(plane, 1), :, :],
                 u_ring.at[:, pl.ds(s, 1), :, :],
@@ -209,7 +209,7 @@ def make_zstream_mhd_packed_io(
             )
 
         def mir_dma(plane, sem_slot):
-            s = jax.lax.rem(plane, UD)
+            s = jax.lax.rem(plane, jnp.int32(UD))
             return pltpu.make_async_copy(
                 p_hbm.at[:, pl.ds(plane, 1), :, :],
                 u_ring.at[:, pl.ds(s + UD, 1), :, :],
@@ -219,25 +219,25 @@ def make_zstream_mhd_packed_io(
         def start_in(plane, sem_slot):
             in_dma(plane, sem_slot).start()
 
-            @pl.when(jax.lax.rem(plane, UD) < 2)
+            @pl.when(jax.lax.rem(plane, jnp.int32(UD)) < 2)
             def _():
                 mir_dma(plane, sem_slot).start()
 
         def wait_in(plane, sem_slot):
             in_dma(plane, sem_slot).wait()
 
-            @pl.when(jax.lax.rem(plane, UD) < 2)
+            @pl.when(jax.lax.rem(plane, jnp.int32(UD)) < 2)
             def _():
                 mir_dma(plane, sem_slot).wait()
 
         def u_slab(lo, n, oz):
             # planes lo..lo+n-1 from the U ring as one contiguous slice
-            s = jax.lax.rem(lo, UD)
+            s = jax.lax.rem(lo, jnp.int32(UD))
             return BoxField(u_ring[:, pl.ds(s, n), :, :], oz, 0)
 
         def q_slab(lo, n, oz):
             oy, rows = meta["q"]
-            s = jax.lax.rem(lo, QD)
+            s = jax.lax.rem(lo, jnp.int32(QD))
             return BoxField(q_ring[:, pl.ds(s, n), 0:rows, :], oz, oy)
 
         def plane_body(i):
@@ -249,11 +249,11 @@ def make_zstream_mhd_packed_io(
 
             @pl.when(i + pb <= last_load)
             def _():
-                start_in(i + pb, jax.lax.rem(i + pb, NSEM))
+                start_in(i + pb, jax.lax.rem(i + pb, jnp.int32(NSEM)))
 
             @pl.when(i <= last_load)
             def _():
-                wait_in(i, jax.lax.rem(i, NSEM))
+                wait_in(i, jax.lax.rem(i, jnp.int32(NSEM)))
 
             # ---- Q at plane i-1 (constoprim needs U at z and z+1) ----
             @pl.when(jnp.logical_and(i >= 1, i <= last_load))
@@ -270,7 +270,7 @@ def make_zstream_mhd_packed_io(
                 ExC, EyC, s_bz_x, s_bz_y = trace_mhd3d_shared_precursors(
                     params, Q2, bf[IA], bf[IB], bf[IC], None, xp=BOX
                 )
-                s2 = jax.lax.rem(i - 2, 2)
+                s2 = jax.lax.rem(i - 2, jnp.int32(2))
                 put(exc_ring, "exc", s2, ExC)
                 put(eyc_ring, "eyc", s2, EyC)
                 put(sbzx_ring, "sbzx", s2, zslice(s_bz_x, 1))
@@ -286,14 +286,14 @@ def make_zstream_mhd_packed_io(
                 local = trace_mhd3d_local_precursors(
                     params, Q3, bf3[IA], bf3[IB], xp=BOX
                 )
-                sz = jax.lax.rem(zt, 2)
+                sz = jax.lax.rem(zt, jnp.int32(2))
                 shared = (
                     get(exc_ring, "exc", sz, 1),
                     get(eyc_ring, "eyc", sz, 1),
                     get(sbzx_ring, "sbzx", sz, 1),
                     get(sbzy_ring, "sbzy", sz, 1),
                 )
-                sz1 = jax.lax.rem(zt + 1, 2)
+                sz1 = jax.lax.rem(zt + 1, jnp.int32(2))
                 # z+1 planes enter *declared at the consuming plane's box*
                 # (the whole-array path shifts them down with shift_p(_Z))
                 shared_p = (
@@ -303,7 +303,7 @@ def make_zstream_mhd_packed_io(
                     get(sbzy_ring, "sbzy", sz1, 1),
                 )
                 bfz_p = BoxField(
-                    u_ring[IC, pl.ds(jax.lax.rem(zt + 1, UD), 1), :, :], 1, 0
+                    u_ring[IC, pl.ds(jax.lax.rem(zt + 1, jnp.int32(UD)), 1), :, :], 1, 0
                 )
                 # the state assembly is purely in-plane: hand it 1-plane
                 # slices (3-plane slabs would triple-compute in-plane ops)
@@ -321,7 +321,7 @@ def make_zstream_mhd_packed_io(
 
                 @pl.when(i >= g + 3)
                 def _():
-                    szm = jax.lax.rem(zt - 1, 2)
+                    szm = jax.lax.rem(zt - 1, jnp.int32(2))
                     P2 = dict(P)
                     P2["qm_z"] = lambda: get(qmz_ring, "qmz", szm, 0)
                     P2["qRT_y"] = lambda: get(qrty_ring, "qrty", szm, 0)
@@ -341,7 +341,7 @@ def make_zstream_mhd_packed_io(
                     @pl.when(i >= g + 4)
                     def _():
                         p = i - 4
-                        sp = jax.lax.rem(p, 2)
+                        sp = jax.lax.rem(p, jnp.int32(2))
                         fluxes = (
                             get(fx_ring, "fx", sp, 0),
                             get(fy_ring, "fy", sp, 0),
@@ -357,7 +357,7 @@ def make_zstream_mhd_packed_io(
                             plane_params, Up, fluxes, emfs, dt,
                             margin=(0, YB, 0), xp=BOX,
                         )
-                        so = jax.lax.rem(p, 2)
+                        so = jax.lax.rem(p, jnp.int32(2))
 
                         def out_dmas(pp, slot):
                             dups = [
@@ -409,7 +409,7 @@ def make_zstream_mhd_packed_io(
                         )
                         def _():
                             run(
-                                out_dmas(p - 1, jax.lax.rem(p - 1, 2)),
+                                out_dmas(p - 1, jax.lax.rem(p - 1, jnp.int32(2))),
                                 lambda c: c.wait(),
                             )
 
@@ -424,11 +424,11 @@ def make_zstream_mhd_packed_io(
                 def _():
                     acc[0, 0] = jnp.zeros((), dtype)
 
-                cur = stage[jax.lax.rem(pd, 2)]
+                cur = stage[jax.lax.rem(pd, jnp.int32(2))]
                 icslab = jnp.where(
                     pd == g + nz - 1,
                     first_upd[IC],
-                    stage[jax.lax.rem(pd + 1, 2), IC],
+                    stage[jax.lax.rem(pd + 1, jnp.int32(2)), IC],
                 )
                 yi = slice(YB, YB + ny)
                 rho = jnp.maximum(cur[ID, :, yi, :], params.smallr)

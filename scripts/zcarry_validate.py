@@ -524,12 +524,18 @@ def main() -> int:
         from ramsesgpu_tpu.utils.platform import honor_platform_env
 
         honor_platform_env()  # JAX_PLATFORMS=cpu smoke runs work
-        import jax
+        if args.stage != "probe":
+            # jax.default_backend() INITIALIZES the backend — the probe
+            # stage must not hold a tunnel client while its inner
+            # liveness subprocess inits its own (the tunnel serializes
+            # clients; holding one here deadlocks the probe into a
+            # false "wedged" verdict).
+            import jax
 
-        if jax.default_backend() != "tpu":
-            import ramsesgpu_tpu.pallas as _pk
+            if jax.default_backend() != "tpu":
+                import ramsesgpu_tpu.pallas as _pk
 
-            _pk.INTERPRET = True  # CPU smoke: interpret-mode kernels
+                _pk.INTERPRET = True  # CPU smoke: interpret-mode kernels
         fn = dict((n, f) for n, f, _ in STAGES)[args.stage]
         rec = fn()
         print(json.dumps({"stage": args.stage, **rec}))

@@ -35,9 +35,9 @@ OT_INI = """
 [run]
 tend=100.0
 [mesh]
-nx={n}
-ny={n}
-nz={n}
+nx={nx}
+ny={ny}
+nz={nz}
 boundary_xmin=3
 boundary_xmax=3
 boundary_ymin=3
@@ -58,7 +58,7 @@ magRiemannSolver=hlld
 """
 
 
-def _setup_periodic(n, compensated=False):
+def _setup_periodic(shape, compensated=False):
     import jax.numpy as jnp
 
     from ramsesgpu_tpu.config.configmap import ConfigMap
@@ -67,7 +67,8 @@ def _setup_periodic(n, compensated=False):
     from ramsesgpu_tpu.problems import init_problem
     from ramsesgpu_tpu.solvers.boundary import make_boundaries
 
-    config = ConfigMap(text=OT_INI.format(n=n))
+    nx, ny, nz = (shape, shape, shape) if isinstance(shape, int) else shape
+    config = ConfigMap(text=OT_INI.format(nx=nx, ny=ny, nz=nz))
     params = params_from_config(config).replace(compensated=compensated)
     U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
     g = params.ghost_width
@@ -108,9 +109,20 @@ def _parity(n, with_inv_dt=False, prefetch=False, compensated=False,
     import numpy as np
 
     from ramsesgpu_tpu.pallas.fused_mhd3d import make_fused_mhd_packed_io
-    from ramsesgpu_tpu.pallas.zcarry_mhd3d import make_zcarry_mhd_packed_io
+    from ramsesgpu_tpu.pallas.zcarry_mhd3d import (
+        make_zcarry_mhd_packed_io,
+        zcarry_supported,
+    )
 
     params, P = _setup_periodic(n, compensated=compensated)
+    # zcarry's manual HBM DMAs need lane-aligned x slices (Mosaic rejects
+    # sub-128 lane slices of a padded tile, seen at 64^3 on hardware) —
+    # the support gate (nx % 128 == 0) is authoritative; never probe
+    # below it.
+    assert zcarry_supported(params), (
+        f"grid {n} outside zcarry support envelope (need nx%128==0, "
+        "tile-divisible ny/nz)"
+    )
     dt = jnp.asarray(1e-3, P.dtype)
     ref = jax.jit(make_fused_mhd_packed_io(params))
     zc = jax.jit(make_zcarry_mhd_packed_io(
@@ -158,8 +170,9 @@ def stage_probe():
     return {"ok": alive, "detail": detail}
 
 
-def stage_zc64():
-    return _parity(64)
+def stage_zc_min():
+    """Smallest SUPPORTED grid (nx must be a lane multiple of 128)."""
+    return _parity((128, 32, 32))
 
 
 def stage_zc128():
@@ -351,9 +364,9 @@ def stage_hydro_zcarry():
 
     ini = """
 [mesh]
-nx={n}
-ny={n}
-nz={n}
+nx={nx}
+ny={ny}
+nz={nz}
 boundary_xmin=3
 boundary_xmax=3
 boundary_ymin=3
@@ -366,10 +379,15 @@ riemannSolver=hllc
 [blast]
 radius=0.2
 """
+    from ramsesgpu_tpu.pallas.zcarry_hydro3d import zcarry_hydro_supported
+
     rec = {}
-    for n, time_it in ((64, False), (256, True)):
-        config = ConfigMap(text=ini.format(n=n))
+    for (nx, ny, nz), time_it in (((128, 32, 32), False),
+                                  ((256, 256, 256), True)):
+        n = nx  # label + cells/s below use the cube size when cubic
+        config = ConfigMap(text=ini.format(nx=nx, ny=ny, nz=nz))
         params = params_from_config(config)
+        assert zcarry_hydro_supported(params), (nx, ny, nz)
         U = make_boundaries(params,
                             jnp.asarray(init_problem(params, config)))
         g = params.ghost_width
@@ -481,7 +499,7 @@ def stage_shear_flagship_fused():
 
 STAGES = [
     ("probe", stage_probe, 300),
-    ("zc64", stage_zc64, 900),
+    ("zc_min", stage_zc_min, 900),
     ("zc128", stage_zc128, 900),
     ("zc256", stage_zc256, 1500),
     ("zc_invdt", stage_zc_invdt, 1500),

@@ -495,18 +495,31 @@ def make_zcarry_mhd_packed_io(
                     even = jax.lax.rem(yi, jnp.int32(2)) == 1  # prev column parity 0
                     stp = jnp.where(even, rows0[:, pl.ds(z0, bz)],
                                     rows1[:, pl.ds(z0, bz)])
-                    bz_in = jnp.where(
-                        even, rows0[_IC, pl.ds(z0 + 1, bz - 1)],
-                        rows1[_IC, pl.ds(z0 + 1, bz - 1)],
-                    )
-                    zlast = jnp.where(zi == nzb, 0, z0 + bz)
-                    bz_last = jnp.where(even, rows0[_IC, pl.ds(zlast, 1)],
-                                        rows1[_IC, pl.ds(zlast, 1)])
+                    # Mosaic requires vmem loads to start at a provable
+                    # multiple of the 8-sublane tile: slice the already
+                    # aligned ``stp`` load instead of re-loading at z0+1,
+                    # and split the z0+bz / wrap-to-0 single-plane read
+                    # into two branches with affine (zi*bz, 0) indices —
+                    # a jnp.where-selected index is opaque to the prover.
                     by_p = blk[_IB, :, 0, :]
                     bump(inv_of(stp[:, 0 : bz - 1], by_p[0 : bz - 1],
-                                bz_in))
-                    bump(inv_of(stp[:, bz - 1 :], by_p[bz - 1 :],
-                                bz_last))
+                                stp[_IC, 1:]))
+
+                    @pl.when(zi < nzb)
+                    def _():
+                        nxt = jnp.where(
+                            even, rows0[_IC, pl.ds(z0 + bz, 1)],
+                            rows1[_IC, pl.ds(z0 + bz, 1)],
+                        )
+                        bump(inv_of(stp[:, bz - 1 :], by_p[bz - 1 :],
+                                    nxt))
+
+                    @pl.when(zi == nzb)
+                    def _():
+                        nxt = jnp.where(even, rows0[_IC, pl.ds(0, 1)],
+                                        rows1[_IC, pl.ds(0, 1)])
+                        bump(inv_of(stp[:, bz - 1 :], by_p[bz - 1 :],
+                                    nxt))
 
                 # C: the LAST column's own last row (y wrap to column 0's
                 # first row; for a single column, to its own)
@@ -519,8 +532,11 @@ def make_zcarry_mhd_packed_io(
 
                     @pl.when(zi >= 2)
                     def _():
+                        # aligned tile load at (zi-2)*bz, value-slice the
+                        # last plane (z0-1 itself is sublane-unaligned)
+                        fr_m = firstrow[_IB, pl.ds(z0 - bz, bz)]
                         bump(inv_of(prevpl[:, by - 1],
-                                    firstrow[_IB, pl.ds(z0 - 1, 1)][0],
+                                    fr_m[bz - 1],
                                     blk[_IC, 0, by - 1]))
 
                     @pl.when(zi == nzb)

@@ -76,6 +76,9 @@ def zcarry_supported(params: RunParams) -> bool:
         and bz >= params.ghost_width
         and params.nz % bz == 0
         and params.ny % by == 0
+        # non-dissipative advance folds the CFL in-kernel (with_inv_dt),
+        # which needs sublane-aligned stash tiles
+        and (params.nu > 0 or params.eta > 0 or bz % 8 == 0)
     )
 
 
@@ -162,6 +165,15 @@ def make_zcarry_mhd_packed_io(
     bz, by = tiles or _pick_tiles(params)
     if nz % bz or ny % by or by < YB or bz < g:
         raise ValueError(f"tiles {(bz, by)} unsupported for {(nz, ny)}")
+    if with_inv_dt and bz % 8:
+        # the CFL stash slices index the (nv, nz, nx) scratch at z0 = k*bz
+        # offsets declared 8-aligned via pl.multiple_of — only sound when
+        # bz is a sublane-tile multiple (fail fast instead of a Mosaic
+        # compile error on the fallback tiles bz in {4, 2, 1})
+        raise ValueError(
+            f"with_inv_dt needs bz % 8 == 0 (sublane-aligned CFL stash "
+            f"slices); got bz={bz}"
+        )
     wy = by + 2 * YB
     rows_c = by + 2 * g                # clipped compute row width
     nzb, nyb = nz // bz, ny // by
@@ -456,18 +468,25 @@ def make_zcarry_mhd_packed_io(
             def _():
                 blk = upd[0:nv] if comp else upd
                 ys = slice(0, by - 1)
+                # every stash slice sits at a multiple of bz (and bz % 8
+                # == 0, enforced above) but Mosaic's affine prover cannot
+                # see through (zi - 1) * bz — declare the alignment with
+                # pl.multiple_of (hardware ladder zc_invdt failed twice on
+                # "cannot statically prove that index in dimension 1 is a
+                # multiple of 8" without it)
+                z0a = pl.multiple_of(z0, 8)
                 # stashes first (the same tile's C pieces read firstrow)
                 @pl.when(yi == 0)
                 def _():
-                    firstrow[:, pl.ds(z0, bz)] = blk[:, :, 0, :]
+                    firstrow[:, pl.ds(z0a, bz)] = blk[:, :, 0, :]
 
                 @pl.when(jax.lax.rem(yi, jnp.int32(2)) == 0)
                 def _():
-                    rows0[:, pl.ds(z0, bz)] = blk[:, :, by - 1, :]
+                    rows0[:, pl.ds(z0a, bz)] = blk[:, :, by - 1, :]
 
                 @pl.when(jax.lax.rem(yi, jnp.int32(2)) == 1)
                 def _():
-                    rows1[:, pl.ds(z0, bz)] = blk[:, :, by - 1, :]
+                    rows1[:, pl.ds(z0a, bz)] = blk[:, :, by - 1, :]
 
                 @pl.when(zi == 1)
                 def _():
@@ -493,23 +512,24 @@ def make_zcarry_mhd_packed_io(
                 @pl.when(yi > 0)
                 def _():
                     even = jax.lax.rem(yi, jnp.int32(2)) == 1  # prev column parity 0
-                    stp = jnp.where(even, rows0[:, pl.ds(z0, bz)],
-                                    rows1[:, pl.ds(z0, bz)])
-                    # Mosaic requires vmem loads to start at a provable
-                    # multiple of the 8-sublane tile: slice the already
-                    # aligned ``stp`` load instead of re-loading at z0+1,
-                    # and split the z0+bz / wrap-to-0 single-plane read
-                    # into two branches with affine (zi*bz, 0) indices —
-                    # a jnp.where-selected index is opaque to the prover.
+                    stp = jnp.where(even, rows0[:, pl.ds(z0a, bz)],
+                                    rows1[:, pl.ds(z0a, bz)])
+                    # whole-tile loads at pl.multiple_of-declared offsets,
+                    # value-sliced afterwards: slice the already aligned
+                    # ``stp`` load instead of re-loading at z0+1, and split
+                    # the z0+bz / wrap-to-0 single-plane read into two
+                    # branches (a jnp.where-selected index is opaque to
+                    # the prover).
                     by_p = blk[_IB, :, 0, :]
                     bump(inv_of(stp[:, 0 : bz - 1], by_p[0 : bz - 1],
                                 stp[_IC, 1:]))
 
                     @pl.when(zi < nzb)
                     def _():
+                        znxt = pl.multiple_of(z0 + bz, 8)
                         nxt = jnp.where(
-                            even, rows0[_IC, pl.ds(z0 + bz, 1)],
-                            rows1[_IC, pl.ds(z0 + bz, 1)],
+                            even, rows0[_IC, pl.ds(znxt, 1)],
+                            rows1[_IC, pl.ds(znxt, 1)],
                         )
                         bump(inv_of(stp[:, bz - 1 :], by_p[bz - 1 :],
                                     nxt))
@@ -525,7 +545,7 @@ def make_zcarry_mhd_packed_io(
                 # first row; for a single column, to its own)
                 @pl.when(yi == nyb - 1)
                 def _():
-                    fr_b = firstrow[_IB, pl.ds(z0, bz)]
+                    fr_b = firstrow[_IB, pl.ds(z0a, bz)]
                     bump(inv_of(blk[:, 0 : bz - 1, by - 1],
                                 fr_b[0 : bz - 1],
                                 blk[_IC, 1:bz, by - 1]))
@@ -534,7 +554,9 @@ def make_zcarry_mhd_packed_io(
                     def _():
                         # aligned tile load at (zi-2)*bz, value-slice the
                         # last plane (z0-1 itself is sublane-unaligned)
-                        fr_m = firstrow[_IB, pl.ds(z0 - bz, bz)]
+                        fr_m = firstrow[
+                            _IB, pl.ds(pl.multiple_of(z0 - bz, 8), bz)
+                        ]
                         bump(inv_of(prevpl[:, by - 1],
                                     fr_m[bz - 1],
                                     blk[_IC, 0, by - 1]))

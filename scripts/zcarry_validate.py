@@ -21,10 +21,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import subprocess
 import sys
 import time
 from pathlib import Path
+
+_ANSI = re.compile(r"\x1b\[[0-9;]*m")
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
@@ -521,8 +524,10 @@ def _record(name, rec):
             hist = json.loads(OUT.read_text())
         except Exception:
             hist = []
+    if isinstance(rec.get("error"), str):
+        rec["error"] = _ANSI.sub("", rec["error"])
     hist.append({"stage": name, "ts": time.time(), **rec})
-    OUT.write_text(json.dumps(hist, indent=1))
+    OUT.write_text(json.dumps(hist, indent=1) + "\n")
 
 
 def main() -> int:

@@ -86,8 +86,15 @@ def load_restart(params: RunParams, config: ConfigMap):
     if path.suffix == ".nc":
         from .netcdf import input_netcdf as _reader
     elif path.name.endswith(".pieces.json"):
-        # multi-host piece-set snapshot (io/sharded.py manifest)
-        from .sharded import input_hdf5_pieces as _reader
+        # multi-host piece-set snapshot (io/sharded.py manifest); the
+        # manifest's format field picks the piece reader (HDF5 vs NetCDF)
+        import json as _json
+
+        fmt = _json.loads(path.read_text()).get("format", "")
+        if fmt == "ramsesgpu_tpu-netcdf-pieces":
+            from .sharded import input_netcdf_pieces as _reader
+        else:
+            from .sharded import input_hdf5_pieces as _reader
     else:
         _reader = input_hdf5
 

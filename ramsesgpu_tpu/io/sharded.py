@@ -346,6 +346,252 @@ def input_hdf5_pieces(
     return U, float(meta["total time"]), int(meta["time step"])
 
 # --------------------------------------------------------------------- #
+# NetCDF: the successor of the reference's collective PNetCDF output and
+# restart (HydroRunBaseMpi.cpp:6046-6503 output, :7505-7862 restart) — its
+# production format for the largest runs.  Same two-regime design as HDF5:
+# single-process streams shard hyperslabs into ONE global .nc file;
+# multi-process writes per-process piece files + a rank-0 JSON manifest
+# that doubles as the restart input.
+
+
+def output_netcdf_sharded(
+    params: RunParams,
+    U_sharded,
+    n_step: int,
+    total_time: float = 0.0,
+    output_dir: str = ".",
+    prefix: str = "output",
+) -> Path:
+    """NetCDF snapshot of a sharded state without gathering the volume.
+
+    Single-process: one global-shape ``.nc`` written shard-by-shard
+    (netCDF4 hyperslab writes when available; the scipy NetCDF-3 fallback
+    stages one variable at a time — 1/nvar of the state, never the whole).
+    Multi-process: per-process piece files + manifest
+    (``_output_netcdf_pieces``)."""
+    import jax
+
+    from .hdf5 import dataset_names
+
+    if jax.process_count() > 1:
+        return _output_netcdf_pieces(
+            params, U_sharded, n_step, total_time=total_time,
+            output_dir=output_dir, prefix=prefix,
+        )
+
+    from .netcdf import _have_netcdf4
+
+    os.makedirs(output_dir, exist_ok=True)
+    path = Path(output_dir) / f"{prefix}_{n_step:07d}.nc"
+    shape = (params.nz, params.ny, params.nx)[-params.dim:]
+    dims = ("z", "y", "x")[-params.dim:]
+    dtype = np.float64 if params.dtype == "float64" else np.float32
+    names = dataset_names(params)
+
+    if _have_netcdf4():
+        import netCDF4
+
+        ds = netCDF4.Dataset(path, "w")
+        try:
+            for name, size in zip(dims, shape):
+                ds.createDimension(name, size)
+            variables = [ds.createVariable(n, dtype, dims) for n in names]
+            for index, data in iter_shards(U_sharded):
+                spatial = tuple(index[1:])
+                for i, var in enumerate(variables):
+                    var[spatial] = data[i]
+            ds.setncattr("time step", np.int32(n_step))
+            ds.setncattr("total time", float(total_time))
+            ds.setncattr("ghost included", np.int32(0))
+        finally:
+            ds.close()
+        return path
+
+    # scipy NetCDF-3 fallback: classic format has no partial-write API
+    # worth trusting — stage one VARIABLE at a time (so peak host memory
+    # is state/nvar, preserving the don't-materialize-the-state contract
+    # up to that factor)
+    from scipy.io import netcdf_file
+
+    shards = list(iter_shards(U_sharded))
+    ds = netcdf_file(str(path), "w", version=2)
+    try:
+        for name, size in zip(dims, shape):
+            ds.createDimension(name, size)
+        for i, name in enumerate(names):
+            buf = np.zeros(shape, dtype)
+            for index, data in shards:
+                buf[tuple(index[1:])] = data[i]
+            var = ds.createVariable(name, dtype, dims)
+            var[...] = buf
+        setattr(ds, "time_step", np.int32(n_step))
+        setattr(ds, "total_time", np.float64(total_time))
+        setattr(ds, "ghost_included", np.int32(0))
+    finally:
+        ds.close()
+    return path
+
+
+def _output_netcdf_pieces(
+    params: RunParams,
+    U_sharded,
+    n_step: int,
+    total_time: float = 0.0,
+    output_dir: str = ".",
+    prefix: str = "output",
+) -> Path:
+    """Each process writes its shards into ``<prefix>_<step>_r<pid>.nc``
+    (piece-prefixed variables — classic NetCDF has no groups), process 0
+    writes ``<prefix>_<step>.nc.pieces.json`` describing the full set."""
+    import json
+
+    import jax
+
+    from .hdf5 import dataset_names
+    from .netcdf import _have_netcdf4
+
+    os.makedirs(output_dir, exist_ok=True)
+    my_process = jax.process_index()
+    local = _local_shard_data(U_sharded)
+    names = dataset_names(params)
+    dims_l = ("z", "y", "x")[-params.dim:]
+    dtype = np.float64 if params.dtype == "float64" else np.float32
+
+    table = global_piece_table(U_sharded)
+    my_path = (
+        Path(output_dir) / f"{prefix}_{n_step:07d}_r{my_process:04d}.nc"
+    )
+
+    def write_pieces(create_dim, create_var, set_attr):
+        set_attr("time_step", np.int32(n_step))
+        set_attr("total_time", np.float64(total_time))
+        for k, dev, index in table:
+            if dev.process_index != my_process:
+                continue
+            data = local[dev.id]
+            pfx = f"piece{k:04d}"
+            for name, size in zip(dims_l, data.shape[1:]):
+                create_dim(f"{pfx}_{name}", size)
+            for i, name in enumerate(names):
+                var = create_var(
+                    f"{pfx}_{name}", dtype,
+                    tuple(f"{pfx}_{d}" for d in dims_l),
+                )
+                var[...] = data[i]
+            set_attr(
+                f"{pfx}_offset",
+                np.asarray(
+                    [0 if s.start is None else int(s.start)
+                     for s in index[1:]],
+                    np.int32,
+                ),
+            )
+
+    if _have_netcdf4():
+        import netCDF4
+
+        ds = netCDF4.Dataset(my_path, "w")
+        try:
+            write_pieces(
+                ds.createDimension, ds.createVariable, ds.setncattr
+            )
+        finally:
+            ds.close()
+    else:
+        from scipy.io import netcdf_file
+
+        ds = netcdf_file(str(my_path), "w", version=2)
+        try:
+            write_pieces(
+                ds.createDimension, ds.createVariable,
+                lambda n, v: setattr(ds, n, v),
+            )
+        finally:
+            ds.close()
+
+    manifest = Path(output_dir) / f"{prefix}_{n_step:07d}.nc.pieces.json"
+    if my_process == 0:
+        entries = []
+        for k, dev, index in table:
+            entries.append({
+                "piece": f"piece{k:04d}",
+                "file": f"{prefix}_{n_step:07d}_r{dev.process_index:04d}.nc",
+                "offset": [
+                    0 if s.start is None else int(s.start)
+                    for s in index[1:]
+                ],
+                "shape": [
+                    (U_sharded.shape[1 + i] if s.stop is None
+                     else int(s.stop))
+                    - (0 if s.start is None else int(s.start))
+                    for i, s in enumerate(index[1:])
+                ],
+            })
+        manifest.write_text(json.dumps({
+            "format": "ramsesgpu_tpu-netcdf-pieces",
+            "nx": params.nx, "ny": params.ny, "nz": params.nz,
+            "time step": n_step, "total time": total_time,
+            "datasets": list(names),
+            "pieces": entries,
+        }, indent=1) + "\n")
+    return manifest
+
+
+def input_netcdf_pieces(
+    params: RunParams, manifest_path
+) -> tuple[np.ndarray, float, int]:
+    """Assemble a ghosted global state from a NetCDF piece set (restart
+    over the multi-process snapshot — the reference's inputPnetcdf role,
+    HydroRunBaseMpi.cpp:7505-7862)."""
+    import json
+
+    from .hdf5 import dataset_names
+    from .netcdf import _have_netcdf4
+
+    manifest_path = Path(manifest_path)
+    meta = json.loads(manifest_path.read_text())
+    if meta.get("format") != "ramsesgpu_tpu-netcdf-pieces":
+        raise ValueError(f"not a NetCDF pieces manifest: {manifest_path}")
+
+    g = params.ghost_width
+    dtype = np.float64 if params.dtype == "float64" else np.float32
+    U = np.zeros(params.shape, dtype=dtype)
+    names = dataset_names(params)
+    if list(meta["datasets"]) != list(names):
+        raise ValueError(
+            f"piece manifest datasets {meta['datasets']} do not match the "
+            f"run's variables {list(names)}"
+        )
+
+    by_file: dict = {}
+    for entry in meta["pieces"]:
+        by_file.setdefault(entry["file"], []).append(entry)
+    for fname, entries in by_file.items():
+        path = manifest_path.parent / fname
+        if _have_netcdf4():
+            import netCDF4
+
+            ds = netCDF4.Dataset(path, "r")
+            get = lambda n: np.asarray(ds.variables[n][...])  # noqa: E731
+        else:
+            from scipy.io import netcdf_file
+
+            ds = netcdf_file(str(path), "r", mmap=False)
+            get = lambda n: np.asarray(ds.variables[n].data)  # noqa: E731
+        try:
+            for entry in entries:
+                sl = tuple(
+                    slice(g + o, g + o + s)
+                    for o, s in zip(entry["offset"], entry["shape"])
+                )
+                for i, name in enumerate(names):
+                    U[(i, *sl)] = get(f"{entry['piece']}_{name}")
+        finally:
+            ds.close()
+    return U, float(meta["total time"]), int(meta["time step"])
+
+
+# --------------------------------------------------------------------- #
 # Streamed long-tail outputs: small slices extracted under SPMD with a
 # replicated result — the global volume is never gathered.
 

@@ -127,6 +127,16 @@ class DistributedRun(Run):
                     self.params, self.U, self.n_step, total_time=self.t,
                     output_dir=self.output_dir, prefix=self.output_prefix,
                 )
+            if self.output_netcdf:
+                # the reference's collective PNetCDF role
+                # (HydroRunBaseMpi.cpp:6046-6503): shard-streamed global
+                # file single-process, piece files + manifest multi-process
+                from ..io.sharded import output_netcdf_sharded
+
+                output_netcdf_sharded(
+                    self.params, self.U, self.n_step, total_time=self.t,
+                    output_dir=self.output_dir, prefix=self.output_prefix,
+                )
         # --- streamed long-tail outputs: PNG / face dumps / online SF all
         # run as SPMD slice-or-reduce programs over the mesh (io/sharded.py,
         # analysis/structure_functions.py) — the global volume is never
@@ -168,30 +178,36 @@ class DistributedRun(Run):
                     )
 
         rest = (
-            self.output_nrrd or self.output_xsm
-            or self.output_bin or self.output_netcdf
+            self.output_nrrd or self.output_xsm or self.output_bin
         )
         if rest:
             if self._multiprocess:
+                # matches the reference: its MPI run classes only offer
+                # VTK pieces / PHDF5 / PNetCDF (HydroRunBaseMpi.cpp) —
+                # NRRD/XSM/BIN are serial-only there too
                 if not getattr(self, "_warned_gather_formats", False):
                     self._warned_gather_formats = True
                     print(
-                        "multi-process run: NRRD/XSM/BIN/NetCDF outputs "
-                        "need the host-gather path and are skipped "
-                        "(use VTI pieces / HDF5 pieces)",
+                        "multi-process run: NRRD/XSM/BIN outputs need the "
+                        "host-gather path and are skipped (the reference's "
+                        "MPI writers are VTK/HDF5/NetCDF only; use VTI "
+                        "pieces / HDF5 pieces / NetCDF pieces)",
                         file=sys.stderr,
                     )
                 return
             saved = (self.output_vtk, self.output_hdf5, self.output_png,
-                     self.output_faces, self.sf_enabled, self._forced)
+                     self.output_netcdf, self.output_faces,
+                     self.sf_enabled, self._forced)
             self.output_vtk = self.output_hdf5 = self.output_png = False
+            self.output_netcdf = False  # already written sharded above
             self.output_faces = self.sf_enabled = False
             self._forced = False  # OU state already saved above
             try:
                 super().output()
             finally:
                 (self.output_vtk, self.output_hdf5, self.output_png,
-                 self.output_faces, self.sf_enabled, self._forced) = saved
+                 self.output_netcdf, self.output_faces,
+                 self.sf_enabled, self._forced) = saved
 
     def perf_summary(self, elapsed: float) -> str:
         """Aggregate + per-device throughput, the reference's MPI report

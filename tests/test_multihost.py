@@ -108,6 +108,7 @@ def test_two_process_cluster_matches_single_process(tmp_path):
 
     port = _free_port()
     procs = []
+    repo_root = str(Path(__file__).resolve().parent.parent)
     for pid in range(2):
         env = dict(os.environ)
         env.update(
@@ -116,6 +117,11 @@ def test_two_process_cluster_matches_single_process(tmp_path):
             RAMSES_COORDINATOR=f"localhost:{port}",
             RAMSES_NUM_PROCESSES="2",
             RAMSES_PROCESS_ID=str(pid),
+            # children must import ramsesgpu_tpu from a plain checkout
+            # (no `pip install -e .` assumed)
+            PYTHONPATH=os.pathsep.join(
+                p for p in (repo_root, env.get("PYTHONPATH")) if p
+            ),
         )
         procs.append(
             subprocess.Popen(
@@ -182,6 +188,72 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     lines = hist.read_text().strip().splitlines()
     assert lines[0].startswith("# totalTime")
     assert len(lines) >= 2
+
+
+def test_netcdf_piece_restart_roundtrip_single_process(tmp_path):
+    """NetCDF piece set (the reference's PNetCDF output+restart role,
+    HydroRunBaseMpi.cpp:6046-6503, 7505-7862): write with the piece
+    writer, assemble with input_netcdf_pieces, and check load_restart
+    dispatches on the manifest's format field."""
+    from ramsesgpu_tpu.io.sharded import (
+        _output_netcdf_pieces,
+        input_netcdf_pieces,
+    )
+    from ramsesgpu_tpu.parallel.mesh import make_mesh
+    from ramsesgpu_tpu.parallel.sharded_step import shard_global_state
+
+    config = ConfigMap(text=MHD3D_INI.format(outdir=tmp_path))
+    params = params_from_config(config)
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    U = shard_global_state(params, mesh, np.asarray(U0))
+
+    manifest = _output_netcdf_pieces(
+        params, U, 9, total_time=0.25, output_dir=str(tmp_path),
+        prefix="nc")
+    assert manifest.name == "nc_0000009.nc.pieces.json"
+    U_back, t_back, step_back = input_netcdf_pieces(params, manifest)
+    g = params.ghost_width
+    sl = (slice(None),) + (slice(g, -g),) * 3
+    np.testing.assert_array_equal(
+        U_back[sl], np.asarray(jax.device_get(U)))
+    assert (t_back, step_back) == (0.25, 9)
+
+    from ramsesgpu_tpu.io.restart import load_restart
+
+    config.set_bool("run", "restart", True)
+    config.set_string("run", "restart_filename", str(manifest))
+    config.set_string("output", "outputDir", str(tmp_path))
+    U_r, t_r, step_r = load_restart(params, config)
+    np.testing.assert_array_equal(np.asarray(U_r)[sl],
+                                  np.asarray(jax.device_get(U)))
+    assert (t_r, step_r) == (0.25, 9)
+
+
+def test_netcdf_sharded_single_process_global_file(tmp_path):
+    """Single-process sharded NetCDF output streams shard hyperslabs into
+    ONE global .nc that the serial reader accepts as a restart."""
+    from ramsesgpu_tpu.io.netcdf import input_netcdf
+    from ramsesgpu_tpu.io.sharded import output_netcdf_sharded
+    from ramsesgpu_tpu.parallel.mesh import make_mesh
+    from ramsesgpu_tpu.parallel.sharded_step import shard_global_state
+
+    config = ConfigMap(text=MHD3D_INI.format(outdir=tmp_path))
+    params = params_from_config(config)
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    U = shard_global_state(params, mesh, np.asarray(U0))
+
+    path = output_netcdf_sharded(
+        params, U, 3, total_time=0.125, output_dir=str(tmp_path),
+        prefix="ncg")
+    assert path.name == "ncg_0000003.nc"
+    U_back, t_back, step_back = input_netcdf(params, path)
+    g = params.ghost_width
+    sl = (slice(None),) + (slice(g, -g),) * 3
+    np.testing.assert_array_equal(
+        U_back[sl], np.asarray(jax.device_get(U)))
+    assert (t_back, step_back) == (0.125, 3)
 
 
 def test_piece_restart_roundtrip_single_process(tmp_path):

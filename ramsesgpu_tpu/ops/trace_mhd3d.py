@@ -37,7 +37,7 @@ def trace_mhd3d_shared_precursors(
     """Trace precursor fields consumed at BOTH z and z+1 by the in-plane
     state assembly (trace_mhd3d_state_parts): the x/y edge-centered electric
     fields (trace_mhd.h:850-905) and the in-plane transverse slopes of bfz.
-    Split out so the z-streaming kernel (pallas/zstream_mhd3d.py) computes
+    Split out so the z-block-streaming kernel (pallas/zcarry_mhd3d.py) computes
     each plane once and carries it in a VMEM ring. z-stencil reach:
     Q/bf at z-1..z."""
     if xp is None:

@@ -3,10 +3,10 @@
 The packed-IO kernel (packed_io.py) recomputes every stage on its z stencil
 margins: at the (8, 32) tile the staged demand-driven extents still carry a
 ~1.37x z recompute factor (each stage runs on bz+3..bz+5 planes for bz=8
-output planes). The per-PLANE streaming kernel (zstream_mhd3d.py) computes
-every plane exactly once but pays a fixed cost per grid iteration — at one
-plane per iteration that overhead dominates (20% slower than tiled overall)
-and its full-row rings exceed VMEM above ny=192.
+output planes). A per-PLANE streaming prototype (deleted in round 4)
+computed every plane exactly once but paid a fixed cost per grid iteration
+— at one plane per iteration that overhead dominated (20% slower than
+tiled overall) and its full-row rings exceeded VMEM above ny=192.
 
 This kernel streams z in BLOCKS of bz planes (the tile size), with y tiled
 as in the packed kernel: grid = (ny/by, nz/bz + 1), z innermost. Persistent
@@ -185,7 +185,7 @@ def make_zcarry_mhd_packed_io(
         zmax=params.zmin + bz * params.dz,
     )
 
-    # carried y-box metadata, discovered at trace time (zstream pattern):
+    # carried y-box metadata, discovered at trace time (discovered-box pattern):
     # every store records the BoxField's static y box; loads re-wrap the
     # stored rows with it (the kernel body is traced exactly once, and
     # program order guarantees store-before-first-load per buffer)
@@ -447,6 +447,14 @@ def make_zcarry_mhd_packed_io(
                 """CFL reduction over a cell set: ``st`` [nv, ...cells],
                 ``by_p``/``bz_p`` the +1-face B fields at the same cells
                 (the x face wraps in-row: periodic BC)."""
+                if st.ndim == 2:
+                    # single-row cell sets must keep a sublane axis: a
+                    # rank-1 lane roll lowers to a 1-D tpu.concatenate
+                    # Mosaic rejects ("input offsets outside of the first
+                    # tile"); rank-2 rolls are the proven in-row wrap
+                    st = st[:, None, :]
+                    by_p = by_p[None]
+                    bz_p = bz_p[None]
                 rho = jnp.maximum(st[0], params.smallr)
                 ia = st[5]
                 return _inv_dt_mhd_fields(

@@ -330,7 +330,7 @@ def mhd_apply_update(
 ):
     """Conservative + CT update of the interior from precomputed face fluxes
     and edge EMFs (the tail of mhd_3d_interior_update; see its docstring).
-    Exposed separately so the z-streaming kernel (pallas/zstream_mhd3d.py)
+    Exposed separately so the z-block-streaming kernel (pallas/zcarry_mhd3d.py)
     can apply it per plane with ring-carried flux/EMF slabs.
 
     ``comp``: a carried Kahan compensation field (same layout as U). When
@@ -445,7 +445,7 @@ def mhd_3d_interior_update_staged(
     leaves a measured 2.08x FLOP recompute (scripts/margin_flops.py). Here
     every stage's inputs are pre-sliced to exactly the margin later stages
     consume (reaches derived from the z-streaming kernel's plane-exact
-    schedule, pallas/zstream_mhd3d.py, and bounded by the ghost width):
+    schedule, pallas/zcarry_mhd3d.py, and bounded by the ghost width):
 
         stage            z-margin (lo, hi)   y-margin (lo, hi)
         U / constoprim        (2, 3)              (3, 3)

@@ -258,46 +258,6 @@ def test_zcarry_compensated_matches_packed():
     )
 
 
-@pytest.mark.parametrize("dims", [(128, 16, 8), (128, 24, 12)])
-def test_zstream_step_matches_whole_array(dims):
-    """One z-streaming kernel step (per-plane pipeline, ring-carried
-    intermediates) equals the whole-array update re-packed, over the entire
-    packed buffer. Tolerance is ulp-level: the expression graph is
-    identical to the whole-array path but XLA fuses per-plane shapes
-    differently."""
-    from ramsesgpu_tpu.pallas.zstream_mhd3d import (
-        make_zstream_mhd_packed_io,
-        pallas_zstream_supported,
-    )
-    from ramsesgpu_tpu.pallas.packed_io import pack_state
-
-    nx, ny, nz = dims
-    config = ConfigMap(text=OT3D_INI.format(nx=nx, ny=ny, nz=nz))
-    params = params_from_config(config)
-    assert pallas_zstream_supported(params)
-    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
-    dt = compute_dt(params, U)
-    g = params.ghost_width
-
-    step = make_zstream_mhd_packed_io(params, interpret=True)
-    P = pack_state(params, U[:, g:-g, g:-g, g:-g])
-    P_new, inv_dt = step(P, dt)
-    P_new = np.asarray(P_new)
-
-    ref = np.asarray(godunov_unsplit_mhd(params, U, dt))[:, g:-g, g:-g, g:-g]
-    want = np.asarray(pack_state(params, jnp.asarray(ref)))
-    np.testing.assert_allclose(P_new, want, rtol=0, atol=1e-6)
-
-    # the in-kernel CFL reduction == the XLA packed dt pass on the output
-    from ramsesgpu_tpu.solvers.timestep import compute_inv_dt_mhd_packed
-    from ramsesgpu_tpu.pallas.packed_io import YB
-
-    want_inv = compute_inv_dt_mhd_packed(params, jnp.asarray(want), y0=YB)
-    np.testing.assert_allclose(
-        float(inv_dt), float(want_inv), rtol=2e-7, atol=0
-    )
-
-
 def test_packed_advance_loop_no_buffer_aliasing():
     """Pin the packed advance loop's in/out buffer independence (STATUS
     open question #5): the while_loop body's pallas call reads input wrap

@@ -291,33 +291,36 @@ def make_zcarry_mhd_packed_io(
             # landing-buffer prefetch: real tile j's fresh planes were
             # DMA-started by the previous real tile (or, for each
             # column's first real tile, by the preceding step); copy
-            # VMEM->VMEM after the copy-down, then start the next fetch
+            # VMEM->VMEM after the copy-down, then start the next fetch.
+            # ONE landing slot: a full tile of compute separates the
+            # land->u_b copy from the next fetch's completion, and the
+            # second slot's 3.1 MB pushed the inv-dt variant past VMEM
+            # on hardware (ladder zc_prefetch, 2026-08-19).
             j_pre = yi * nzb + (zi - 1)
 
-            def land_dma(jn, slot_n):
+            def land_dma(jn):
                 # real tile jn = (yn, zn): fresh packed planes
                 yn = jax.lax.div(jn, jnp.int32(nzb))
                 zn0 = jax.lax.rem(jn, jnp.int32(nzb)) * bz
                 return pltpu.make_async_copy(
                     p_hbm.at[pl.ds(0, nv), pl.ds(g + zn0 + 3, bz),
                              pl.ds(yn * by, wy), :],
-                    land.at[slot_n],
-                    sem_land.at[slot_n],
+                    land,
+                    sem_land,
                 )
 
             @pl.when(i == 0)
             def _():
-                land_dma(0, 0).start()
+                land_dma(0).start()
 
             @pl.when(zi > 0)
             def _():
-                sl = jax.lax.rem(j_pre, jnp.int32(2))
-                land_dma(j_pre, sl).wait()
-                u_b[:, 4 : 4 + bz] = land[sl]
+                land_dma(j_pre).wait()
+                u_b[:, 4 : 4 + bz] = land[...]
 
                 @pl.when(j_pre + 1 < nyb * nzb)
                 def _():
-                    land_dma(j_pre + 1, 1 - sl).start()
+                    land_dma(j_pre + 1).start()
 
         # local-frame U view, clipped to the stencil-consumed y extent
         def u_slab(lo, n):
@@ -698,8 +701,8 @@ def make_zcarry_mhd_packed_io(
         out_shape = p_shape
     if prefetch:
         scratch += [
-            pltpu.VMEM((2, nv, bz, wy, nx), dtype),         # landing
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nv, bz, wy, nx), dtype),            # landing
+            pltpu.SemaphoreType.DMA,
         ]
     scratch += [
         pltpu.SemaphoreType.DMA,

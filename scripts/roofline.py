@@ -1,0 +1,309 @@
+"""On-chip roofline of the packed MHD step: device microbenchmarks +
+kernel placement (round-4 verdict item 1 — the perf-truth analysis).
+
+Measures on the real chip:
+  1. HBM streaming bandwidth (big-array copy),
+  2. VPU f32 FMA throughput (elementwise chain, XLA-counted flops),
+  3. VPU transcendental throughput (sqrt chain — the HLLD pipeline's
+     dominant transcendental; reference flop model: PAPI report,
+     /root/reference/src/hydro/HydroRunGodunov.cpp:4041-4049),
+then times the packed kernel / streaming CFL / zcarry at the flagship
+256^3 MHD grid, computes their XLA-cost-analysis work, and places each
+against the measured ceilings:
+
+    t_floor = max(bytes / BW_hbm, flops / R_fma + transc / R_sqrt)
+
+Everything is printed AND appended to PERF_ROOFLINE.json. Run standalone
+on the TPU (the tunnel is single-client — never while another device
+process is live).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ramsesgpu_tpu.config.configmap import ConfigMap  # noqa: E402
+from ramsesgpu_tpu.config.params import params_from_config  # noqa: E402
+
+OUT = REPO / "PERF_ROOFLINE.json"
+
+_INI = """
+[run]
+tend=100.0
+[mesh]
+nx={n}
+ny={n}
+nz={n}
+boundary_xmin=3
+boundary_xmax=3
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=3
+boundary_zmax=3
+[hydro]
+problem=Orszag-Tang
+cfl=0.4
+gamma0=1.666
+slope_type=2.0
+riemannSolver=hlld
+smallr=1e-7
+smallc=1e-7
+[MHD]
+enable=true
+magRiemannSolver=hlld
+"""
+
+
+def _sync(x):
+    # device->host scalar read: block_until_ready is unreliable through
+    # the axon tunnel
+    return float(jnp.sum(jnp.ravel(x)[:8]))
+
+
+def _timeit(fn, *args, iters=10, reps=3):
+    for _ in range(2):
+        _sync(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+# ------------------------------------------------------------------ #
+# device microbenchmarks
+
+
+def bench_hbm_bw():
+    """Streaming copy: read N + write N bytes."""
+    n = 8192
+    x = jnp.ones((n, n), jnp.float32)  # 256 MB
+
+    @jax.jit
+    def copy(x):
+        return x + 1.0
+
+    t = _timeit(copy, x, iters=20)
+    gbps = 2 * x.size * 4 / t / 1e9
+    return gbps, t
+
+
+def bench_fma_rate(k=128):
+    """Elementwise FMA chain: k dependent multiply-adds per element with
+    per-element coefficient arrays (nothing XLA can fold)."""
+    n = 2048
+    x = jnp.full((n, n), 1.000001, jnp.float32)
+    a = jnp.full((n, n), 0.999999, jnp.float32)
+    b = jnp.full((n, n), 1e-7, jnp.float32)
+
+    @jax.jit
+    def chain(x, a, b):
+        y = x
+        for i in range(k):
+            # alternate so no algebraic collapse is possible
+            y = y * a + b if i % 2 == 0 else y * b + a
+        return y
+
+    t = _timeit(chain, x, a, b, iters=20)
+    tflops = 2 * k * x.size / t / 1e12
+    return tflops, t
+
+
+def bench_sqrt_rate(k=64):
+    n = 2048
+    x = jnp.full((n, n), 1.5, jnp.float32)
+    c = jnp.full((n, n), 0.25, jnp.float32)
+
+    @jax.jit
+    def chain(x, c):
+        y = x
+        for _ in range(k):
+            y = jnp.sqrt(y + c)
+        return y
+
+    t = _timeit(chain, x, c, iters=20)
+    gsqrt = k * x.size / t / 1e9
+    return gsqrt, t
+
+
+def bench_div_rate(k=64):
+    n = 2048
+    x = jnp.full((n, n), 1.5, jnp.float32)
+    c = jnp.full((n, n), 0.25, jnp.float32)
+
+    @jax.jit
+    def chain(x, c):
+        y = x
+        for _ in range(k):
+            y = c / (y + c)
+        return y
+
+    t = _timeit(chain, x, c, iters=20)
+    gdiv = k * x.size / t / 1e9
+    return gdiv, t
+
+
+# ------------------------------------------------------------------ #
+# kernel work accounting
+
+
+def staged_tile_cost(params, bz, by):
+    """XLA cost analysis of the exact staged tile body the packed kernel
+    runs per window (flops + transcendentals), lowered on CPU."""
+    from ramsesgpu_tpu.ops.backend import BOX, BoxField
+    from ramsesgpu_tpu.pallas.packed_io import YB
+    from ramsesgpu_tpu.solvers.godunov_mhd import (
+        mhd_3d_interior_update_staged,
+    )
+
+    g = params.ghost_width
+    nx = params.nx
+    wz = bz + 2 * g
+    rows = by + 2 * g
+    tile_params = params.replace(
+        ny=by, nz=bz,
+        ymax=params.ymin + by * params.dy,
+        zmax=params.zmin + bz * params.dz,
+    )
+
+    def body(win, dt):
+        U = BoxField(win, 0, YB - g)
+        return mhd_3d_interior_update_staged(
+            tile_params, U, dt, margin=(g, YB, 0), xp=BOX
+        )
+
+    win = jnp.zeros((params.nb_var, wz, rows, nx), jnp.float32)
+    dt = jnp.float32(1e-3)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        ca = jax.jit(body).lower(win, dt).compile().cost_analysis()
+    return float(ca["flops"]), float(ca.get("transcendentals", 0.0))
+
+
+def packed_dma_bytes(params, bz, by):
+    """Analytic HBM traffic of one packed-kernel step (input windows +
+    output interiors + wrap ghost bands), in bytes."""
+    from ramsesgpu_tpu.pallas.packed_io import YB
+
+    g = params.ghost_width
+    nv = params.nb_var
+    nz, ny, nx = params.nz, params.ny, params.nx
+    nzb, nyb = nz // bz, ny // by
+    itemsize = 4
+    win = nv * (bz + 2 * g) * (by + 2 * YB) * nx * itemsize
+    interior = nv * bz * by * nx * itemsize
+    bands = (
+        2 * nv * g * ny * nx          # z wrap bands
+        + 2 * nv * nz * YB * nx       # y wrap bands
+        + 4 * nv * g * YB * nx        # corners
+    ) * itemsize
+    return nzb * nyb * (win + interior) + bands
+
+
+# ------------------------------------------------------------------ #
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    config = ConfigMap(text=_INI.format(n=n))
+    params = params_from_config(config)
+    cells = n ** 3
+
+    rec = {"ts": time.time(), "n": n,
+           "device": str(jax.devices()[0])}
+
+    print("== device microbenchmarks ==", flush=True)
+    bw, _ = bench_hbm_bw()
+    print(f"HBM streaming BW     : {bw:8.1f} GB/s")
+    fma, _ = bench_fma_rate()
+    print(f"VPU f32 FMA chain    : {fma:8.2f} TFLOP/s (XLA-counted)")
+    gsqrt, _ = bench_sqrt_rate()
+    print(f"VPU f32 sqrt chain   : {gsqrt:8.1f} Gsqrt/s")
+    gdiv, _ = bench_div_rate()
+    print(f"VPU f32 div chain    : {gdiv:8.1f} Gdiv/s")
+    rec.update(hbm_gbps=bw, fma_tflops=fma, gsqrt=gsqrt, gdiv=gdiv)
+
+    # ---- kernel work (cost analysis on CPU, traffic analytic) ----
+    from ramsesgpu_tpu.pallas.fused_mhd3d import (
+        _pick_tiles, make_fused_mhd_packed_io,
+    )
+    from ramsesgpu_tpu.pallas.packed_io import (
+        YB, make_packed_cfl_mhd, pack_state,
+    )
+
+    bz, by = _pick_tiles(params)
+    f_tile, t_tile = staged_tile_cost(params, bz, by)
+    ntiles = (params.nz // bz) * (params.ny // by)
+    flops = f_tile * ntiles
+    transc = t_tile * ntiles
+    dmab = packed_dma_bytes(params, bz, by)
+    print(f"\n== packed kernel work at {n}^3, tiles ({bz},{by}) ==")
+    print(f"flops          : {flops:.3e} ({flops / cells:.0f}/cell)")
+    print(f"transcendentals: {transc:.3e} ({transc / cells:.1f}/cell)")
+    print(f"DMA traffic    : {dmab / 1e9:.2f} GB "
+          f"({dmab / cells:.0f} B/cell)")
+    rec.update(tiles=[bz, by], flops=flops, transcendentals=transc,
+               dma_bytes=dmab)
+
+    # ---- measured step times ----
+    from ramsesgpu_tpu.problems import init_problem
+    from ramsesgpu_tpu.solvers.boundary import make_boundaries
+
+    g = params.ghost_width
+    U = jnp.asarray(init_problem(params, config))
+    U = jax.jit(lambda u: make_boundaries(params, u))(U)
+    P = jax.jit(lambda u: pack_state(params, u[:, g:-g, g:-g, g:-g]))(U)
+    dt = jnp.asarray(1e-3, P.dtype)
+
+    fused = jax.jit(make_fused_mhd_packed_io(params, tiles=(bz, by)))
+    cfl = jax.jit(make_packed_cfl_mhd(params))
+
+    t_kern = _timeit(fused, P, dt)
+    t_cfl = _timeit(cfl, P, iters=20)
+    print(f"\n== measured at {n}^3 ==")
+    print(f"packed kernel  : {t_kern * 1e3:7.2f} ms")
+    print(f"streaming CFL  : {t_cfl * 1e3:7.2f} ms")
+    rec.update(ms_packed=t_kern * 1e3, ms_cfl=t_cfl * 1e3)
+
+    # ---- placement ----
+    t_hbm = dmab / (bw * 1e9)
+    t_fma = flops / (fma * 1e12)
+    t_sqrt = transc / (gsqrt * 1e9)
+    floor = max(t_hbm, t_fma + t_sqrt)
+    frac = floor / t_kern
+    print("\n== roofline placement (packed kernel) ==")
+    print(f"HBM bound      : {t_hbm * 1e3:7.2f} ms")
+    print(f"FMA bound      : {t_fma * 1e3:7.2f} ms")
+    print(f"sqrt bound     : {t_sqrt * 1e3:7.2f} ms")
+    print(f"compute floor  : {(t_fma + t_sqrt) * 1e3:7.2f} ms")
+    print(f"speed-of-light : {floor * 1e3:7.2f} ms "
+          f"-> kernel at {frac * 100:.0f}% of attainable")
+    rec.update(ms_hbm_bound=t_hbm * 1e3, ms_fma_bound=t_fma * 1e3,
+               ms_sqrt_bound=t_sqrt * 1e3, ms_floor=floor * 1e3,
+               fraction_of_light=frac)
+
+    hist = []
+    if OUT.exists():
+        try:
+            hist = json.loads(OUT.read_text())
+        except Exception:
+            hist = []
+    hist.append(rec)
+    OUT.write_text(json.dumps(hist, indent=1) + "\n")
+    print(f"\nrecorded -> {OUT}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -214,11 +214,15 @@ def make_fused_mhd_packed_io(
     params: RunParams,
     tiles: tuple[int, int] | None = None,
     interpret: bool = False,
+    with_inv_dt: bool = False,
 ) -> Callable:
     """``step_packed(P, dt) -> P_new`` on the packed loop state (see
     pallas/packed_io.py for the layout and the in-kernel ghost-band DMA
     design): the whole MHD+CT pipeline plus the ghost re-pack in ONE kernel
-    launch per step."""
+    launch per step. ``with_inv_dt`` folds the in-tile part of the next
+    step's CFL reduction into the launch (packed_io with_inv_dt_mhd) and
+    returns ``(P_new, inv_partial)`` — complete it with
+    timestep.compute_inv_dt_mhd_packed_seams."""
     if params.omega0 > 0:
         raise ValueError("packed-io kernel does not support the rotating frame")
     from ..solvers.godunov_mhd import mhd_3d_interior_update_staged
@@ -236,7 +240,7 @@ def make_fused_mhd_packed_io(
 
         return make_packed_io_step(
             params, tiles or _pick_tiles(params), update,
-            interpret=interpret, nvar=2 * nv,
+            interpret=interpret, nvar=2 * nv, with_inv_dt_mhd=with_inv_dt,
         )
 
     def update(tile_params, U, dt, margin):
@@ -247,7 +251,8 @@ def make_fused_mhd_packed_io(
         )
 
     return make_packed_io_step(
-        params, tiles or _pick_tiles(params), update, interpret=interpret
+        params, tiles or _pick_tiles(params), update, interpret=interpret,
+        with_inv_dt_mhd=with_inv_dt,
     )
 
 
@@ -292,14 +297,19 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     bz, by = params.pallas_tiles or _pick_tiles(params)
     dissip = params.nu > 0 or params.eta > 0
     zcarry = params.kernel == "zcarry"
+    # fold the in-tile CFL into the LAST launch of the step and finish on
+    # the seam cells only (packed_io with_inv_dt_mhd docstring); bz/by < 2
+    # tiles have no in-tile +1 faces — those fall back to the CFL kernel
+    fold_inv = not zcarry and bz >= 2 and by >= 2
     if zcarry:
         # opt-in z-block-streaming kernel ([implementation] kernel=zcarry):
         # stage carries across z tiles + fully in-kernel CFL reduction,
-        # pallas/zcarry_mhd3d.py. Kept off the auto path until
-        # hardware-validated (first TPU run crashed the axon tunnel; the
-        # drain fix is in, see STATUS.md). Dissipative runs keep the
-        # generic loop shape (separate CFL pass) because the in-kernel
-        # inv-dt reduces the pre-dissipation state.
+        # pallas/zcarry_mhd3d.py. Hardware-validated round 4 (ladder
+        # zc_invdt/zc_prefetch: parity exact) but measured ~15% SLOWER
+        # than the packed kernel at 256^3 (carry machinery outweighs the
+        # recompute it saves) — kept opt-in, see STATUS.md. Dissipative
+        # runs keep the generic loop shape (separate CFL pass) because
+        # the in-kernel inv-dt reduces the pre-dissipation state.
         from .zcarry_mhd3d import make_zcarry_mhd_packed_io, zcarry_supported
 
         if not zcarry_supported(params):
@@ -308,7 +318,10 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
                                           with_inv_dt=not dissip)
         zcarry_inv_loop = not dissip
     else:
-        fused = make_fused_mhd_packed_io(params, tiles=(bz, by))
+        fused = make_fused_mhd_packed_io(
+            params, tiles=(bz, by),
+            with_inv_dt=fold_inv and not dissip,
+        )
         zcarry_inv_loop = False
     cfl_kernel = make_packed_cfl_mhd(params)
     fused_dissip = None
@@ -332,6 +345,7 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
         fused_dissip = make_packed_io_step(
             params, (bz, by), _dissip_update,
             nvar=2 * nv if params.compensated else None,
+            with_inv_dt_mhd=fold_inv,
         )
     t_end = params.t_end
 
@@ -373,6 +387,44 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
 
             P_f, _, t_f, k_f = jax.lax.while_loop(
                 cond_z, body_z, (P0, inv0, t, jnp.array(0, jnp.int32))
+            )
+            interior_f = P_f[:nv, g:-g, YB : YB + ny, :]
+            U_f = jnp.pad(interior_f, ((0, 0),) + ((g, g),) * 3,
+                          mode="wrap")
+            return U_f, t_f, k_f
+
+        if fold_inv:
+            # in-kernel in-tile CFL on the step's LAST launch + the
+            # strided seam pass — bit-identical to the full reduction
+            # (max is idempotent), and the 2.4 ms full-state CFL kernel
+            # read drops to ~1/6 of the state
+            from ..solvers.timestep import compute_inv_dt_mhd_packed_seams
+
+            inv0 = compute_inv_dt_mhd_packed(params, P0, y0=YB)
+
+            def cond_f(carry):
+                _, _, t_c, k = carry
+                in_time = (t_c < t_end) if t_end > 0 else True
+                return jnp.logical_and(k < n_steps, in_time)
+
+            def body_f(carry):
+                P, inv, t_c, k = carry
+                dt = params.cfl / inv
+                if fused_dissip is not None:
+                    P1 = fused(P, dt)
+                    P1, inv_a = fused_dissip(P1, dt)
+                else:
+                    P1, inv_a = fused(P, dt)
+                inv1 = jnp.maximum(
+                    inv_a,
+                    compute_inv_dt_mhd_packed_seams(
+                        params, P1, (bz, by), y0=YB
+                    ),
+                )
+                return (P1, inv1, t_c + dt, k + 1)
+
+            P_f, _, t_f, k_f = jax.lax.while_loop(
+                cond_f, body_f, (P0, inv0, t, jnp.array(0, jnp.int32))
             )
             interior_f = P_f[:nv, g:-g, YB : YB + ny, :]
             U_f = jnp.pad(interior_f, ((0, 0),) + ((g, g),) * 3,

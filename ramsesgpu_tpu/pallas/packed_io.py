@@ -136,6 +136,7 @@ def make_packed_io_step(
     interior_update: Callable,
     interpret: bool = False,
     nvar: int | None = None,
+    with_inv_dt_mhd: bool = False,
 ) -> Callable:
     """Build ``step_packed(P, dt) -> P_new`` on the packed loop state.
 
@@ -145,13 +146,29 @@ def make_packed_io_step(
 
     ``nvar`` overrides the channel count (default params.nb_var) — the
     Kahan-compensated advance carries 2*nb_var channels (state + carry).
+
+    ``with_inv_dt_mhd``: additionally reduce the NEXT step's MHD CFL over
+    the IN-TILE cells of every output tile (z rows [0, bz), y rows
+    [0, by) minus the top plane and last row, whose +1 faces are
+    register-resident) and return ``(P_new, inv_partial)``. Tile-seam
+    cells are left to a cheap strided XLA pass over the fresh packed
+    ghosts (timestep.compute_inv_dt_mhd_packed_seams) — max() is
+    idempotent and exactly associative, so
+    ``max(inv_partial, seams(P_new))`` is bit-identical to the full
+    reduction while this kernel never stashes seam state (the zcarry
+    kernel's cross-tile CFL stashes are hardware-proven but cost VMEM
+    and bookkeeping; the seam cells are ~15% of the volume and their
+    pass is ~HBM-bound on ~1/6 of the state). Requires bz, by >= 2.
     """
     g = params.ghost_width
     nv = nvar if nvar is not None else params.nb_var
+    nvs = params.nb_var            # state channels (compensated: first nv)
     nz, ny, nx = params.nz, params.ny, params.nx
     bz, by = tiles
     if nz % bz or ny % by or by < YB or bz < g:
         raise ValueError(f"tiles {(bz, by)} unsupported for {(nz, ny)}")
+    if with_inv_dt_mhd and (bz < 2 or by < 2):
+        raise ValueError("with_inv_dt_mhd needs bz, by >= 2")
     wz = bz + 2 * g
     wy = by + 2 * YB
     nzb, nyb = nz // bz, ny // by
@@ -164,8 +181,13 @@ def make_packed_io_step(
         zmax=params.zmin + bz * params.dz,
     )
 
-    def kernel(dt_ref, p_hbm, out_ref, win, res, sem, sem_out):
+    def kernel(dt_ref, p_hbm, out_ref, *rest):
         from ..ops.backend import BoxField
+
+        if with_inv_dt_mhd:
+            inv_ref, win, res, acc, sem, sem_out = rest
+        else:
+            (win, res, sem, sem_out), inv_ref, acc = rest, None, None
 
         zi = pl.program_id(0)
         yi = pl.program_id(1)
@@ -250,7 +272,33 @@ def make_packed_io_step(
         # declare only the stencil-consumed y extent valid so the box-tracked
         # pipeline never computes on the YB-g dead rows of the band
         U = BoxField(win[slot, :, :, YB - g : YB + by + g, :], 0, YB - g)
-        res[slot] = interior_update(tile_params, U, dt_ref[0, 0], (g, YB, 0))
+        upd = interior_update(tile_params, U, dt_ref[0, 0], (g, YB, 0))
+        res[slot] = upd
+
+        if with_inv_dt_mhd:
+            from ..solvers.timestep import _inv_dt_mhd_fields
+
+            @pl.when(i == 0)
+            def _():
+                acc[0, 0] = jnp.zeros((), upd.dtype)
+
+            # in-tile cells: +1 faces register-resident (x wraps in-row)
+            blk = upd[0:nvs]
+            st = blk[:, 0 : bz - 1, 0 : by - 1]
+            rho = jnp.maximum(st[0], params.smallr)
+            ia = st[5]
+            inv = _inv_dt_mhd_fields(
+                params, st[0], st[1],
+                st[2] / rho, st[3] / rho, st[4] / rho,
+                0.5 * (ia + jnp.roll(ia, -1, -1)),
+                0.5 * (st[6] + blk[6, 0 : bz - 1, 1:by]),
+                0.5 * (st[7] + blk[7, 1:bz, 0 : by - 1]),
+            )
+            acc[0, 0] = jnp.maximum(acc[0, 0], inv)
+
+            @pl.when(i == n_iter - 1)
+            def _():
+                inv_ref[0, 0] = acc[0, 0]
 
         for cond, copy in out_dmas(zi, yi, slot):
             if cond is True:
@@ -279,7 +327,26 @@ def make_packed_io_step(
                     pl.when(cond)(copy.wait)
 
     dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
-    out_shape = jax.ShapeDtypeStruct((nv, nz + 2 * g, ny + 2 * YB, nx), dtype)
+    p_shape = jax.ShapeDtypeStruct((nv, nz + 2 * g, ny + 2 * YB, nx), dtype)
+    if with_inv_dt_mhd:
+        out_shape = (p_shape, jax.ShapeDtypeStruct((1, 1), dtype))
+        out_specs = (
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+    else:
+        out_shape = p_shape
+        out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    scratch = [
+        pltpu.VMEM((2, nv, wz, wy, nx), dtype),   # double-buffered windows
+        pltpu.VMEM((2, nv, bz, by, nx), dtype),   # double-buffered results
+    ]
+    if with_inv_dt_mhd:
+        scratch.append(pltpu.SMEM((1, 1), dtype))  # running CFL max
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
 
     fused = pl.pallas_call(
         kernel,
@@ -288,14 +355,9 @@ def make_packed_io_step(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1,1) scalar
             pl.BlockSpec(memory_space=pltpu.ANY),   # P stays in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2, nv, wz, wy, nx), dtype),   # double-buffered windows
-            pltpu.VMEM((2, nv, bz, by, nx), dtype),   # double-buffered results
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
@@ -308,6 +370,9 @@ def make_packed_io_step(
         # (address-change fusion around pallas custom-calls crashes the
         # 2026-08 libtpu fusion pass otherwise)
         P, dt_arr = jax.lax.optimization_barrier((P, dt_arr))
+        if with_inv_dt_mhd:
+            P_new, inv = jax.lax.optimization_barrier(fused(dt_arr, P))
+            return P_new, inv[0, 0]
         return jax.lax.optimization_barrier(fused(dt_arr, P))
 
     return step_packed

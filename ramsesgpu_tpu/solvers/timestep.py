@@ -155,6 +155,55 @@ def compute_inv_dt_mhd_packed(
     )
 
 
+def compute_inv_dt_mhd_packed_seams(
+    params: RunParams, P: jnp.ndarray, tiles: tuple[int, int],
+    y0: int | None = None,
+) -> jnp.ndarray:
+    """CFL max over the TILE-SEAM cells of the packed state: the top z
+    plane of every (bz)-tile row and the last y row of every (by)-tile
+    column — the cells the packed kernel's in-tile reduction
+    (packed_io.make_packed_io_step with_inv_dt_mhd) skips because their
+    +1 faces live in a neighbor tile. Their +1 shifts read the fresh
+    in-kernel wrap ghosts, so no wrap special-casing. max() is idempotent
+    and exactly associative: max(in-kernel partial, this) ==
+    compute_inv_dt_mhd_packed bit-for-bit (the overlap at seam
+    intersections is harmless)."""
+    g = params.ghost_width
+    nz, ny = params.nz, params.ny
+    bz, by = tiles
+    if y0 is None:
+        y0 = g
+    from ..core.constants import IA, IB, IC
+
+    def inv_of(zi, yi, zp, yp):
+        rho = jnp.maximum(P[ID, zi, yi, :], params.smallr)
+        ia = P[IA, zi, yi, :]
+        return _inv_dt_mhd_fields(
+            params,
+            P[ID, zi, yi, :],
+            P[IP, zi, yi, :],
+            P[IU, zi, yi, :] / rho,
+            P[IV, zi, yi, :] / rho,
+            P[IW, zi, yi, :] / rho,
+            0.5 * (ia + jnp.roll(ia, -1, -1)),
+            0.5 * (P[IB, zi, yi, :] + P[IB, zi, yp, :]),
+            0.5 * (P[IC, zi, yi, :] + P[IC, zp, yi, :]),
+        )
+
+    # top plane of every z-tile (incl. the z-wrap plane nz-1: its +1 is
+    # the fresh ghost plane g+nz), full y interior
+    zs = slice(g + bz - 1, g + nz, bz)
+    zs_p = slice(g + bz, g + nz + 1, bz)
+    inv = inv_of(zs, slice(y0, y0 + ny), zs_p, slice(y0 + 1, y0 + ny + 1))
+    # last row of every y-tile, full z interior
+    ys = slice(y0 + by - 1, y0 + ny, by)
+    ys_p = slice(y0 + by, y0 + ny + 1, by)
+    return jnp.maximum(
+        inv,
+        inv_of(slice(g, g + nz), ys, slice(g + 1, g + nz + 1), ys_p),
+    )
+
+
 def compute_inv_dt_mhd_ghosted(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
     """compute_inv_dt_mhd on a fully-ghosted 3D state with EVERY +1 face-B
     shift taken as a slice of the ghost frame (no rolls at all — the rolls

@@ -210,7 +210,7 @@ def stage_advance():
     from ramsesgpu_tpu.solvers.step import make_advance_n
 
     n = 256
-    config = ConfigMap(text=OT_INI.format(n=n))
+    config = ConfigMap(text=OT_INI.format(nx=n, ny=n, nz=n))
     params = params_from_config(config).replace(kernel="zcarry")
     U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
     adv = make_advance_n(params, config)

@@ -53,11 +53,34 @@ _QUICK = {
 }
 
 
+# Medium tier: `pytest -m "quick or medium"` adds ONE representative
+# Pallas-kernel parity test per kernel family (packed IO, zcarry, shear,
+# strip, dissipation, advance loops) at its cheapest parametrization —
+# the interpret-mode compile dominates these (~2-6 min each), so the full
+# parametrized sweeps stay in the thorough tier while every commit can
+# still afford a parity net over each kernel family (~25 min on CPU).
+_MEDIUM = {
+    ("test_pallas.py", "test_packed_io_step_matches_whole_array[tiles0]"),
+    ("test_pallas.py", "test_zcarry_step_matches_packed[dims1]"),
+    ("test_pallas.py", "test_packed_advance_loop_no_buffer_aliasing"),
+    ("test_pallas.py", "test_zcarry_hydro_step_matches_packed[dims1]"),
+    ("test_pallas_dissip.py",
+     "test_packed_dissipative_advance_matches_whole_array"),
+    ("test_pallas_shear.py",
+     "test_shear_packed_matches_whole_array_multistep[dims0-tiles0]"),
+    ("test_pallas_shear.py", "test_shear_cfl_kernel_bitwise"),
+    ("test_pallas_shear.py",
+     "test_shear_packed_fused_strip_matches_v1[False-False]"),
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         key = (os.path.basename(str(item.fspath)), item.name)
         if key in _QUICK:
             item.add_marker(pytest.mark.quick)
+        if key in _MEDIUM:
+            item.add_marker(pytest.mark.medium)
 
 
 @pytest.fixture(scope="session")

@@ -683,6 +683,12 @@ def make_shear_cfl_kernel(params: RunParams, interpret: bool = False):
     bzc = next(b for b in (8, 4, 2, 1) if nz % b == 0)
     nzb = nz // bzc
     wy = ny + 2 * YB
+    # the kept-Bx face is [nz, ny] with ny in LANES; manual HBM DMA slices
+    # must cover whole 128-lane tiles on hardware (sub-width slices of the
+    # padded memref are rejected by Mosaic — ladder stage shear_small,
+    # round 4), so the wrapper pads kept to nyp lanes and the kernel reads
+    # back the leading ny lanes (static offset-0 vector slice)
+    nyp = -(-ny // 128) * 128
     dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
 
     def kernel(p_hbm, k_hbm, out_ref, win, kwin, sem, ksem):
@@ -722,7 +728,8 @@ def make_shear_cfl_kernel(params: RunParams, interpret: bool = False):
         last = (
             jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2) == nx - 1
         )
-        ia_p = jnp.where(last, kwin[slot][..., None], jnp.roll(ia, -1, -1))
+        kw = kwin[slot] if nyp == ny else kwin[slot][:, :ny]
+        ia_p = jnp.where(last, kw[..., None], jnp.roll(ia, -1, -1))
         inv = _inv_dt_mhd_fields(
             params,
             W[ID, zs, ys, :],
@@ -748,7 +755,7 @@ def make_shear_cfl_kernel(params: RunParams, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, nv, bzc + 1, wy, nx), dtype),
-            pltpu.VMEM((2, bzc, ny), dtype),
+            pltpu.VMEM((2, bzc, nyp), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -759,6 +766,8 @@ def make_shear_cfl_kernel(params: RunParams, interpret: bool = False):
     )
 
     def inv_dt(P, kept_face):
+        if nyp != ny:
+            kept_face = jnp.pad(kept_face, ((0, 0), (0, nyp - ny)))
         P, kept_face = jax.lax.optimization_barrier((P, kept_face))
         return jax.lax.optimization_barrier(fused(P, kept_face))[0, 0]
 

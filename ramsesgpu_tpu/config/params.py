@@ -125,6 +125,13 @@ class RunParams:
     # sharded path: overlap the bulk halo exchange with the deep-interior
     # update ([implementation] haloOverlap; see parallel/overlap.py)
     halo_overlap: bool = False
+    # periodic packed advance: fold the in-tile CFL into the main launch
+    # and finish on tile-seam cells ([implementation] foldCfl). Measured
+    # SLOWER on v5e at 256^3 (40.6 vs 35.5 ms/step, round 4): the main
+    # kernel is VPU-bound so the folded reduction lands on the critical
+    # path, and the strided seam pass costs more than the full streaming
+    # CFL kernel's sequential re-read it replaces. Default off.
+    fold_cfl: bool = False
 
     # precision: "float32" (reference single) or "float64" (reference USE_DOUBLE)
     dtype: str = "float32"
@@ -307,6 +314,7 @@ def params_from_config(config: ConfigMap, **overrides) -> RunParams:
         offset_jet=config.get_integer("jet", "offsetJet", 0),
         kernel=config.get_string("implementation", "kernel", "auto"),
         strip_fused=config.get_bool("implementation", "stripFused", False),
+        fold_cfl=config.get_bool("implementation", "foldCfl", False),
         halo_overlap=config.get_bool("implementation", "haloOverlap", False),
         dtype=config.get_string("implementation", "dtype", "float32"),
         compensated=config.get_bool("implementation", "compensated", False),

@@ -299,8 +299,10 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     zcarry = params.kernel == "zcarry"
     # fold the in-tile CFL into the LAST launch of the step and finish on
     # the seam cells only (packed_io with_inv_dt_mhd docstring); bz/by < 2
-    # tiles have no in-tile +1 faces — those fall back to the CFL kernel
-    fold_inv = not zcarry and bz >= 2 and by >= 2
+    # tiles have no in-tile +1 faces — those fall back to the CFL kernel.
+    # Opt-in ([implementation] foldCfl): measured SLOWER than the separate
+    # streaming CFL pass on v5e (see params.fold_cfl).
+    fold_inv = params.fold_cfl and not zcarry and bz >= 2 and by >= 2
     if zcarry:
         # opt-in z-block-streaming kernel ([implementation] kernel=zcarry):
         # stage carries across z tiles + fully in-kernel CFL reduction,

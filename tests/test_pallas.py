@@ -258,14 +258,20 @@ def test_zcarry_compensated_matches_packed():
     )
 
 
-def test_packed_advance_loop_no_buffer_aliasing():
+@pytest.mark.parametrize("fold_cfl", [False, True])
+def test_packed_advance_loop_no_buffer_aliasing(fold_cfl):
     """Pin the packed advance loop's in/out buffer independence (STATUS
     open question #5): the while_loop body's pallas call reads input wrap
     ghost planes that its own output band DMAs would clobber if XLA
     aliased the in/out HBM buffers across iterations. The
     optimization_barrier in step_packed is the guard; this test compares
     the jitted loop against an unrolled host-side sequence where every
-    call gets a fresh buffer — bitwise (same kernel, same inputs)."""
+    call gets a fresh buffer — bitwise (same kernel, same inputs).
+
+    fold_cfl=True additionally pins the opt-in in-kernel-CFL fold
+    ([implementation] foldCfl) against the same oracle — the in-tile
+    partial max() + seam pass is bit-identical to the separate streaming
+    reduction by construction."""
     from ramsesgpu_tpu.pallas.fused_mhd3d import (
         make_fused_mhd_packed_io,
         make_pallas_advance_n,
@@ -282,7 +288,9 @@ def test_packed_advance_loop_no_buffer_aliasing():
 
     pk.INTERPRET = True
     try:
-        adv = make_pallas_advance_n(params.replace(kernel="pallas"))
+        adv = make_pallas_advance_n(
+            params.replace(kernel="pallas", fold_cfl=fold_cfl)
+        )
         U_loop, t_loop, k_loop = adv(
             U0, jnp.asarray(0.0, U0.dtype), jnp.asarray(3, jnp.int32)
         )

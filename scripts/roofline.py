@@ -99,9 +99,12 @@ def bench_hbm_bw():
     return gbps, t
 
 
-def bench_fma_rate(k=128):
-    """Elementwise FMA chain: k dependent multiply-adds per element with
-    per-element coefficient arrays (nothing XLA can fold)."""
+def bench_fma_rate(k=128, lanes=8):
+    """Elementwise FMA chains: ``lanes`` independent accumulators per
+    element, each k/lanes multiply-adds deep, so the VPU is
+    throughput-bound rather than FMA-latency-bound (a single dependent
+    chain measures latency: 0.59 TFLOP/s on this chip vs ~6.8 achieved
+    by the packed kernel itself)."""
     n = 2048
     x = jnp.full((n, n), 1.000001, jnp.float32)
     a = jnp.full((n, n), 0.999999, jnp.float32)
@@ -109,14 +112,19 @@ def bench_fma_rate(k=128):
 
     @jax.jit
     def chain(x, a, b):
-        y = x
-        for i in range(k):
+        ys = [x + float(i) * 1e-6 for i in range(lanes)]
+        for i in range(k // lanes):
             # alternate so no algebraic collapse is possible
-            y = y * a + b if i % 2 == 0 else y * b + a
-        return y
+            ys = [y * a + b if i % 2 == 0 else y * b + a for y in ys]
+        out = ys[0]
+        for y in ys[1:]:
+            out = out + y
+        return out
 
     t = _timeit(chain, x, a, b, iters=20)
-    tflops = 2 * k * x.size / t / 1e12
+    # count only the chain FMAs (the lanes-1 final adds and lane inits
+    # are noise at k >> lanes)
+    tflops = 2 * (k // lanes) * lanes * x.size / t / 1e12
     return tflops, t
 
 
@@ -158,37 +166,36 @@ def bench_div_rate(k=64):
 # kernel work accounting
 
 
-def staged_tile_cost(params, bz, by):
-    """XLA cost analysis of the exact staged tile body the packed kernel
-    runs per window (flops + transcendentals), lowered on CPU."""
-    from ramsesgpu_tpu.ops.backend import BOX, BoxField
-    from ramsesgpu_tpu.pallas.packed_io import YB
-    from ramsesgpu_tpu.solvers.godunov_mhd import (
-        mhd_3d_interior_update_staged,
+def kernel_cost_per_cell(params, bz, by):
+    """Per-cell flops + transcendentals of the ACTUAL packed kernel body,
+    from an interpret-mode lowering on CPU at a reduced (nz, ny) grid.
+
+    All tiles are identical (bz, by) windows, so per-cell cost at the
+    small grid equals per-cell cost at the full grid (same nx — the lane
+    dim is what shapes the body). Lowering the staged tile body standalone
+    instead overcounts ~8.4x (105k vs 12.5k flops/cell at 256^3): the
+    interpret-mode kernel is the ground truth of what Mosaic compiles."""
+    from ramsesgpu_tpu.config.configmap import ConfigMap as CM
+    from ramsesgpu_tpu.pallas.fused_mhd3d import make_fused_mhd_packed_io
+
+    nz_s, ny_s = 4 * bz, 2 * by
+    small = params.replace(
+        nz=nz_s, ny=ny_s,
+        ymax=params.ymin + ny_s * params.dy,
+        zmax=params.zmin + nz_s * params.dz,
     )
-
-    g = params.ghost_width
-    nx = params.nx
-    wz = bz + 2 * g
-    rows = by + 2 * g
-    tile_params = params.replace(
-        ny=by, nz=bz,
-        ymax=params.ymin + by * params.dy,
-        zmax=params.zmin + bz * params.dz,
+    g = small.ghost_width
+    P = jnp.zeros(
+        (small.nb_var, nz_s + 2 * g, ny_s + 16, small.nx), jnp.float32
     )
-
-    def body(win, dt):
-        U = BoxField(win, 0, YB - g)
-        return mhd_3d_interior_update_staged(
-            tile_params, U, dt, margin=(g, YB, 0), xp=BOX
-        )
-
-    win = jnp.zeros((params.nb_var, wz, rows, nx), jnp.float32)
     dt = jnp.float32(1e-3)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        ca = jax.jit(body).lower(win, dt).compile().cost_analysis()
-    return float(ca["flops"]), float(ca.get("transcendentals", 0.0))
+        fn = make_fused_mhd_packed_io(small, interpret=True)
+        ca = jax.jit(fn).lower(P, dt).compile().cost_analysis()
+    cells = small.nx * ny_s * nz_s
+    return (float(ca["flops"]) / cells,
+            float(ca.get("transcendentals", 0.0)) / cells)
 
 
 def packed_dma_bytes(params, bz, by):
@@ -243,10 +250,9 @@ def main() -> int:
     )
 
     bz, by = _pick_tiles(params)
-    f_tile, t_tile = staged_tile_cost(params, bz, by)
-    ntiles = (params.nz // bz) * (params.ny // by)
-    flops = f_tile * ntiles
-    transc = t_tile * ntiles
+    f_cell, t_cell = kernel_cost_per_cell(params, bz, by)
+    flops = f_cell * cells
+    transc = t_cell * cells
     dmab = packed_dma_bytes(params, bz, by)
     print(f"\n== packed kernel work at {n}^3, tiles ({bz},{by}) ==")
     print(f"flops          : {flops:.3e} ({flops / cells:.0f}/cell)")
@@ -271,14 +277,23 @@ def main() -> int:
 
     t_kern = _timeit(fused, P, dt)
     t_cfl = _timeit(cfl, P, iters=20)
+    achieved = flops / t_kern / 1e12
     print(f"\n== measured at {n}^3 ==")
-    print(f"packed kernel  : {t_kern * 1e3:7.2f} ms")
+    print(f"packed kernel  : {t_kern * 1e3:7.2f} ms "
+          f"({achieved:.2f} TFLOP/s achieved)")
     print(f"streaming CFL  : {t_cfl * 1e3:7.2f} ms")
-    rec.update(ms_packed=t_kern * 1e3, ms_cfl=t_cfl * 1e3)
+    rec.update(ms_packed=t_kern * 1e3, ms_cfl=t_cfl * 1e3,
+               tflops_achieved=achieved)
 
     # ---- placement ----
+    # VPU ceiling: the best demonstrated f32 rate on this chip — the
+    # parallel-chain microbenchmark or the kernel itself, whichever is
+    # higher (a kernel can never exceed the true ceiling, so 'achieved'
+    # is always a valid lower bound on it)
+    vpu = max(fma, achieved)
+    rec["vpu_ceiling_tflops"] = vpu
     t_hbm = dmab / (bw * 1e9)
-    t_fma = flops / (fma * 1e12)
+    t_fma = flops / (vpu * 1e12)
     t_sqrt = transc / (gsqrt * 1e9)
     floor = max(t_hbm, t_fma + t_sqrt)
     frac = floor / t_kern

@@ -952,16 +952,14 @@ def make_shear_packed_step(
 
     def assemble(P_main, left3, right3):
         """Corrected border columns replace the main kernel's wrap-
-        contaminated ones — ONE lane concat, which also rebuilds the y/z
-        wrap-ghost bands at those columns."""
+        contaminated ones (incl. their y/z wrap-ghost bands). Written as
+        two dynamic-update-slices so XLA patches the kernel's output
+        buffer in place instead of materializing a full-array concat
+        (~150 MB read+write per step at the MRI flagship size)."""
         padP = ((0, 0), (g, g), (YB, YB), (0, 0))
-        return jnp.concatenate(
-            [
-                jnp.pad(left3, padP, mode="wrap"),
-                P_main[:, :, :, g : nx - g],
-                jnp.pad(right3, padP, mode="wrap"),
-            ],
-            axis=-1,
+        out = P_main.at[:, :, :, :g].set(jnp.pad(left3, padP, mode="wrap"))
+        return out.at[:, :, :, nx - g :].set(
+            jnp.pad(right3, padP, mode="wrap")
         )
 
     cfl_kernel = make_shear_cfl_kernel(params, interpret=interpret)

@@ -58,6 +58,19 @@ ROWS = [
         "quick_set": {("implementation", "zSlabNb"): "1"},
     },
     {
+        # the packed hydro kernel's row (reflective implode above runs the
+        # whole-array fallback; the fused path needs fully periodic BCs)
+        "name": "hydro 3D periodic (blast, HLLC)",
+        "ini": "data/implode3d.ini",
+        "size": {"nx": 256, "ny": 256, "nz": 256},
+        "quick": {"nx": 32, "ny": 32, "nz": 32},
+        "set": {("hydro", "problem"): "blast",
+                ("blast", "radius"): "0.2",
+                ("mesh", "boundary_xmin"): "3", ("mesh", "boundary_xmax"): "3",
+                ("mesh", "boundary_ymin"): "3", ("mesh", "boundary_ymax"): "3",
+                ("mesh", "boundary_zmin"): "3", ("mesh", "boundary_zmax"): "3"},
+    },
+    {
         "name": "MHD 3D periodic (OT, HLLD)",
         "ini": "data/orszag-tang3d.ini",
         "size": {"nx": 256, "ny": 256, "nz": 256},
@@ -93,11 +106,18 @@ ROWS = [
     # opt-in kernels (round-3; hardware-gated — rows error gracefully if
     # the Mosaic features regress): z-block-streaming main + fused strip
     {
-        "name": "hydro 3D (zcarry)",
+        # periodic blast (implode's reflective BCs are outside the zcarry
+        # envelope and would silently measure the whole-array fallback)
+        "name": "hydro 3D periodic (zcarry)",
         "ini": "data/implode3d.ini",
         "size": {"nx": 256, "ny": 256, "nz": 256},
         "quick": {"nx": 128, "ny": 32, "nz": 32},
-        "set": {("implementation", "kernel"): "zcarry"},
+        "set": {("implementation", "kernel"): "zcarry",
+                ("hydro", "problem"): "blast",
+                ("blast", "radius"): "0.2",
+                ("mesh", "boundary_xmin"): "3", ("mesh", "boundary_xmax"): "3",
+                ("mesh", "boundary_ymin"): "3", ("mesh", "boundary_ymax"): "3",
+                ("mesh", "boundary_zmin"): "3", ("mesh", "boundary_zmax"): "3"},
     },
     {
         "name": "MHD 3D periodic (zcarry)",
@@ -201,7 +221,12 @@ def harvest_accuracy(n_steps: int = 50) -> dict[str, dict[str, float]]:
         [sys.executable, str(REPO / "scripts" / "accuracy_table.py"),
          str(n_steps)],
         capture_output=True, text=True, timeout=3600,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        # PYTHONPATH: the child must import ramsesgpu_tpu from a plain
+        # checkout (accuracy_table.py has no sys.path bootstrap of its
+        # own); it forces CPU in-process, the env var is best-effort
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": str(REPO) + os.pathsep
+             + os.environ.get("PYTHONPATH", "")},
     )
     acc: dict[str, dict[str, float]] = {}
     for line in proc.stdout.splitlines():

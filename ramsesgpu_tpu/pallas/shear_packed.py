@@ -97,7 +97,7 @@ def _make_main_kernel(
     ``gravity_z``: stratified-MRI analytic vertical gravity, evaluated
     per window from the tile's z iota (godunov_mhd gravity hooks)."""
     from ..ops.backend import BOX, BoxField
-    from ..solvers.godunov_mhd import mhd_3d_interior_update
+    from ..solvers.godunov_mhd import mhd_3d_interior_update_staged
 
     dx = params.dx
     xmin = params.xmin
@@ -126,12 +126,15 @@ def _make_main_kernel(
                 gravity_z(zc), (wz, by + 2 * g, nx)
             )
             gravity = (None, None, BoxField(gz, 0, YB - g))
+        # staged demand-driven extents (round 4: the non-staged body's
+        # x2.08 margin recompute cost ~3.5 ms of the MRI step); xpos and
+        # the gravity kick are pointwise, so the staged schedule is exact
         if params.compensated:
-            return mhd_3d_interior_update(
+            return mhd_3d_interior_update_staged(
                 tile_params, W[:nv], dt, margin=margin, xp=BOX, xpos=xpos,
                 comp=W[nv:], gravity=gravity,
             )
-        return mhd_3d_interior_update(
+        return mhd_3d_interior_update_staged(
             tile_params, W, dt, margin=margin, xp=BOX, xpos=xpos,
             gravity=gravity,
         )
@@ -198,6 +201,20 @@ def _shear_slabs_from_interior(params: RunParams, interior, kept_bx, t):
     return gmin, gmax
 
 
+def _strip_geometry(params: RunParams) -> tuple[int, int]:
+    """(gy, wy) of the border strip's lane dim. y is PERIODIC in the
+    shearing box (the packed state's y bands and the sheared slabs' y
+    ghosts are all pure wraps), so when ny is lane-aligned the strip
+    carries exactly ny samples and the in-kernel roll wrap IS the y BC
+    (gy=0 — the fused strip's layout, 33% less lane work at ny=256 than
+    the ghosted 384-lane pad). Otherwise: ghosted rows padded up to the
+    128-lane DMA alignment."""
+    ny, g = params.ny, params.ghost_width
+    if ny % 128 == 0:
+        return 0, ny
+    return g, -(-(ny + 2 * g) // 128) * 128
+
+
 def _make_strip_kernel(
     params: RunParams, bz: int, interpret: bool, mode: str = "godunov",
     gravity_z=None,
@@ -227,7 +244,7 @@ def _make_strip_kernel(
     g = params.ghost_width
     nz, ny, nx = params.nz, params.ny, params.nx
     dx = params.dx
-    wy = -(-(ny + 2 * g) // 128) * 128   # lane-dim DMA must be 128-aligned
+    _gy, wy = _strip_geometry(params)    # lane-exact when ny % 128 == 0
     wz = bz + 2 * g
     nzb = nz // bz
     xw = 4 * g * 2                       # 24 sublanes: 18 live + 6 dead
@@ -879,11 +896,16 @@ def make_shear_packed_step(
             0.5 * (P[IC, zi, yi, :] + P[IC, g + 1 : g + nz + 1, yi, :]),
         )
 
+    gy, wy_strip = _strip_geometry(params)
+
     def strip_pass(P, kept_bx, t_fill, dt, kernel):
         """Border-column recompute with true sheared ghosts + planes: build
         the 18-column strip [interior nx-6..nx-1 | gmax | gmin | interior
         0..5] (each side carrying its own x ghosts), transpose it to
-        [nvar, z, x, y], and run the one-launch Pallas strip kernel."""
+        [nvar, z, x, y], and run the one-launch Pallas strip kernel.
+        With gy=0 (ny lane-aligned) the rows carry exactly ny samples and
+        the kernel's roll wrap is the periodic y BC — bitwise-identical
+        to the wrap-ghosted rows, at 2/3 the lane work for ny=256."""
         interior = P[:nv, g : g + nz, YB : YB + ny, :]
         gmin, gmax = _shear_slabs_from_interior(params, interior, kept_bx,
                                                 t_fill)
@@ -895,10 +917,10 @@ def make_shear_packed_step(
                 zlo, zhi = _stratified_ghost_slabs(params, slab)
                 slab = jnp.concatenate([zlo, slab, zhi], axis=1)
                 return jnp.pad(
-                    slab, ((0, 0), (0, 0), (g, g), (0, 0)), mode="wrap"
+                    slab, ((0, 0), (0, 0), (gy, gy), (0, 0)), mode="wrap"
                 )
             return jnp.pad(
-                slab, ((0, 0), (g, g), (g, g), (0, 0)), mode="wrap"
+                slab, ((0, 0), (g, g), (gy, gy), (0, 0)), mode="wrap"
             )
 
         gmin, gmax = pad_slab(gmin), pad_slab(gmax)
@@ -907,7 +929,7 @@ def make_shear_packed_step(
             # are never consumed (comp is cropped to the updated interior)
             gmin = jnp.concatenate([gmin, jnp.zeros_like(gmin)], axis=0)
             gmax = jnp.concatenate([gmax, jnp.zeros_like(gmax)], axis=0)
-        yg = slice(YB - g, YB + ny + g)
+        yg = slice(YB - gy, YB + ny + gy)
         S = jnp.concatenate(
             [
                 P[:, :, yg, nx - 2 * g :],
@@ -917,14 +939,14 @@ def make_shear_packed_step(
             ],
             axis=-1,
         )
-        wy_pad = -(-(ny + 2 * g) // 128) * 128 - (ny + 2 * g)
+        wy_pad = wy_strip - (ny + 2 * gy)
         St = jnp.pad(
             jnp.swapaxes(S, -1, -2),
             ((0, 0), (0, 0), (0, 2 * g), (0, wy_pad)),
         )                                      # [nvar, z, 24, wy(128-aligned)]
         out = kernel(St, dt)
 
-        yi = slice(g, g + ny)
+        yi = slice(gy, gy + ny)
         right = jnp.swapaxes(out[:nvc, :, g : 2 * g, yi], -1, -2)
         left = jnp.swapaxes(out[:nvc, :, 4 * g : 5 * g, yi], -1, -2)
         planes = tuple(out[nvc, :, 5 * g + k, yi] for k in range(5))

@@ -437,6 +437,7 @@ def mhd_apply_update(
 def mhd_3d_interior_update_staged(
     params: RunParams, U, dt,
     margin: tuple[int, int, int] | None = None, xp=None, comp=None,
+    xpos=None, gravity=None,
 ):
     """mhd_3d_interior_update with DEMAND-DRIVEN per-stage extents (BOX
     backend only). The box machinery shrinks intermediates forward through
@@ -458,7 +459,14 @@ def mhd_3d_interior_update_staged(
 
     Same values as mhd_3d_interior_update (slicing never changes a compute
     graph, only its extent) — the packed-IO kernel's interpret-mode tests
-    assert bitwise equality against the whole-array step."""
+    assert bitwise equality against the whole-array step.
+
+    ``xpos``/``gravity``: rotating-frame coordinate and static-gravity
+    kick, as in mhd_3d_interior_update. Both enter pointwise (no new
+    stencil reach), so the staged extents above remain exact — this is
+    what lets the shearing-box MAIN kernel run the staged body (round 4:
+    the non-staged x2.08 margin recompute was ~3.5 ms of the 10.4 ms MRI
+    main-kernel time at 128x256x128)."""
     from ..ops.backend import BoxField
     from ..ops.trace_mhd3d import (
         trace_mhd3d_local_precursors,
@@ -468,8 +476,8 @@ def mhd_3d_interior_update_staged(
 
     if xp is None:
         from ..ops.backend import BOX as xp
-    if params.omega0 > 0:
-        raise ValueError("staged update does not cover the rotating frame")
+    if params.omega0 > 0 and xpos is None:
+        raise ValueError("staged rotating frame needs an explicit xpos")
     g = params.ghost_width
     mz, my, mx = margin if margin is not None else (g, g, g)
     nz, ny = params.nz, params.ny
@@ -489,7 +497,7 @@ def mhd_3d_interior_update_staged(
     Q = clip(Q, 2, 2, 3, 3)
 
     shared = trace_mhd3d_shared_precursors(
-        params, Q, Ub[IA], Ub[IB], Ub[IC], None, xp=xp
+        params, Q, Ub[IA], Ub[IB], Ub[IC], xpos, xp=xp
     )
     shared = tuple(clip(f, 1, 2, 1, 2) for f in shared)
     shared_p = tuple(xp.shift_p(f, _Z) for f in shared)
@@ -505,13 +513,25 @@ def mhd_3d_interior_update_staged(
     bfz_p = clip(xp.shift_p(Ub[IC], _Z), 1, 1, 3, 3)
     P = trace_mhd3d_state_parts(
         params, Qs, bfs[IA], bfs[IB], bfs[IC], bfz_p,
-        shared, shared_p, local, dt, None, xp=xp,
+        shared, shared_p, local, dt, xpos, xp=xp,
     )
+    if gravity is not None:
+        # half-dt kick on the traced states, exactly _mhd_3d_fluxes_emfs
+        # (pointwise — composes with the clip below in either order)
+        def kick(q):
+            for d, slot in enumerate((IU, IV, IW)):
+                if gravity[d] is not None:
+                    q = xp.set_component(
+                        q, slot, q[slot] + 0.5 * dt * gravity[d]
+                    )
+            return q
+
+        P = {k: (lambda f=v: kick(f())) for k, v in P.items()}
     # trim each lazy state stack to the flux/EMF demand before the solvers
     P = {k: (lambda f=v: clip(f(), 1, 1, 1, 1)) for k, v in P.items()}
-    fluxes, emfs = mhd_fluxes_emfs_from_parts(params, P, None, xp=xp)
+    fluxes, emfs = mhd_fluxes_emfs_from_parts(params, P, xpos, xp=xp)
     return mhd_apply_update(params, U, fluxes, emfs, dt, margin=margin,
-                            xp=xp, comp=comp)
+                            xp=xp, comp=comp, gravity=gravity)
 
 
 def _uses_shear(params: RunParams) -> bool:

@@ -122,11 +122,13 @@ def main() -> int:
     timeit("main kernel (zcarry)", main_zc, P, dt)
 
     # --- strip kernel with a prebuilt input ---
-    wy = -(-(ny + 2 * g) // 128) * 128
+    from ramsesgpu_tpu.pallas.shear_packed import _strip_geometry
+
+    gy, wy = _strip_geometry(params)
     xw = 8 * g
     St = jnp.zeros((params.nb_var, nz + 2 * g, xw, wy), P.dtype)
-    St = St.at[:, :, : 2 * g, : ny + 2 * g].set(
-        jnp.swapaxes(P[: params.nb_var, :, YB - g : YB + ny + g,
+    St = St.at[:, :, : 2 * g, : ny + 2 * gy].set(
+        jnp.swapaxes(P[: params.nb_var, :, YB - gy : YB + ny + gy,
                        : 2 * g], -1, -2)
     )
     strip_k = _make_strip_kernel(params, tiles[0], False)

@@ -109,6 +109,9 @@ def test_shear_kernel_matches_whole_array_multistep(dims, tiles):
 @pytest.mark.parametrize("dims,tiles", [
     ((128, 16, 8), (4, 8)),
     ((128, 32, 16), (8, 8)),
+    # ny % 128 == 0: the border strip runs lane-exact (gy=0 — the roll
+    # wrap IS the periodic y BC; _strip_geometry)
+    ((128, 128, 8), (8, 8)),
 ])
 def test_shear_packed_matches_whole_array_multistep(dims, tiles):
     """Packed-layout MRI step (pallas/shear_packed.py): x-ghost-free main

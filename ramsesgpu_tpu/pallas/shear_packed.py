@@ -974,14 +974,20 @@ def make_shear_packed_step(
 
     def assemble(P_main, left3, right3):
         """Corrected border columns replace the main kernel's wrap-
-        contaminated ones (incl. their y/z wrap-ghost bands). Written as
-        two dynamic-update-slices so XLA patches the kernel's output
-        buffer in place instead of materializing a full-array concat
-        (~150 MB read+write per step at the MRI flagship size)."""
+        contaminated ones — ONE lane concat, which also rebuilds the y/z
+        wrap-ghost bands at those columns. (A dynamic-update-slice form
+        was tried in round 4 and measured SLOWER inside the advance
+        while_loop — XLA does not alias the carry buffer there, so the
+        two .at[].set() become two full copies vs the concat's one:
+        flagship loop 17.9 vs 16.4 ms/step.)"""
         padP = ((0, 0), (g, g), (YB, YB), (0, 0))
-        out = P_main.at[:, :, :, :g].set(jnp.pad(left3, padP, mode="wrap"))
-        return out.at[:, :, :, nx - g :].set(
-            jnp.pad(right3, padP, mode="wrap")
+        return jnp.concatenate(
+            [
+                jnp.pad(left3, padP, mode="wrap"),
+                P_main[:, :, :, g : nx - g],
+                jnp.pad(right3, padP, mode="wrap"),
+            ],
+            axis=-1,
         )
 
     cfl_kernel = make_shear_cfl_kernel(params, interpret=interpret)

@@ -631,15 +631,17 @@ def make_fused_mhd_shear(
             # window cell-center z coordinates -> gz, broadcast to a
             # full-window BoxField (the box machinery then aligns it with
             # every traced state's extent)
+            # full-shape iota, not a (wz,1,1) broadcast: Mosaic aborts on
+            # box-slices of a broadcast dim ("Check failed: limits[i] <=
+            # dim(i)", round-4 stratified probe)
             kz = jax.lax.broadcasted_iota(
-                jnp.int32, (wz, 1, 1), 0
+                jnp.int32, (wz, wy, wx), 0
             ).astype(dtype)
             # z0 = this block's global zmin (sharded runs pass the shard's)
             zc = z0_ref[0, 0] + params.dz / 2 + (
                 zi * bz - m + kz
             ) * params.dz
-            gz = jnp.broadcast_to(gravity_z(zc), (wz, wy, wx))
-            gravity = (None, None, BoxField(gz, 0, 0))
+            gravity = (None, None, BoxField(gravity_z(zc), 0, 0))
         U_new, fpl, eypl, ezpl = mhd_3d_interior_update(
             tile_params, U, dt_ref[0, 0], margin=(m, m, m), xp=BOX,
             shear_planes=True, xpos=xpos, gravity=gravity,

@@ -97,7 +97,10 @@ def _make_main_kernel(
     ``gravity_z``: stratified-MRI analytic vertical gravity, evaluated
     per window from the tile's z iota (godunov_mhd gravity hooks)."""
     from ..ops.backend import BOX, BoxField
-    from ..solvers.godunov_mhd import mhd_3d_interior_update_staged
+    from ..solvers.godunov_mhd import (
+        mhd_3d_interior_update,
+        mhd_3d_interior_update_staged,
+    )
 
     dx = params.dx
     xmin = params.xmin
@@ -115,26 +118,32 @@ def _make_main_kernel(
         gravity = None
         if gravity_z is not None:
             zi = pl.program_id(0)
+            # FULL-shape iota, not a (wz,1,1) broadcast: Mosaic aborts on
+            # box-slices of a broadcast dim ("Check failed: limits[i] <=
+            # dim(i)", round-4 stratified probe) — a real 3D iota slices
+            # fine and XLA folds the arithmetic into it
             kz = jax.lax.broadcasted_iota(
-                jnp.int32, (wz, 1, 1), 0
+                jnp.int32, (wz, by + 2 * g, nx), 0
             ).astype(W.value.dtype)
             # packed plane zi*bz + kz <-> global plane zi*bz + kz - g
             zc = params.zmin + params.dz / 2 + (
                 zi * bz + kz - g
             ) * params.dz
-            gz = jnp.broadcast_to(
-                gravity_z(zc), (wz, by + 2 * g, nx)
-            )
-            gravity = (None, None, BoxField(gz, 0, YB - g))
-        # staged demand-driven extents (round 4: the non-staged body's
-        # x2.08 margin recompute cost ~3.5 ms of the MRI step); xpos and
-        # the gravity kick are pointwise, so the staged schedule is exact
+            gravity = (None, None, BoxField(gravity_z(zc), 0, YB - g))
+        # staged demand-driven extents (round 4; xpos is pointwise so the
+        # staged schedule stays exact). The GRAVITY variant keeps the
+        # non-staged body: staged+gravity aborts the Mosaic AOT compiler
+        # ("Check failed: limits[i] <= dim(i) (5 vs. 1)", round-4
+        # stratified probe) and the staged flop win measured ~1% here
+        # anyway (10.3 vs 10.4 ms at the flagship MRI grid).
+        body = (mhd_3d_interior_update if gravity is not None
+                else mhd_3d_interior_update_staged)
         if params.compensated:
-            return mhd_3d_interior_update_staged(
+            return body(
                 tile_params, W[:nv], dt, margin=margin, xp=BOX, xpos=xpos,
                 comp=W[nv:], gravity=gravity,
             )
-        return mhd_3d_interior_update_staged(
+        return body(
             tile_params, W, dt, margin=margin, xp=BOX, xpos=xpos,
             gravity=gravity,
         )
@@ -281,14 +290,15 @@ def _make_strip_kernel(
             gravity = None
             if gravity_z is not None:
                 zi = pl.program_id(0)
+                # full-shape iota: slices of a broadcast dim abort Mosaic
+                # (see _make_main_kernel)
                 kz = jax.lax.broadcasted_iota(
-                    jnp.int32, (wz, 1, 1), 0
+                    jnp.int32, (wz, xw, wy), 0
                 ).astype(W.dtype)
                 zc = params.zmin + params.dz / 2 + (
                     zi * bz + kz - g
                 ) * params.dz
-                gz = jnp.broadcast_to(gravity_z(zc), (wz, xw, wy))
-                gravity = (None, None, gz)
+                gravity = (None, None, gravity_z(zc))
             Wc = W[nv:] if comp else None
             fluxes, emfs = _mhd_3d_fluxes_emfs(p_win, W[:nv], dt, xp=JNP_T,
                                                xpos=xpos, gravity=gravity)

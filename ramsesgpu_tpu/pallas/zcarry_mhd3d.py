@@ -344,13 +344,16 @@ def make_zcarry_mhd_packed_io(
         # only junk the demand chain never reads
         grav = None
         if gravity_z is not None:
+            # full-shape iota, not a broadcast: Mosaic aborts on box-slices
+            # of a broadcast dim (see shear_packed._make_main_kernel)
             kz = (
-                jax.lax.broadcasted_iota(jnp.int32, (bz + 3, 1, 1), 0)
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (bz + 3, rows_c, nx), 0
+                )
                 - 1 + z0
             )
             zc = params.zmin + params.dz / 2 + kz.astype(dtype) * params.dz
-            gz = jnp.broadcast_to(gravity_z(zc), (bz + 3, rows_c, nx))
-            grav = (None, None, BoxField(gz, -1, YB - g))
+            grav = (None, None, BoxField(gravity_z(zc), -1, YB - g))
 
         # ---- Q fresh [2, bz+2) <- U [2, bz+3) ----
         Q_new, _c = constoprim_mhd(

@@ -81,12 +81,18 @@ def _mri_gz_profile(params: RunParams, config, gravity):
             g = g * jnp.exp(-((jnp.abs(zc) / (z_floor * H)) ** 8))
         return g
 
-    # verify the analytic form reproduces the registry field bitwise-ish
+    # verify the analytic form reproduces the registry field. Tolerance,
+    # not exactness: with smoothGravity the exp((|z|/zH)^8) factor rounds
+    # differently on the TPU (registry field) than in this host trace —
+    # rel ~3.4e-6 at the flagship grid — and an rtol of 1e-6 silently
+    # dropped stratified MRI to the 8x-slower whole-array fallback
+    # (round-4 PERF.md, 125 ms/step). 1e-5 still rejects any genuinely
+    # different profile.
     from ..problems.grid import cell_centers_1d
 
     z = cell_centers_1d(params, "z").astype(g_np.dtype)
     want = np.asarray(profile(jnp.asarray(z)))
-    if not np.allclose(gz[..., 0, 0], want, rtol=1e-6, atol=1e-12):
+    if not np.allclose(gz[..., 0, 0], want, rtol=1e-5, atol=1e-11):
         return None
     return profile
 
@@ -148,6 +154,13 @@ def make_step_fn(params: RunParams, config=None) -> Callable:
             and params.dim == 3
             and gravity is not None
             and shear
+            # EXPLICIT opt-in on hardware until the in-kernel gravity
+            # compiles under the remote Mosaic AOT compiler ("Check
+            # failed: limits[i] <= dim(i)" abort, round-4 stratified
+            # probe — the abort also wedged the device tunnel, so
+            # kernel=auto must not walk into it)
+            and (params.kernel in ("pallas", "zcarry")
+                 or jax.default_backend() != "tpu")
         ):
             # STRATIFIED MRI: the vertical gravity is the analytic profile
             # gz = -Omega0^2 z (x optional smooth cutoff,
@@ -296,7 +309,13 @@ def make_advance_n(params: RunParams, config=None) -> Callable:
 
             if shear_packed_supported(params):
                 return make_pallas_shear_advance_n(params)
-        elif backend_ok:
+        elif backend_ok and (
+            params.kernel in ("pallas", "zcarry")
+            or jax.default_backend() != "tpu"
+        ):
+            # stratified packed advance: explicit opt-in on hardware (the
+            # in-kernel gravity aborts the remote Mosaic AOT compiler —
+            # see make_step_fn's stratified branch)
             from ..pallas.shear_packed import (
                 make_pallas_shear_advance_n,
                 shear_packed_supported,

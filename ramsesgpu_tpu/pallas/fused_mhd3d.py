@@ -325,7 +325,7 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
             with_inv_dt=fold_inv and not dissip,
         )
         zcarry_inv_loop = False
-    cfl_kernel = make_packed_cfl_mhd(params)
+    cfl_kernel = make_packed_cfl_mhd(params)  # None when > VMEM (512^3+)
     fused_dissip = None
     if params.nu > 0 or params.eta > 0:
         # dissipative sub-step as a SECOND packed-io launch: the first
@@ -364,7 +364,10 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     def dt_of(P):
         # streaming Pallas CFL reduction (packed_io.make_packed_cfl_mhd):
         # bit-identical to compute_inv_dt_mhd_packed, ~HBM-bound instead of
-        # the XLA pass's ~4x-padded read
+        # the XLA pass's ~4x-padded read; XLA fallback when the window
+        # doesn't fit VMEM (512^3-class grids)
+        if cfl_kernel is None:
+            return params.cfl / compute_inv_dt_mhd_packed(params, P, y0=YB)
         return params.cfl / cfl_kernel(P)
 
     @jax.jit

@@ -64,8 +64,23 @@ def make_packed_cfl_mhd(params: RunParams, interpret: bool = False):
     g = params.ghost_width
     nv = params.nb_var
     nz, ny, nx = params.nz, params.ny, params.nx
-    bzc = next(b for b in (8, 4, 2, 1) if nz % b == 0)
     wy = ny + 2 * YB
+    itemsize = 8 if params.dtype == "float64" else 4
+    # largest z-slab whose double-buffered window fits the VMEM share this
+    # kernel can claim. The hard cap is 128 MiB TOTAL per program point,
+    # and on 512^3 grids XLA's while-body register spills alone take
+    # ~48 MiB (measured: bzc=4's 82.5 MiB window + 47.7 MiB spills =
+    # 130.2M > 128M, OOM) — so the window budget is 40 MiB: keeps bzc=8
+    # at 256^3 (38.2 MiB, the flagship shape) and drops 512^3 to bzc=1
+    # (33 MiB). None -> the caller falls back to the XLA slice reduction.
+    bzc = next(
+        (b for b in (8, 4, 2, 1)
+         if nz % b == 0
+         and 2 * nv * (b + 1) * wy * nx * itemsize <= 40 * 1024 * 1024),
+        None,
+    )
+    if bzc is None:
+        return None
     nzb = nz // bzc
 
     def kernel(p_hbm, out_ref, win, sem):

@@ -707,9 +707,20 @@ def make_shear_cfl_kernel(params: RunParams, interpret: bool = False):
     nz, ny, nx = params.nz, params.ny, params.nx
     if nz % 8 and nz > 8:
         return None
-    bzc = next(b for b in (8, 4, 2, 1) if nz % b == 0)
-    nzb = nz // bzc
     wy = ny + 2 * YB
+    itemsize = 8 if params.dtype == "float64" else 4
+    # largest z-slab whose double-buffered window fits the VMEM share this
+    # kernel can claim (40 MiB — see packed_io.make_packed_cfl_mhd for the
+    # measured 512^3 OOM arithmetic); None -> XLA slice reduction
+    bzc = next(
+        (b for b in (8, 4, 2, 1)
+         if nz % b == 0
+         and 2 * nv * (b + 1) * wy * nx * itemsize <= 40 * 1024 * 1024),
+        None,
+    )
+    if bzc is None:
+        return None
+    nzb = nz // bzc
     # the kept-Bx face is [nz, ny] with ny in LANES; manual HBM DMA slices
     # must cover whole 128-lane tiles on hardware (sub-width slices of the
     # padded memref are rejected by Mosaic — ladder stage shear_small,

@@ -500,6 +500,105 @@ def stage_shear_flagship_fused():
     }
 
 
+def _strat_setup(nx, ny, nz):
+    import jax
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.config.configmap import ConfigMap
+    from ramsesgpu_tpu.config.params import params_from_config
+    from ramsesgpu_tpu.problems import init_problem
+    from ramsesgpu_tpu.solvers.shear import make_all_boundaries_shear
+
+    config = ConfigMap(str(REPO / "data" / "mhd_mri_3d_stratified.ini"))
+    for k, v in (("nx", nx), ("ny", ny), ("nz", nz)):
+        config.set_integer("mesh", k, v)
+    config.set_bool("implementation", "compensated", False)
+    params = params_from_config(config)
+    U = jnp.asarray(init_problem(params, config))
+    U = jax.jit(lambda u: make_all_boundaries_shear(params, u, 0.0))(U)
+    return config, params, U
+
+
+def stage_strat_small():
+    """First HARDWARE compile of the stratified shear kernels (in-kernel
+    analytic gz): the staged+gravity body SIGABRTed the remote Mosaic AOT
+    compiler in the first round-4 probe, which is why solvers/step.py
+    gates the stratified packed route behind an explicit kernel=pallas on
+    TPU (commit 60f50dd reworked the iotas + dropped staged extents for
+    the gravity variant). Small grid; the parity reference is the SAME
+    packed step in interpret mode — a Mosaic-miscompile detector (the
+    whole-array comparison, with its per-step legitimate divergence, is
+    the CPU tests' job: tests/test_pallas_shear.py:296)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        make_shear_packed_step_fn,
+        shear_packed_supported,
+    )
+    from ramsesgpu_tpu.solvers.step import (
+        _mri_gz_profile,
+        make_gravity_field,
+    )
+
+    config, params, U0 = _strat_setup(128, 64, 32)
+    assert shear_packed_supported(params, stratified=True)
+    prof = _mri_gz_profile(
+        params, config, make_gravity_field(params, config)
+    )
+    assert prof is not None
+    step_hw = jax.jit(make_shear_packed_step_fn(params, gravity_z=prof))
+    step_in = make_shear_packed_step_fn(params, interpret=True,
+                                        gravity_z=prof)
+    t = jnp.asarray(0.0, U0.dtype)
+    print("  stratified packed step: Mosaic compile + 2 steps...",
+          flush=True)
+    Uh = Ui = U0
+    th = ti = t
+    err = dt_rel = 0.0
+    for _ in range(2):
+        Uh, dth = step_hw(Uh, th)
+        _sync(Uh)
+        Ui, dti = step_in(Ui, ti)
+        th, ti = th + dth, ti + dti
+        err = max(err, float(jnp.max(jnp.abs(Uh - Ui))))
+        dt_rel = max(dt_rel,
+                     abs(float(dth) - float(dti)) / abs(float(dti)))
+    return {"max_abs_err_2steps": err, "dt_rel": dt_rel,
+            "ok": bool(err < 1e-5 and dt_rel < 1e-5)}
+
+
+def stage_strat_flagship():
+    """Stratified MRI at the flagship grid, packed advance (kernel=pallas)
+    timed — the candidate replacement for the current whole-array PERF.md
+    row (125 ms/step). Correctness is strat_small's job; here we guard
+    finiteness and measure."""
+    import jax
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.solvers.step import make_advance_n
+
+    nx, ny, nz = 128, 256, 128
+    config, params, U = _strat_setup(nx, ny, nz)
+    t = jnp.asarray(0.0, U.dtype)
+    adv = make_advance_n(params.replace(kernel="pallas"), config)
+    U1, t1, k1 = adv(U, t, jnp.array(2, jnp.int32))
+    _sync(U1)
+    n_iter = 10
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        U2, t2, k2 = adv(U, t, jnp.array(n_iter, jnp.int32))
+        _sync(U2)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "ms_per_step": best / n_iter * 1e3,
+        "cells_per_s": nx * ny * nz * n_iter / best,
+        "finite": bool(jnp.all(jnp.isfinite(U2))),
+        "ok": bool(jnp.all(jnp.isfinite(U2)) and int(k2) == n_iter),
+    }
+
+
 STAGES = [
     ("probe", stage_probe, 300),
     ("zc_min", stage_zc_min, 900),
@@ -514,6 +613,8 @@ STAGES = [
     ("strip_fused", stage_strip_fused, 1200),
     ("shear_flagship", stage_shear_flagship, 2400),
     ("shear_flagship_fused", stage_shear_flagship_fused, 2400),
+    ("strat_small", stage_strat_small, 1800),
+    ("strat_flagship", stage_strat_flagship, 2400),
 ]
 
 

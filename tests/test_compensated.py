@@ -18,6 +18,7 @@ import json
 import os
 import subprocess
 import sys
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -129,6 +130,11 @@ def test_compensated_reduces_accumulation_error(tmp_path):
     script.write_text(ORACLE_SCRIPT)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # make the child work in a plain checkout (no editable install)
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
     out = subprocess.run(
         [sys.executable, str(script), str(ini), str(N_STEPS),
          str(oracle_npy)],

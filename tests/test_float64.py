@@ -8,6 +8,7 @@ import json
 import os
 import subprocess
 import sys
+from pathlib import Path
 
 SCRIPT = r"""
 import json
@@ -69,6 +70,11 @@ print("RESULT " + json.dumps(out))
 def test_float64_mhd_run():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # make the child work in a plain checkout (no editable install)
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
     res = subprocess.run(
         [sys.executable, "-c", SCRIPT], capture_output=True, text=True,
         env=env, timeout=600,

@@ -87,6 +87,10 @@ def main() -> int:
     ap.add_argument("n", nargs="?", type=int, default=512)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--zslab", type=int, default=0)
+    # (bz, by) override: at nx=512 the default (8,32) tile spills 193M of
+    # vmem (128M budget) in the Mosaic register allocator and (8,16) is
+    # 2.2M over; (8,8) is the measured fit (see PERF_CAPABILITY.json)
+    ap.add_argument("--tiles", type=str, default="")
     args = ap.parse_args()
 
     import jax
@@ -101,7 +105,11 @@ def main() -> int:
     n = args.n
     config = ConfigMap(text=_INI.format(n=n))
     params = params_from_config(config)
-    rec = {"ts": time.time(), "n": n, "device": str(jax.devices()[0])}
+    if args.tiles:
+        bz, by = (int(v) for v in args.tiles.split(","))
+        params = params.replace(pallas_tiles=(bz, by))
+    rec = {"ts": time.time(), "n": n, "device": str(jax.devices()[0]),
+           "tiles": params.pallas_tiles}
 
     plan = estimate(params)
     print(f"== memory planner at {n}^3 ==")

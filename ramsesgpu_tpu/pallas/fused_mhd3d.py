@@ -277,7 +277,7 @@ def pallas_packed_supported(params: RunParams) -> bool:
     )
 
 
-def make_pallas_advance_n(params: RunParams) -> Callable:
+def make_pallas_advance_n(params: RunParams, packed_form: bool = False):
     """Jitted ``advance_n(U_ghosted, t, n) -> (U_ghosted', t', k)`` that
     carries the state in the kernel's packed form across the whole loop:
     [nvar, nz+2g, ny+2*YB, nx] — x ghost-free (lane-exact rows, the
@@ -287,7 +287,14 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
     make_fused_mhd_packed_io), so the loop body is ONE kernel launch plus a
     slice-based dt reduction; the reference's d_U/d_U2 ping-pong returns as
     XLA's buffer reuse across the while-loop carry.
-    External contract unchanged (standard ghosted state in/out)."""
+    External contract unchanged (standard ghosted state in/out).
+
+    ``packed_form=True`` returns ``(pack, advance_packed, unpack)`` instead,
+    for capability-scale grids where the ghosted lane-padded external state
+    (~5.5 GiB at 512^3) cannot coexist with the loop's packed double buffer:
+    ``pack(U_ghosted) -> P`` (donates U), ``advance_packed(P, t, n) ->
+    (P', t', k)`` (donates P — chain calls), ``unpack(P) -> U_ghosted``.
+    Peak HBM in the loop is then ~2x the packed state instead of ~3.5x."""
     from ..solvers.timestep import compute_inv_dt_mhd_packed
     from .packed_io import make_packed_cfl_mhd
 
@@ -370,10 +377,7 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
             return params.cfl / compute_inv_dt_mhd_packed(params, P, y0=YB)
         return params.cfl / cfl_kernel(P)
 
-    @jax.jit
-    def advance_n(U, t, n_steps):
-        P0 = pack(U[:, g:-g, g:-g, g:-g])
-
+    def advance_packed(P0, t, n_steps):
         if zcarry_inv_loop:
             # carry the inverse dt: the kernel reduces the ENTIRE updated
             # state in-kernel (bit-identical to the separate pass)
@@ -393,10 +397,7 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
             P_f, _, t_f, k_f = jax.lax.while_loop(
                 cond_z, body_z, (P0, inv0, t, jnp.array(0, jnp.int32))
             )
-            interior_f = P_f[:nv, g:-g, YB : YB + ny, :]
-            U_f = jnp.pad(interior_f, ((0, 0),) + ((g, g),) * 3,
-                          mode="wrap")
-            return U_f, t_f, k_f
+            return P_f, t_f, k_f
 
         if fold_inv:
             # in-kernel in-tile CFL on the step's LAST launch + the
@@ -431,10 +432,7 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
             P_f, _, t_f, k_f = jax.lax.while_loop(
                 cond_f, body_f, (P0, inv0, t, jnp.array(0, jnp.int32))
             )
-            interior_f = P_f[:nv, g:-g, YB : YB + ny, :]
-            U_f = jnp.pad(interior_f, ((0, 0),) + ((g, g),) * 3,
-                          mode="wrap")
-            return U_f, t_f, k_f
+            return P_f, t_f, k_f
 
         def cond(carry):
             _, t_c, k = carry
@@ -452,9 +450,25 @@ def make_pallas_advance_n(params: RunParams) -> Callable:
         P_f, t_f, k_f = jax.lax.while_loop(
             cond, body, (P0, t, jnp.array(0, jnp.int32))
         )
+        return P_f, t_f, k_f
+
+    def unpack(P_f):
         interior_f = P_f[:nv, g:-g, YB : YB + ny, :]
-        U_f = jnp.pad(interior_f, ((0, 0),) + ((g, g),) * 3, mode="wrap")
-        return U_f, t_f, k_f
+        return jnp.pad(interior_f, ((0, 0),) + ((g, g),) * 3, mode="wrap")
+
+    if packed_form:
+        pack_j = jax.jit(
+            lambda U: pack(U[:, g:-g, g:-g, g:-g]), donate_argnums=0
+        )
+        adv_j = jax.jit(advance_packed, donate_argnums=0)
+        return pack_j, adv_j, jax.jit(unpack)
+
+    @jax.jit
+    def advance_n(U, t, n_steps):
+        P_f, t_f, k_f = advance_packed(
+            pack(U[:, g:-g, g:-g, g:-g]), t, n_steps
+        )
+        return unpack(P_f), t_f, k_f
 
     return advance_n
 

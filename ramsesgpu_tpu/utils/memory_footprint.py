@@ -41,11 +41,25 @@ def estimate(params: RunParams) -> dict[str, float]:
 
     pallas_path = 3 * s  # U, U_new, boundary-filled copy; windows live in VMEM
 
+    # packed-form advance (make_pallas_advance_n(packed_form=True)): only
+    # the kernel's packed layout [nvar(,x2 comp), nz+2g, ny+16, nx] lives in
+    # HBM, double-buffered across the while-loop launches (buffers donated;
+    # the ghosted lane-padded external state never coexists with the loop)
+    bpe = 8 if params.dtype == "float64" else 4
+    nv = params.nb_var * (2 if getattr(params, "compensated", False) else 1)
+    if params.dim == 3:
+        packed = (
+            nv * (params.nz + 2 * params.ghost_width)
+            * _round_up(params.ny + 16, 8) * params.nx * bpe
+        )
+    else:
+        packed = s
     return {
         "state_GiB": s / gib,
         "whole_array_pipeline_GiB": (2 * s + full_pipeline) / gib,
         "zslab_pipeline_GiB": zslab_pipeline / gib,
         "pallas_path_GiB": pallas_path / gib,
+        "pallas_packed_form_GiB": 2 * packed / gib,
     }
 
 

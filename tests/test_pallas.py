@@ -317,6 +317,39 @@ def test_packed_advance_loop_no_buffer_aliasing(fold_cfl):
     np.testing.assert_array_equal(np.asarray(U_loop), np.asarray(U_ref))
 
 
+def test_packed_form_advance_matches_standard():
+    """The capability-scale packed-form entry (pack/advance_packed/unpack,
+    make_pallas_advance_n(packed_form=True) — donated buffers so a 512^3
+    state fits a v5e, scripts/capability_run.py) is bitwise the standard
+    ghosted-contract advance_n."""
+    from ramsesgpu_tpu.pallas.fused_mhd3d import make_pallas_advance_n
+
+    nx, ny, nz = 128, 16, 16
+    config = ConfigMap(text=OT3D_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config).replace(pallas_tiles=(8, 8))
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+
+    import ramsesgpu_tpu.pallas as pk
+
+    pk.INTERPRET = True
+    try:
+        adv = make_pallas_advance_n(params)
+        U1, t1, k1 = adv(
+            U0, jnp.asarray(0.0, U0.dtype), jnp.asarray(3, jnp.int32)
+        )
+        pack, advp, unpack = make_pallas_advance_n(params, packed_form=True)
+        P2, t2, k2 = advp(
+            pack(U0.copy()), jnp.asarray(0.0, U0.dtype),
+            jnp.asarray(3, jnp.int32),
+        )
+        U2 = unpack(P2)
+    finally:
+        pk.INTERPRET = False
+    assert int(k1) == int(k2) == 3
+    assert float(t1) == float(t2)
+    np.testing.assert_array_equal(np.asarray(U1), np.asarray(U2))
+
+
 @pytest.mark.parametrize("dissip", [False, True])
 def test_zcarry_advance_n_matches_packed_advance(dissip):
     """The full advance loop with kernel=zcarry (packed carry + in-kernel

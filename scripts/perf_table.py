@@ -248,6 +248,10 @@ def main() -> int:
                         help="tiny CPU smoke grids, skip accuracy")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--out", default=str(REPO / "PERF.md"))
+    parser.add_argument("--match", default="",
+                        help="re-measure only rows whose name contains this "
+                             "substring; other rows (and the accuracy block) "
+                             "are carried over from the existing PERF.json")
     args = parser.parse_args()
 
     from ramsesgpu_tpu.utils.platform import honor_platform_env
@@ -258,8 +262,19 @@ def main() -> int:
     dev = str(jax.devices()[0])
     print(f"backend: {backend} ({dev})", flush=True)
 
+    prev = {}
+    if args.match:
+        prev_path = Path(args.out).with_suffix(".json")
+        if prev_path.exists():
+            prev = json.loads(prev_path.read_text())
+
     results = []
     for row in ROWS:
+        if args.match and args.match.lower() not in row["name"].lower():
+            carried = [r for r in prev.get("rows", [])
+                       if r["name"] == row["name"]]
+            results.extend(carried)
+            continue
         try:
             results.extend(bench_row(row, args.quick, args.iters))
         except Exception as exc:
@@ -268,7 +283,10 @@ def main() -> int:
             results.append({"name": row["name"], "mode": "f32",
                             "error": f"{type(exc).__name__}: {exc}"})
 
-    accuracy = {} if args.quick else harvest_accuracy()
+    if args.match:
+        accuracy = prev.get("accuracy", {})
+    else:
+        accuracy = {} if args.quick else harvest_accuracy()
 
     stamp = datetime.datetime.now().isoformat(timespec="seconds")
     tag = "CPU smoke (--quick; NOT the recorded perf)" if args.quick \

@@ -66,6 +66,57 @@ def _sync(x):
     return float(jnp.sum(jnp.ravel(x)[:8]))
 
 
+def _packed_ot_init(params):
+    """Orszag-Tang initial condition built ON DEVICE directly in the
+    kernel's packed layout [nvar, nz+2g, ny+2*YB, nx] (one jit, no host
+    array): at 512^3 the host-numpy init + 5.5 GiB tunnel transfer took
+    ~20 min and the ghosted+filled+packed transients peaked ~13-15 GiB
+    (measured RESOURCE_EXHAUSTED twice). Same formulas as
+    problems/mhd_inits.init_orszag_tang (MHDRunBase.cpp:1378-1520),
+    evaluated in f32 on the interior; the wrap pad IS the periodic
+    ghost fill."""
+    import jax
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.core.constants import IA, IB, IC, ID, IP, IU, IV, IW
+    from ramsesgpu_tpu.pallas.packed_io import YB
+
+    g = params.ghost_width
+    nz, ny, nx = params.nz, params.ny, params.nx
+    two_pi = 2.0 * float(jnp.pi)
+    B0 = 1.0 / (2.0 * two_pi) ** 0.5
+    p0 = params.gamma0 / (2.0 * two_pi)
+    d0 = params.gamma0 * p0
+
+    @jax.jit
+    def build():
+        dt = jnp.float32
+        i = jax.lax.broadcasted_iota(dt, (nz, ny, nx), 2)
+        j = jax.lax.broadcasted_iota(dt, (nz, ny, nx), 1)
+        x = params.xmin + params.dx / 2 + i * params.dx
+        y = params.ymin + params.dy / 2 + j * params.dy
+        rho = jnp.full((nz, ny, nx), d0, dt)
+        mu = -d0 * jnp.sin(y * two_pi)
+        mv = d0 * jnp.sin(x * two_pi)
+        zero = jnp.zeros((nz, ny, nx), dt)
+        bx = -B0 * jnp.sin(y * two_pi)
+        by = B0 * jnp.sin(2.0 * x * two_pi)
+        bxc = 0.5 * (bx + jnp.roll(bx, -1, -1))
+        byc = 0.5 * (by + jnp.roll(by, -1, -2))
+        ekin = 0.5 * (mu**2 + mv**2) / rho
+        emag = 0.5 * (bxc**2 + byc**2)
+        e = p0 / (params.gamma0 - 1.0) + ekin + emag
+        ch = [zero] * params.nb_var
+        ch[ID], ch[IP], ch[IU], ch[IV], ch[IW] = rho, e, mu, mv, zero
+        ch[IA], ch[IB], ch[IC] = bx, by, zero
+        interior = jnp.stack(ch)
+        return jnp.pad(
+            interior, ((0, 0), (g, g), (YB, YB), (0, 0)), mode="wrap"
+        )
+
+    return build()
+
+
 def device_mem_stats():
     import jax
 
@@ -98,8 +149,6 @@ def main() -> int:
 
     from ramsesgpu_tpu.config.configmap import ConfigMap
     from ramsesgpu_tpu.config.params import params_from_config
-    from ramsesgpu_tpu.problems import init_problem
-    from ramsesgpu_tpu.solvers.boundary import make_boundaries
     from ramsesgpu_tpu.utils.memory_footprint import estimate
 
     n = args.n
@@ -117,10 +166,9 @@ def main() -> int:
         print(f"  {k:28s}: {v:8.2f}")
     rec["planner"] = plan
 
-    print("init + boundary fill...", flush=True)
-    U = jnp.asarray(init_problem(params, config))
-    U = jax.jit(lambda u: make_boundaries(params, u))(U)
-    _sync(U)
+    print("device-side packed init...", flush=True)
+    P = _packed_ot_init(params)
+    _sync(P)
 
     # ---- packed advance (production path) ----
     from ramsesgpu_tpu.pallas.fused_mhd3d import (
@@ -133,11 +181,8 @@ def main() -> int:
     # (~9 GiB) plus the unpacked output — measured RESOURCE_EXHAUSTED with
     # the standard advance_n. packed_form keeps only the packed state
     # alive across the run (donated buffers; timing calls chain).
-    t0j = jnp.asarray(0.0, U.dtype)
-    pack, advp, unpack = make_pallas_advance_n(params, packed_form=True)
-    P = pack(U)
-    del U
-    _sync(P)
+    t0j = jnp.asarray(0.0, P.dtype)
+    _, advp, unpack = make_pallas_advance_n(params, packed_form=True)
     print("compile + 2 warmup steps...", flush=True)
     t0 = time.perf_counter()
     P, t1, k1 = advp(P, t0j, jnp.array(2, jnp.int32))

@@ -273,10 +273,16 @@ def main() -> int:
     dt = jnp.asarray(1e-3, P.dtype)
 
     fused = jax.jit(make_fused_mhd_packed_io(params, tiles=(bz, by)))
-    cfl = jax.jit(make_packed_cfl_mhd(params))
+    cfl_fn = make_packed_cfl_mhd(params)
 
     t_kern = _timeit(fused, P, dt)
-    t_cfl = _timeit(cfl, P, iters=20)
+    if cfl_fn is None:
+        # 512^3-class grids exceed the streaming-CFL VMEM window budget;
+        # skip the measurement rather than jitting None (advisor r4).
+        t_cfl = float("nan")
+        print("streaming CFL  : skipped (window exceeds VMEM budget)")
+    else:
+        t_cfl = _timeit(jax.jit(cfl_fn), P, iters=20)
     achieved = flops / t_kern / 1e12
     print(f"\n== measured at {n}^3 ==")
     print(f"packed kernel  : {t_kern * 1e3:7.2f} ms "

@@ -62,7 +62,7 @@ _QUICK = {
 _MEDIUM = {
     ("test_pallas.py", "test_packed_io_step_matches_whole_array[tiles0]"),
     ("test_pallas.py", "test_zcarry_step_matches_packed[dims1]"),
-    ("test_pallas.py", "test_packed_advance_loop_no_buffer_aliasing"),
+    ("test_pallas.py", "test_packed_advance_loop_no_buffer_aliasing[False]"),
     ("test_pallas.py", "test_zcarry_hydro_step_matches_packed[dims1]"),
     ("test_pallas_dissip.py",
      "test_packed_dissipative_advance_matches_whole_array"),

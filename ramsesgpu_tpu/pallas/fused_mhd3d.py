@@ -609,6 +609,8 @@ def make_fused_mhd_shear(
     )
 
     nzb, nyb = grid
+    nvw = params.nb_var                     # window state channels
+    n_in = nvw + (1 if gravity_z is not None else 0)
 
     def kernel(dt_ref, x0_ref, z0_ref, u_hbm, out_ref, win, sem):
         from ..ops.backend import BOX, BoxField
@@ -638,27 +640,19 @@ def make_fused_mhd_shear(
             in_dma(zn, yn, 1 - slot).start()
 
         in_dma(zi, yi, slot).wait()
-        U = BoxField(win[slot], 0, 0)
+        U = BoxField(win[slot][:nvw], 0, 0)
         # per-shard global cell-center x coordinates: x0 = the ghosted
         # block's xmin (sharded runs pass each shard's offset)
         ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wx), 2).astype(dtype)
         xpos = x0_ref[0, 0] + params.dx / 2 + (ix - g) * params.dx
         gravity = None
         if gravity_z is not None:
-            # window cell-center z coordinates -> gz, broadcast to a
-            # full-window BoxField (the box machinery then aligns it with
-            # every traced state's extent)
-            # full-shape iota, not a (wz,1,1) broadcast: Mosaic aborts on
-            # box-slices of a broadcast dim ("Check failed: limits[i] <=
-            # dim(i)", round-4 stratified probe)
-            kz = jax.lax.broadcasted_iota(
-                jnp.int32, (wz, wy, wx), 0
-            ).astype(dtype)
-            # z0 = this block's global zmin (sharded runs pass the shard's)
-            zc = z0_ref[0, 0] + params.dz / 2 + (
-                zi * bz - m + kz
-            ) * params.dz
-            gravity = (None, None, BoxField(gravity_z(zc), 0, 0))
+            # the gravity field rides along as one extra DMA'd channel of
+            # the ghosted input (computed by `update` below, outside the
+            # kernel) — in-kernel 3D-iota construction SIGABRTed the remote
+            # Mosaic compiler in round 4 ("Check failed: limits[i] <=
+            # dim(i)", stratified probe)
+            gravity = (None, None, BoxField(win[slot][nvw], 0, 0))
         U_new, fpl, eypl, ezpl = mhd_3d_interior_update(
             tile_params, U, dt_ref[0, 0], margin=(m, m, m), xp=BOX,
             shear_planes=True, xpos=xpos, gravity=gravity,
@@ -694,7 +688,7 @@ def make_fused_mhd_shear(
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, params.nb_var, wz, wy, wx), dtype),
+            pltpu.VMEM((2, n_in, wz, wy, wx), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -721,6 +715,18 @@ def make_fused_mhd_shear(
         U_padded = jnp.pad(
             U_ghosted, ((0, 0), (0, 0), (0, pad_y), (0, pad))
         )
+        if gravity_z is not None:
+            # ghosted z row r <-> cell center z0 + dz/2 + (r - g)*dz; z0
+            # may be a traced per-shard offset — plain jnp here, the field
+            # materializes before the custom call
+            zc1 = jnp.asarray(z0, U_ghosted.dtype) + params.dz / 2 + (
+                jnp.arange(U_ghosted.shape[1], dtype=U_ghosted.dtype) - g
+            ) * params.dz
+            gz3 = jnp.broadcast_to(
+                gravity_z(zc1)[None, :, None, None],
+                (1,) + U_padded.shape[1:],
+            ).astype(U_padded.dtype)
+            U_padded = jnp.concatenate([U_padded, gz3], axis=0)
         U_padded, dt_arr, x0_arr, z0_arr = jax.lax.optimization_barrier(
             (U_padded, dt_arr, x0_arr, z0_arr)
         )

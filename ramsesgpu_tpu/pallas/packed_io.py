@@ -152,6 +152,7 @@ def make_packed_io_step(
     interpret: bool = False,
     nvar: int | None = None,
     with_inv_dt_mhd: bool = False,
+    aux: jnp.ndarray | None = None,
 ) -> Callable:
     """Build ``step_packed(P, dt) -> P_new`` on the packed loop state.
 
@@ -161,6 +162,15 @@ def make_packed_io_step(
 
     ``nvar`` overrides the channel count (default params.nb_var) — the
     Kahan-compensated advance carries 2*nb_var channels (state + carry).
+
+    ``aux``: optional STATIC per-cell input array [naux, nz+2g, ny+2YB, nx]
+    in the packed layout (e.g. the stratified-MRI gravity field,
+    MHDRunBase.cpp:3163-3245). It is DMA'd window-by-window exactly like
+    the state and handed to ``interior_update(..., aux=aux_window)`` as a
+    raw [naux, wz, wy, nx] VMEM array. Generating such coordinate fields
+    in-kernel (broadcasted_iota) is what SIGABRTed the remote Mosaic
+    compiler in round 4 ("Check failed: limits[i] <= dim(i)"); a DMA'd
+    real array sidesteps the entire construction.
 
     ``with_inv_dt_mhd``: additionally reduce the NEXT step's MHD CFL over
     the IN-TILE cells of every output tile (z rows [0, bz), y rows
@@ -196,13 +206,30 @@ def make_packed_io_step(
         zmax=params.zmin + bz * params.dz,
     )
 
-    def kernel(dt_ref, p_hbm, out_ref, *rest):
+    naux = None if aux is None else aux.shape[0]
+    if aux is not None and aux.shape != (naux, nz + 2 * g, ny + 2 * YB, nx):
+        raise ValueError(f"aux shape {aux.shape} != packed layout")
+
+    def kernel(dt_ref, *refs):
         from ..ops.backend import BoxField
 
-        if with_inv_dt_mhd:
-            inv_ref, win, res, acc, sem, sem_out = rest
+        if aux is not None:
+            p_hbm, aux_hbm = refs[0], refs[1]
+            rest = refs[2:]
         else:
-            (win, res, sem, sem_out), inv_ref, acc = rest, None, None
+            p_hbm, aux_hbm = refs[0], None
+            rest = refs[1:]
+        if with_inv_dt_mhd:
+            out_ref, inv_ref, win, res, acc = rest[:5]
+            rest = rest[5:]
+        else:
+            out_ref, win, res = rest[:3]
+            rest = rest[3:]
+            inv_ref = acc = None
+        if aux is not None:
+            awin, sem, sem_out, asem = rest
+        else:
+            (sem, sem_out), awin, asem = rest, None, None
 
         zi = pl.program_id(0)
         yi = pl.program_id(1)
@@ -220,20 +247,34 @@ def make_packed_io_step(
                 sem.at[s],
             )
 
+        def aux_dma(z, y, s):
+            return pltpu.make_async_copy(
+                aux_hbm.at[:, pl.ds(z * bz, wz), pl.ds(y * by, wy), :],
+                awin.at[s],
+                asem.at[s],
+            )
+
+        def start_in(z, y, s):
+            in_dma(z, y, s).start()
+            if aux is not None:
+                aux_dma(z, y, s).start()
+
         # double-buffered input: this iteration's window was prefetched by
         # the previous one; kick off the next window's fetch before waiting
         @pl.when(i == 0)
         def _():
-            in_dma(zi, yi, slot).start()
+            start_in(zi, yi, slot)
 
         @pl.when(i + 1 < n_iter)
         def _():
             yn = yi + 1
             zn = jnp.where(yn == nyb, zi + 1, zi)
             yn = jnp.where(yn == nyb, 0, yn)
-            in_dma(zn, yn, 1 - slot).start()
+            start_in(zn, yn, 1 - slot)
 
         in_dma(zi, yi, slot).wait()
+        if aux is not None:
+            aux_dma(zi, yi, slot).wait()
 
         def out_dmas(z, y, s):
             """The output copies iteration (z, y) issues from res[s]: the
@@ -287,7 +328,12 @@ def make_packed_io_step(
         # declare only the stencil-consumed y extent valid so the box-tracked
         # pipeline never computes on the YB-g dead rows of the band
         U = BoxField(win[slot, :, :, YB - g : YB + by + g, :], 0, YB - g)
-        upd = interior_update(tile_params, U, dt_ref[0, 0], (g, YB, 0))
+        if aux is None:
+            upd = interior_update(tile_params, U, dt_ref[0, 0], (g, YB, 0))
+        else:
+            upd = interior_update(
+                tile_params, U, dt_ref[0, 0], (g, YB, 0), aux=awin[slot]
+            )
         res[slot] = upd
 
         if with_inv_dt_mhd:
@@ -358,18 +404,26 @@ def make_packed_io_step(
     ]
     if with_inv_dt_mhd:
         scratch.append(pltpu.SMEM((1, 1), dtype))  # running CFL max
+    if aux is not None:
+        scratch.append(pltpu.VMEM((2, naux, wz, wy, nx), dtype))
     scratch += [
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if aux is not None:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1,1) scalar
+        pl.BlockSpec(memory_space=pltpu.ANY),   # P stays in HBM
+    ]
+    if aux is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
 
     fused = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1,1) scalar
-            pl.BlockSpec(memory_space=pltpu.ANY),   # P stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -379,15 +433,20 @@ def make_packed_io_step(
         interpret=interpret or _interpret_flag(),
     )
 
+    aux_cast = None if aux is None else jnp.asarray(aux, dtype)
+
     def step_packed(P, dt):
         dt_arr = jnp.reshape(dt, (1, 1)).astype(P.dtype)
         # keep XLA's fusion passes away from the custom call's operands
         # (address-change fusion around pallas custom-calls crashes the
         # 2026-08 libtpu fusion pass otherwise)
         P, dt_arr = jax.lax.optimization_barrier((P, dt_arr))
+        args = (dt_arr, P) if aux is None else (
+            dt_arr, P, jax.lax.optimization_barrier(aux_cast)
+        )
         if with_inv_dt_mhd:
-            P_new, inv = jax.lax.optimization_barrier(fused(dt_arr, P))
+            P_new, inv = jax.lax.optimization_barrier(fused(*args))
             return P_new, inv[0, 0]
-        return jax.lax.optimization_barrier(fused(dt_arr, P))
+        return jax.lax.optimization_barrier(fused(*args))
 
     return step_packed

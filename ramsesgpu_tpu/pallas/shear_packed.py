@@ -94,8 +94,12 @@ def _make_main_kernel(
     iota (x is ghost-free and lane-exact, so window column == global
     column). With params.compensated the window carries 2*nvar channels
     (state + Kahan carry — see godunov_mhd.mhd_apply_update).
-    ``gravity_z``: stratified-MRI analytic vertical gravity, evaluated
-    per window from the tile's z iota (godunov_mhd gravity hooks)."""
+    ``gravity_z``: stratified-MRI analytic vertical gravity (godunov_mhd
+    gravity hooks). The profile is evaluated ON HOST over the packed z
+    rows and DMA'd in as a per-window aux input plane — in-kernel
+    construction (3D broadcasted_iota + exp) is what SIGABRTed the remote
+    Mosaic compiler in round 4 ("Check failed: limits[i] <= dim(i)",
+    ZCARRY_VALIDATION.json stage strat_small)."""
     from ..ops.backend import BOX, BoxField
     from ..solvers.godunov_mhd import (
         mhd_3d_interior_update,
@@ -110,32 +114,37 @@ def _make_main_kernel(
     bz, by = tiles
     wz = bz + 2 * g
 
-    def update(tile_params, W, dt, margin):
+    aux = None
+    if gravity_z is not None:
+        # packed z row r <-> global plane r - g; full packed-shaped field so
+        # the kernel's window slice is a plain load (no in-kernel broadcast)
+        import numpy as np
+
+        dtype = np.float64 if params.dtype == "float64" else np.float32
+        zc1 = params.zmin + params.dz / 2 + (
+            np.arange(params.nz + 2 * g, dtype=dtype) - g
+        ) * np.asarray(params.dz, dtype)
+        gz1 = np.asarray(gravity_z(jnp.asarray(zc1)), dtype)
+        aux = jnp.asarray(np.broadcast_to(
+            gz1[None, :, None, None],
+            (1, params.nz + 2 * g, params.ny + 2 * YB, nx),
+        ))
+
+    def update(tile_params, W, dt, margin, aux=None):
         i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2).astype(
             W.value.dtype
         )
         xpos = xmin + dx / 2 + i * dx
         gravity = None
-        if gravity_z is not None:
-            zi = pl.program_id(0)
-            # FULL-shape iota, not a (wz,1,1) broadcast: Mosaic aborts on
-            # box-slices of a broadcast dim ("Check failed: limits[i] <=
-            # dim(i)", round-4 stratified probe) — a real 3D iota slices
-            # fine and XLA folds the arithmetic into it
-            kz = jax.lax.broadcasted_iota(
-                jnp.int32, (wz, by + 2 * g, nx), 0
-            ).astype(W.value.dtype)
-            # packed plane zi*bz + kz <-> global plane zi*bz + kz - g
-            zc = params.zmin + params.dz / 2 + (
-                zi * bz + kz - g
-            ) * params.dz
-            gravity = (None, None, BoxField(gravity_z(zc), 0, YB - g))
+        if aux is not None:
+            gz_w = aux[0, :, YB - g : YB + by + g, :]
+            gravity = (None, None, BoxField(gz_w, 0, YB - g))
         # staged demand-driven extents (round 4; xpos is pointwise so the
         # staged schedule stays exact). The GRAVITY variant keeps the
-        # non-staged body: staged+gravity aborts the Mosaic AOT compiler
-        # ("Check failed: limits[i] <= dim(i) (5 vs. 1)", round-4
-        # stratified probe) and the staged flop win measured ~1% here
-        # anyway (10.3 vs 10.4 ms at the flagship MRI grid).
+        # non-staged body: staged+gravity aborted the Mosaic AOT compiler
+        # in round 4 with the in-kernel iota construction, and the staged
+        # flop win measured ~1% here anyway (10.3 vs 10.4 ms at the
+        # flagship MRI grid).
         body = (mhd_3d_interior_update if gravity is not None
                 else mhd_3d_interior_update_staged)
         if params.compensated:
@@ -151,6 +160,7 @@ def _make_main_kernel(
     return make_packed_io_step(
         params, tiles, update, interpret=interpret,
         nvar=2 * nv if params.compensated else None,
+        aux=aux,
     )
 
 
@@ -269,6 +279,24 @@ def _make_strip_kernel(
         nx=g, xmax=params.xmin + g * dx,
     )
 
+    gz3d = None
+    if gravity_z is not None:
+        # gravity rides along as ONE extra input channel in the strip's
+        # transposed [z, x, y] frame: evaluated on host over the ghosted z
+        # rows and broadcast — no in-kernel iota (Mosaic SIGABRT, round 4)
+        import numpy as np
+
+        npdt = np.float64 if params.dtype == "float64" else np.float32
+        zc1 = params.zmin + params.dz / 2 + (
+            np.arange(nz + 2 * g, dtype=npdt) - g
+        ) * np.asarray(params.dz, npdt)
+        gz1 = np.asarray(gravity_z(jnp.asarray(zc1)), npdt)
+        gz3d = jnp.asarray(np.broadcast_to(
+            gz1[None, :, None, None], (1, nz + 2 * g, xw, wy)
+        ))
+
+    n_in = nvc + (1 if gz3d is not None else 0)
+
     def kernel(dt_ref, s_hbm, out_ref, win, sem):
         zi = pl.program_id(0)
         copy = pltpu.make_async_copy(
@@ -288,18 +316,10 @@ def _make_strip_kernel(
                           jnp.where(s < 6 * g, s - 4 * g, 0)).astype(W.dtype)
             xpos = params.xmin + dx / 2 + c * dx
             gravity = None
-            if gravity_z is not None:
-                zi = pl.program_id(0)
-                # full-shape iota: slices of a broadcast dim abort Mosaic
-                # (see _make_main_kernel)
-                kz = jax.lax.broadcasted_iota(
-                    jnp.int32, (wz, xw, wy), 0
-                ).astype(W.dtype)
-                zc = params.zmin + params.dz / 2 + (
-                    zi * bz + kz - g
-                ) * params.dz
-                gravity = (None, None, gravity_z(zc))
-            Wc = W[nv:] if comp else None
+            if gz3d is not None:
+                # the DMA'd gravity channel (see gz3d above)
+                gravity = (None, None, W[nvc])
+            Wc = W[nv:nvc] if comp else None
             fluxes, emfs = _mhd_3d_fluxes_emfs(p_win, W[:nv], dt, xp=JNP_T,
                                                xpos=xpos, gravity=gravity)
             (flux_x, _fy, _fz), (emf_z, emf_y, _ex) = fluxes, emfs
@@ -368,7 +388,7 @@ def _make_strip_kernel(
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((nvc, wz, xw, wy), dtype),
+            pltpu.VMEM((n_in, wz, xw, wy), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -379,6 +399,8 @@ def _make_strip_kernel(
 
     def strip_k(St, dt):
         dt_arr = jnp.reshape(dt, (1, 1)).astype(St.dtype)
+        if gz3d is not None:
+            St = jnp.concatenate([St, gz3d.astype(St.dtype)], axis=0)
         St, dt_arr = jax.lax.optimization_barrier((St, dt_arr))
         return jax.lax.optimization_barrier(fused(dt_arr, St))
 

@@ -154,19 +154,16 @@ def make_step_fn(params: RunParams, config=None) -> Callable:
             and params.dim == 3
             and gravity is not None
             and shear
-            # EXPLICIT opt-in on hardware until the in-kernel gravity
-            # compiles under the remote Mosaic AOT compiler ("Check
-            # failed: limits[i] <= dim(i)" abort, round-4 stratified
-            # probe — the abort also wedged the device tunnel, so
-            # kernel=auto must not walk into it)
-            and (params.kernel in ("pallas", "zcarry")
-                 or jax.default_backend() != "tpu")
         ):
             # STRATIFIED MRI: the vertical gravity is the analytic profile
             # gz = -Omega0^2 z (x optional smooth cutoff,
-            # MHDRunBase.cpp:3163-3245); when the registry field matches it,
-            # the fused shear kernel evaluates it in-kernel and applies the
-            # trace half-kick + conservative source
+            # MHDRunBase.cpp:3163-3245); when the registry field matches
+            # it, the fused shear kernels consume it as a DMA'd aux input
+            # plane (trace half-kick + conservative source in-kernel).
+            # Hardware-validated round 5 (ladder strat_small +
+            # strat_flagship green, 17.2 ms/step at 128x256x128 vs the
+            # 125 ms whole-array fallback of round 4, whose in-kernel
+            # iota construction SIGABRTed the remote Mosaic compiler).
             from ..pallas.fused_mhd3d import pallas_shear_supported
             from ..pallas.shear_packed import shear_packed_supported
 
@@ -309,13 +306,10 @@ def make_advance_n(params: RunParams, config=None) -> Callable:
 
             if shear_packed_supported(params):
                 return make_pallas_shear_advance_n(params)
-        elif backend_ok and (
-            params.kernel in ("pallas", "zcarry")
-            or jax.default_backend() != "tpu"
-        ):
-            # stratified packed advance: explicit opt-in on hardware (the
-            # in-kernel gravity aborts the remote Mosaic AOT compiler —
-            # see make_step_fn's stratified branch)
+        elif backend_ok:
+            # stratified packed advance — hardware-validated round 5
+            # (ladder strat_small/strat_flagship; gz rides as a DMA'd aux
+            # input plane, see make_step_fn's stratified branch)
             from ..pallas.shear_packed import (
                 make_pallas_shear_advance_n,
                 shear_packed_supported,

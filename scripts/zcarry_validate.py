@@ -105,8 +105,7 @@ def _timeit(fn, *args, iters=5):
     return best
 
 
-def _parity(n, with_inv_dt=False, prefetch=False, compensated=False,
-            time_it=False):
+def _parity(n, with_inv_dt=False, compensated=False, time_it=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -128,9 +127,7 @@ def _parity(n, with_inv_dt=False, prefetch=False, compensated=False,
     )
     dt = jnp.asarray(1e-3, P.dtype)
     ref = jax.jit(make_fused_mhd_packed_io(params))
-    zc = jax.jit(make_zcarry_mhd_packed_io(
-        params, with_inv_dt=with_inv_dt, prefetch=prefetch
-    ))
+    zc = jax.jit(make_zcarry_mhd_packed_io(params, with_inv_dt=with_inv_dt))
     print(f"  [{n}^3] packed reference call...", flush=True)
     P_ref = ref(P, dt)
     _sync(P_ref)
@@ -188,10 +185,6 @@ def stage_zc256():
 
 def stage_zc_invdt():
     return _parity(256, with_inv_dt=True, time_it=True)
-
-
-def stage_zc_prefetch():
-    return _parity(256, with_inv_dt=True, prefetch=True, time_it=True)
 
 
 def stage_zc_comp():
@@ -520,15 +513,15 @@ def _strat_setup(nx, ny, nz):
 
 
 def stage_strat_small():
-    """First HARDWARE compile of the stratified shear kernels (in-kernel
-    analytic gz): the staged+gravity body SIGABRTed the remote Mosaic AOT
-    compiler in the first round-4 probe, which is why solvers/step.py
-    gates the stratified packed route behind an explicit kernel=pallas on
-    TPU (commit 60f50dd reworked the iotas + dropped staged extents for
-    the gravity variant). Small grid; the parity reference is the SAME
-    packed step in interpret mode — a Mosaic-miscompile detector (the
-    whole-array comparison, with its per-step legitimate divergence, is
-    the CPU tests' job: tests/test_pallas_shear.py:296)."""
+    """HARDWARE compile of the stratified shear kernels, round-5 redesign:
+    gz is evaluated on HOST and DMA'd in as an aux input plane
+    (packed_io aux / strip gz channel) — the round-4 in-kernel 3D-iota
+    construction SIGABRTed the remote Mosaic AOT compiler
+    ("Check failed: limits[i] <= dim(i)") and wedged the tunnel. Small
+    grid; the parity reference is the SAME packed step in interpret mode —
+    a Mosaic-miscompile detector (the whole-array comparison, with its
+    per-step legitimate divergence, is the CPU tests' job:
+    tests/test_pallas_shear.py:296)."""
     import jax
     import jax.numpy as jnp
 
@@ -605,7 +598,6 @@ STAGES = [
     ("zc128", stage_zc128, 900),
     ("zc256", stage_zc256, 1500),
     ("zc_invdt", stage_zc_invdt, 1500),
-    ("zc_prefetch", stage_zc_prefetch, 1500),
     ("zc_comp", stage_zc_comp, 1200),
     ("advance", stage_advance, 1800),
     ("shear_small", stage_shear_small, 1200),

@@ -727,8 +727,13 @@ def make_sharded_forced_advance_n(params: RunParams, mesh: Mesh, config):
     spec = _state_spec(params)
     t_end = params.t_end
     local_step, wants_gravity = make_local_step(params, mesh, config)
-    if wants_gravity:
-        raise NotImplementedError("forced + gravity runs: single-device only")
+    # forcing + static gravity compose exactly like the reference's MPI
+    # classes (forcing/gravity wrappers on HydroRunBase.h:80-359 inherited
+    # by the Mpi hierarchy): gravity rides in the step, forcing after it
+    Gdev, gspec = (
+        _gravity_windows(params, config, mesh) if wants_gravity
+        else (None, None)
+    )
     isl = (slice(g, -g),) * 3
 
     if params.problem == "turbulence":
@@ -796,7 +801,7 @@ def make_sharded_forced_advance_n(params: RunParams, mesh: Mesh, config):
     else:
         raise ValueError(f"not a forced problem: {params.problem!r}")
 
-    def local_advance(U, F, fstate, t, n_steps):
+    def local_advance(U, G, F, fstate, t, n_steps):
         def cond(carry):
             _, _, t_c, k = carry
             in_time = (t_c < t_end) if t_end > 0 else True
@@ -804,7 +809,7 @@ def make_sharded_forced_advance_n(params: RunParams, mesh: Mesh, config):
 
         def body(carry):
             U_c, f_c, t_c, k = carry
-            U_n, dt = local_step(U_c, None, t_c)
+            U_n, dt = local_step(U_c, G, t_c)
             U_n, f_n = force(U_n, F, f_c, dt)
             return (U_n, f_n, t_c + dt, k + 1)
 
@@ -814,17 +819,30 @@ def make_sharded_forced_advance_n(params: RunParams, mesh: Mesh, config):
         return U_f, f_f, t_f, k_f
 
     fspec = jax.tree.map(lambda _: P(), fstate0)
-    sharded = jax.jit(shard_map(
-        local_advance,
-        mesh=mesh,
-        in_specs=(spec, P(None, *(("z",) if params.dim == 3 else ()), "y", "x"),
-                  fspec, P(), P()),
-        out_specs=(spec, fspec, P(), P()),
-        check_vma=False,
-    ))
+    Fspec = P(None, *(("z",) if params.dim == 3 else ()), "y", "x")
+    if Gdev is None:
+        sharded = jax.jit(shard_map(
+            lambda U, F, fstate, t, n: local_advance(U, None, F, fstate,
+                                                     t, n),
+            mesh=mesh,
+            in_specs=(spec, Fspec, fspec, P(), P()),
+            out_specs=(spec, fspec, P(), P()),
+            check_vma=False,
+        ))
 
-    def advance(U, fstate, t, n_steps):
-        return sharded(U, F_dev, fstate, t, n_steps)
+        def advance(U, fstate, t, n_steps):
+            return sharded(U, F_dev, fstate, t, n_steps)
+    else:
+        sharded = jax.jit(shard_map(
+            local_advance,
+            mesh=mesh,
+            in_specs=(spec, gspec, Fspec, fspec, P(), P()),
+            out_specs=(spec, fspec, P(), P()),
+            check_vma=False,
+        ))
+
+        def advance(U, fstate, t, n_steps):
+            return sharded(U, Gdev, F_dev, fstate, t, n_steps)
 
     return advance, fstate0
 

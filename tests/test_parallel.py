@@ -316,6 +316,60 @@ boundary_zmax=3
     np.testing.assert_allclose(np.asarray(Uo), ref, rtol=1e-5, atol=2e-5)
 
 
+def test_forced_gravity_sharded_parity():
+    """Forcing + static gravity compose under sharding (the reference
+    composes them freely through the HydroRunBase wrapper hierarchy,
+    HydroRunBase.h:80-359; this was a NotImplementedError until round 5):
+    gravity windows thread through the forced advance exactly like the
+    unforced sharded advance."""
+    from ramsesgpu_tpu.solvers.step import make_forced_advance_n
+    from ramsesgpu_tpu.parallel.sharded_step import (
+        make_sharded_forced_advance_n)
+
+    ini = """
+[run]
+tend=10.0
+[mesh]
+nx=16
+ny=16
+nz=16
+boundary_xmin=3
+boundary_xmax=3
+boundary_ymin=3
+boundary_ymax=3
+boundary_zmin=3
+boundary_zmax=3
+[hydro]
+problem=turbulence
+riemannSolver=hllc
+cfl=0.5
+[turbulence]
+density=1.0
+pressure=1.0
+machNumber=1.0
+edot=0.5
+[gravity]
+static_field_z=-0.1
+"""
+    config = ConfigMap(text=ini)
+    params = params_from_config(config)
+    U0 = init_problem(params, config)
+    U = make_boundaries(params, jnp.asarray(U0))
+    adv, f0 = make_forced_advance_n(params, config)
+    Ur, fr, tr, kr = adv(U, f0, jnp.asarray(0.0, U.dtype),
+                         jnp.array(6, jnp.int32))
+    g = params.ghost_width
+    ref = np.asarray(Ur)[(slice(None),) + (slice(g, -g),) * 3]
+
+    mesh = make_mesh(mx=2, my=2, mz=2)
+    Us = shard_global_state(params, mesh, U0)
+    adv_s, f0s = make_sharded_forced_advance_n(params, mesh, config)
+    Uo, fo, to, ko = adv_s(Us, f0s, jnp.asarray(0.0, U.dtype),
+                           jnp.array(6, jnp.int32))
+    assert int(kr) == int(ko) == 6
+    np.testing.assert_allclose(np.asarray(Uo), ref, rtol=1e-5, atol=2e-5)
+
+
 def test_overlap_supported_gating():
     from ramsesgpu_tpu.parallel.overlap import overlap_supported
 

@@ -104,7 +104,6 @@ def make_zcarry_mhd_packed_io(
     tiles: tuple[int, int] | None = None,
     interpret: bool = False,
     with_inv_dt: bool = False,
-    prefetch: bool = False,
     gravity_z=None,
 ) -> Callable:
     """Build ``step_packed(P, dt) -> P_new`` on the packed loop state.
@@ -126,10 +125,9 @@ def make_zcarry_mhd_packed_io(
     channels, and each real tile additionally DMAs the carry channels of
     its own bz output planes (carries are per-cell — no stencil reach).
 
-    ``prefetch``: double-buffer the fresh-plane input DMA through a
-    landing buffer (the direct path stalls ~5-10 us per tile on the DMA
-    wait); kept off by default until the base kernel is
-    hardware-validated.
+    (A landing-buffer input-DMA prefetch variant was hardware-validated in
+    round 4 — parity exact, 40.6 ms at 256^3, NO win over the direct DMA
+    wait — and deleted in round 5: promote-or-delete.)
 
     ``with_inv_dt``: additionally fold the NEXT step's CFL reduction over
     the updated state into the kernel and return ``(P_new, inv_dt)``. The
@@ -205,9 +203,6 @@ def make_zcarry_mhd_packed_io(
         if with_inv_dt:
             prevpl, firstpl, rows0, rows1, firstrow, acc = rest[:6]
             rest = rest[6:]
-        if prefetch:
-            land, sem_land = rest[:2]
-            rest = rest[2:]
         sem_in, sem_out = rest
         sh_bufs = (sh0, sh1, sh2, sh3)
         st_bufs = (st0, st1, st2, st3, st4)
@@ -276,51 +271,16 @@ def make_zcarry_mhd_packed_io(
             def _():
                 comp_dma().start()
 
-        if not prefetch:
-            @pl.when(zi > 0)
-            def _():
-                c = pltpu.make_async_copy(
-                    p_hbm.at[pl.ds(0, nv), pl.ds(g + z0 + 3, bz),
-                             pl.ds(yi * by, wy), :],
-                    u_b.at[:, pl.ds(4, bz)],
-                    sem_in,
-                )
-                c.start()
-                c.wait()
-        else:
-            # landing-buffer prefetch: real tile j's fresh planes were
-            # DMA-started by the previous real tile (or, for each
-            # column's first real tile, by the preceding step); copy
-            # VMEM->VMEM after the copy-down, then start the next fetch.
-            # ONE landing slot: a full tile of compute separates the
-            # land->u_b copy from the next fetch's completion, and the
-            # second slot's 3.1 MB pushed the inv-dt variant past VMEM
-            # on hardware (ladder zc_prefetch, 2026-08-19).
-            j_pre = yi * nzb + (zi - 1)
-
-            def land_dma(jn):
-                # real tile jn = (yn, zn): fresh packed planes
-                yn = jax.lax.div(jn, jnp.int32(nzb))
-                zn0 = jax.lax.rem(jn, jnp.int32(nzb)) * bz
-                return pltpu.make_async_copy(
-                    p_hbm.at[pl.ds(0, nv), pl.ds(g + zn0 + 3, bz),
-                             pl.ds(yn * by, wy), :],
-                    land,
-                    sem_land,
-                )
-
-            @pl.when(i == 0)
-            def _():
-                land_dma(0).start()
-
-            @pl.when(zi > 0)
-            def _():
-                land_dma(j_pre).wait()
-                u_b[:, 4 : 4 + bz] = land[...]
-
-                @pl.when(j_pre + 1 < nyb * nzb)
-                def _():
-                    land_dma(j_pre + 1).start()
+        @pl.when(zi > 0)
+        def _():
+            c = pltpu.make_async_copy(
+                p_hbm.at[pl.ds(0, nv), pl.ds(g + z0 + 3, bz),
+                         pl.ds(yi * by, wy), :],
+                u_b.at[:, pl.ds(4, bz)],
+                sem_in,
+            )
+            c.start()
+            c.wait()
 
         # local-frame U view, clipped to the stencil-consumed y extent
         def u_slab(lo, n):
@@ -702,11 +662,6 @@ def make_zcarry_mhd_packed_io(
     else:
         out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
         out_shape = p_shape
-    if prefetch:
-        scratch += [
-            pltpu.VMEM((nv, bz, wy, nx), dtype),            # landing
-            pltpu.SemaphoreType.DMA,
-        ]
     scratch += [
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA((2,)),

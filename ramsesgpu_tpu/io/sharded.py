@@ -592,6 +592,125 @@ def input_netcdf_pieces(
 
 
 # --------------------------------------------------------------------- #
+# Collective SINGLE-ARTIFACT output: one logical zarr dataset written by
+# every process of a multi-host run (the role of the reference's
+# collective PHDF5/PNetCDF writers, HydroRunBaseMpi.cpp:4835-5557 and
+# :6046-6503, without an MPI-IO dependency). tensorstore chunks are
+# aligned to the shard blocks, so each process writes only whole chunks
+# of its own addressable shards — no read-modify-write races, no
+# gather; downstream tools read ONE store.
+
+
+def _zarr_spec(path, shape, chunks, dtype, create: bool):
+    spec = {
+        "driver": "zarr",
+        "kvstore": {"driver": "file", "path": str(path)},
+    }
+    if create:
+        spec["metadata"] = {
+            "shape": list(shape),
+            "chunks": list(chunks),
+            "dtype": "<f8" if dtype == np.float64 else "<f4",
+            "compressor": None,
+        }
+    return spec
+
+
+def output_zarr_sharded(
+    params: RunParams,
+    U_sharded,
+    n_step: int,
+    total_time: float = 0.0,
+    output_dir: str = ".",
+    prefix: str = "output",
+) -> Path:
+    """Write ONE zarr store collectively: every process streams its own
+    shards into disjoint whole chunks of the shared dataset (shared
+    filesystem assumed, exactly like the reference's MPI-IO).  Process 0
+    creates the store metadata + the attrs sidecar; the others poll for
+    it, then all write concurrently.  Doubles as a restart input
+    (``input_zarr`` / run restart_filename=*.zarr)."""
+    import json
+    import time as _time
+
+    import jax
+    import tensorstore as ts
+
+    os.makedirs(output_dir, exist_ok=True)
+    path = Path(output_dir) / f"{prefix}_{n_step:07d}.zarr"
+    dtype = np.float64 if params.dtype == "float64" else np.float32
+    nv = params.nb_var
+    spatial = (params.nz, params.ny, params.nx)[-params.dim:]
+    shape = (nv,) + spatial
+
+    # chunk = one shard's block (equal decomposition is enforced by
+    # validate_decomposition)
+    _, _, index0 = global_piece_table(U_sharded)[0]
+    chunks = (nv,) + tuple(
+        s.stop - s.start for s in index0[1:]
+    )
+
+    if jax.process_index() == 0:
+        arr = ts.open(
+            _zarr_spec(path, shape, chunks, dtype, create=True),
+            create=True, delete_existing=True,
+        ).result()
+        (path / "attrs.json").write_text(json.dumps({
+            "format": "ramsesgpu_tpu-zarr",
+            "time step": int(n_step),
+            "total time": float(total_time),
+            "nx": params.nx, "ny": params.ny, "nz": params.nz,
+            "ghost width": params.ghost_width,
+            "datasets": list(dataset_names(params)),
+        }))
+    else:
+        deadline = _time.monotonic() + 120.0
+        while not (path / ".zarray").exists():
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"zarr store {path} not created by process 0"
+                )
+            _time.sleep(0.05)
+        arr = ts.open(
+            _zarr_spec(path, shape, chunks, dtype, create=False),
+            open=True,
+        ).result()
+
+    writes = []
+    for index, data in iter_shards(U_sharded):
+        sl = (slice(None),) + tuple(index[1:])
+        writes.append(arr[sl].write(np.asarray(data, dtype=dtype)))
+    for w in writes:
+        w.result()
+    return path
+
+
+def input_zarr(params: RunParams, path) -> tuple[np.ndarray, float, int]:
+    """Read a collective zarr snapshot back into a ghosted global state
+    (zero ghost frame — the run refills boundaries before stepping, the
+    piece readers' convention)."""
+    import json
+
+    import tensorstore as ts
+
+    path = Path(path)
+    meta = json.loads((path / "attrs.json").read_text())
+    if meta.get("format") != "ramsesgpu_tpu-zarr":
+        raise ValueError(f"not a ramsesgpu_tpu zarr store: {path}")
+    arr = ts.open({
+        "driver": "zarr",
+        "kvstore": {"driver": "file", "path": str(path)},
+    }, open=True).result()
+    interior = np.asarray(arr.read().result())
+    g = params.ghost_width
+    dtype = np.float64 if params.dtype == "float64" else np.float32
+    U = np.zeros(params.shape, dtype=dtype)
+    sl = (slice(None),) + (slice(g, -g),) * params.dim
+    U[sl] = interior
+    return U, float(meta["total time"]), int(meta["time step"])
+
+
+# --------------------------------------------------------------------- #
 # Streamed long-tail outputs: small slices extracted under SPMD with a
 # replicated result — the global volume is never gathered.
 

@@ -48,6 +48,10 @@ class Run:
         self.output_netcdf = config.get_bool(
             "output", "outputNetcdf4", False
         ) or config.get_bool("output", "outputNetcdf", False)
+        # collective single-artifact output for distributed runs (the
+        # reference's PHDF5/PNetCDF single-shared-file role — see
+        # io/sharded.output_zarr_sharded)
+        self.output_zarr = config.get_bool("output", "outputZarr", False)
         self.ghost_included = config.get_bool("output", "ghostIncluded", False)
         self.n_log = config.get_integer("run", "nlog", 0)
         self.sf_enabled = config.get_bool("structureFunctions", "enabled", False)

@@ -137,6 +137,16 @@ class DistributedRun(Run):
                     self.params, self.U, self.n_step, total_time=self.t,
                     output_dir=self.output_dir, prefix=self.output_prefix,
                 )
+            if self.output_zarr:
+                # ONE logical store written collectively by every process
+                # (the true single-shared-artifact successor of the
+                # reference's collective PHDF5/PNetCDF writers)
+                from ..io.sharded import output_zarr_sharded
+
+                output_zarr_sharded(
+                    self.params, self.U, self.n_step, total_time=self.t,
+                    output_dir=self.output_dir, prefix=self.output_prefix,
+                )
         # --- streamed long-tail outputs: PNG / face dumps / online SF all
         # run as SPMD slice-or-reduce programs over the mesh (io/sharded.py,
         # analysis/structure_functions.py) — the global volume is never

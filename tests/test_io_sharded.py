@@ -93,6 +93,40 @@ def test_hdf5_sharded_matches_serial_and_restarts(sharded_state, tmp_path):
     assert path.with_suffix(".xmf").exists()
 
 
+def test_zarr_sharded_roundtrip(sharded_state, tmp_path):
+    """Collective single-artifact zarr output (the reference's shared-file
+    PHDF5/PNetCDF role, HydroRunBaseMpi.cpp:4835-5557, 6046-6503): shards
+    write disjoint whole chunks of ONE store; the reader and the restart
+    dispatch recover the exact state."""
+    from ramsesgpu_tpu.io.sharded import input_zarr, output_zarr_sharded
+
+    params, Us, interior = sharded_state
+    path = output_zarr_sharded(params, Us, 7, total_time=0.5,
+                               output_dir=str(tmp_path), prefix="ot3d")
+    assert path.name == "ot3d_0000007.zarr"
+    # chunk layout is shard-aligned: 8 chunks + metadata + attrs sidecar
+    assert (path / ".zarray").exists() and (path / "attrs.json").exists()
+    U2, t2, step2 = input_zarr(params, path)
+    assert (t2, step2) == (0.5, 7)
+    g = params.ghost_width
+    sl = (slice(None),) + (slice(g, -g),) * params.dim
+    np.testing.assert_array_equal(U2[sl], interior)
+
+    # restart dispatch on the .zarr suffix
+    from ramsesgpu_tpu.io.restart import load_restart
+
+    config = ConfigMap(text=MHD3D_INI + f"""
+[run]
+restart=1
+restart_filename={path.name}
+[output]
+outputDir={tmp_path}
+""")
+    U3, t3, step3 = load_restart(params, config)
+    np.testing.assert_array_equal(np.asarray(U3)[sl], interior)
+    assert (float(t3), int(step3)) == (0.5, 7)
+
+
 def test_distributed_run_writes_pieces(tmp_path):
     """DistributedRun.output() streams pieces by default and the converter
     (read_pvti) reassembles them to the gathered interior."""

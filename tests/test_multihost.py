@@ -72,6 +72,7 @@ outputDir={outdir}
 outputPrefix=mp
 outputVtk=yes
 outputHdf5=yes
+outputZarr=yes
 [history]
 enabled=yes
 """
@@ -181,6 +182,18 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         name = f"mp_0000004_p{k_piece:04d}.vti"
         assert name in text
         assert (outdir / name).exists(), name
+
+    # --- the collective SINGLE zarr store: both processes wrote disjoint
+    # chunks of one logical dataset (the reference's shared-file PHDF5 /
+    # PNetCDF role without MPI-IO); it assembles bitwise
+    from ramsesgpu_tpu.io.sharded import input_zarr
+
+    store = outdir / "mp_0000004.zarr"
+    assert store.is_dir(), sorted(os.listdir(outdir))
+    U_zarr, t_zarr, step_zarr = input_zarr(params, store)
+    np.testing.assert_array_equal(U_zarr[sl], ref)
+    assert step_zarr == 4
+    np.testing.assert_allclose(t_zarr, float(t), rtol=1e-7)
 
     # --- exactly one history file, written by process 0 only, with
     # one header + (t=0 sample is cadence-dependent) >= 1 data line

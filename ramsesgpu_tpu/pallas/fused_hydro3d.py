@@ -85,19 +85,42 @@ def make_fused_hydro_update(
         zmax=params.zmin + bz * params.dz,
     )
 
+    nzb, nyb = grid
+
     def kernel(dt_ref, u_hbm, out_ref, win, sem):
         from ..ops.backend import BOX, BoxField
 
         zi = pl.program_id(0)
         yi = pl.program_id(1)
-        copy = pltpu.make_async_copy(
-            u_hbm.at[:, pl.ds(zi * bz, wz), pl.ds(yi * by, wy), :], win, sem
-        )
-        copy.start()
-        copy.wait()
+        i = zi * nyb + yi
+        slot = jax.lax.rem(i, jnp.int32(2))
+
+        def in_dma(z, y, s):
+            return pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(z * bz, wz), pl.ds(y * by, wy), :],
+                win.at[s],
+                sem.at[s],
+            )
+
+        # double-buffered input: overlap the next window's fetch with this
+        # window's compute (the blocking per-window copy serialized ~19 ms
+        # of margin re-read DMA against ~20 ms of compute at 256^3 —
+        # measured 43.4 ms/launch before this, scripts/hydro_phase_timing)
+        @pl.when(i == 0)
+        def _():
+            in_dma(zi, yi, slot).start()
+
+        @pl.when(i + 1 < nzb * nyb)
+        def _():
+            yn = yi + 1
+            zn = jnp.where(yn == nyb, zi + 1, zi)
+            yn = jnp.where(yn == nyb, 0, yn)
+            in_dma(zn, yn, 1 - slot).start()
+
+        in_dma(zi, yi, slot).wait()
         # box-tracked pipeline: intermediates shrink in z/y (ops/backend.py)
         out_ref[...] = hydro_3d_interior_update(
-            tile_params, BoxField(win[...], 0, 0), dt_ref[0, 0],
+            tile_params, BoxField(win[slot], 0, 0), dt_ref[0, 0],
             margin=(m, m, mx), xp=BOX,
         )
 
@@ -118,8 +141,8 @@ def make_fused_hydro_update(
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((nv, wz, wy, wx), out_shape.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, nv, wz, wy, wx), out_shape.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
@@ -285,12 +308,34 @@ def make_pallas_hydro_step_fn(params: RunParams) -> Callable:
             return U_new, dt
 
     else:
+        from ..solvers.boundary import (
+            concat_fill_supported,
+            make_boundaries_concat,
+        )
 
-        def step(U, t):
-            dt = compute_dt(params, U)
-            U_b = make_boundaries(params, U)
-            new_int = fused(U_b, dt)
-            U_new = U_b.at[interior].set(new_int)
-            return U_new, dt
+        if concat_fill_supported(params):
+            # ghosts are valid on entry (every step returns them freshly
+            # filled; make_boundaries is idempotent so this matches the
+            # whole-array fill-then-update ordering bitwise): one kernel
+            # launch + one concat-based fill around the new interior
+            # replaces fill (55.6 ms) + merge (9.9 ms) at 256^3 — the
+            # make_boundary<BC,loc> band writes, batched per axis
+            # (reference: make_boundary_base.h:33-40)
+            def step(U, t):
+                dt = compute_dt(params, U)
+                new_int = fused(U, dt)
+                U_new = make_boundaries_concat(
+                    params, new_int, interior_only=True
+                )
+                return U_new, dt
+
+        else:
+
+            def step(U, t):
+                dt = compute_dt(params, U)
+                U_b = make_boundaries(params, U)
+                new_int = fused(U_b, dt)
+                U_new = U_b.at[interior].set(new_int)
+                return U_new, dt
 
     return step

@@ -121,6 +121,81 @@ def make_jet(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
     return U
 
 
+def concat_fill_supported(params: RunParams) -> bool:
+    """True when every face is DIRICHLET / NEUMANN / PERIODIC — the cases
+    ``make_boundaries_concat`` covers (no shear remap, no stratified
+    hydrostatic fill, no jet rewrite)."""
+    simple = (BCT.BC_DIRICHLET, BCT.BC_NEUMANN, BCT.BC_PERIODIC)
+    return (
+        all(b in simple for b in params.boundary_types)
+        and params.problem not in ("jet", "Jet")
+    )
+
+
+def make_boundaries_concat(
+    params: RunParams, U: jnp.ndarray, interior_only: bool = False
+) -> jnp.ndarray:
+    """Bitwise-equal ``make_boundaries`` for the simple BC types, built
+    from ONE concatenate per axis instead of per-face dynamic-update
+    slices.  On TPU the six sequential ``.at[].set`` fills cost a full
+    HBM copy EACH (measured 55.6 ms at 256^3 hydro,
+    scripts/hydro_phase_timing.py); three concats cost three copies
+    (~3.4 ms).  Axis order X then Y then Z, like make_boundaries, so
+    corner ghosts pick up already-filled transverse ghosts.
+
+    ``interior_only=True``: U carries NO ghost frame — each axis's concat
+    adds its own (the fused-kernel step path, which grows the ghosted
+    state straight around the kernel's new interior)."""
+    if not concat_fill_supported(params):
+        if interior_only:
+            pad = ((0, 0),) + ((params.ghost_width,) * 2,) * params.dim
+            U = jnp.pad(U, pad)
+        return make_boundaries(params, U)
+    gw = params.ghost_width
+    bts = params.boundary_types
+    axes = (_X, _Y) if params.dim == 2 else (_X, _Y, _Z)
+
+    for k, axis in enumerate(axes):
+        bmin, bmax = bts[2 * k], bts[2 * k + 1]
+        if interior_only:
+            n = U.shape[axis]
+            mid = U
+        else:
+            n = U.shape[axis] - 2 * gw
+            mid = _take(U, axis, slice(gw, gw + n))
+
+        def band(bc, is_max):
+            if bc == BCT.BC_PERIODIC:
+                return _take(
+                    mid, axis, slice(n - gw, n) if not is_max
+                    else slice(0, gw)
+                )
+            if bc == BCT.BC_NEUMANN:
+                edge = _take(
+                    mid, axis, slice(0, 1) if not is_max
+                    else slice(n - 1, n)
+                )
+                return jnp.concatenate([edge] * gw, axis=axis)
+            # BC_DIRICHLET: mirror with sign flip on the normal velocity
+            # (and face-B for MHD) — same formulas as _fill_side
+            nvel = _NORMAL_VEL[axis]
+            sign = jnp.ones((U.shape[0],) + (1,) * (U.ndim - 1),
+                            dtype=U.dtype)
+            sign = sign.at[nvel].set(-1.0)
+            if params.mhd:
+                sign = sign.at[_NORMAL_B[axis]].set(-1.0)
+            src = _take(
+                mid, axis, slice(gw - 1, None, -1) if not is_max
+                else slice(n - 1, n - gw - 1, -1)
+            )
+            return sign * src
+
+        U = jnp.concatenate(
+            [band(bmin, False), mid, band(bmax, True)], axis=axis
+        )
+    return U
+
+
 def make_boundaries(params: RunParams, U: jnp.ndarray) -> jnp.ndarray:
     """Fill all ghost layers.
 

@@ -153,6 +153,95 @@ def test_packed_inv_dt_matches_ghosted():
     assert float(params.cfl / inv) == float(compute_dt(params, U))
 
 
+IMPLODE3D_INI = """
+[mesh]
+nx={nx}
+ny={ny}
+nz={nz}
+boundary_xmin={bxmin}
+boundary_xmax=1
+boundary_ymin=1
+boundary_ymax={bymax}
+boundary_zmin=1
+boundary_zmax=1
+[hydro]
+problem=implode
+riemannSolver=hllc
+"""
+
+
+@pytest.mark.parametrize("bcs", [(1, 1), (2, 3)])
+def test_boundaries_concat_bitwise(bcs):
+    """make_boundaries_concat is bitwise make_boundaries for every simple
+    BC mix (Dirichlet mirror+sign-flip / Neumann / periodic), in both the
+    ghosted and the interior-only entry forms."""
+    from ramsesgpu_tpu.solvers.boundary import (
+        concat_fill_supported,
+        make_boundaries_concat,
+    )
+
+    bxmin, bymax = bcs
+    config = ConfigMap(text=IMPLODE3D_INI.format(
+        nx=16, ny=8, nz=8, bxmin=bxmin, bymax=bymax))
+    params = params_from_config(config)
+    assert concat_fill_supported(params)
+    rng = np.random.default_rng(7)
+    U = jnp.asarray(rng.normal(size=params.shape).astype(np.float32))
+    ref = np.asarray(make_boundaries(params, U))
+    out = np.asarray(make_boundaries_concat(params, U))
+    np.testing.assert_array_equal(out, ref)
+    g = params.ghost_width
+    interior = U[(slice(None),) + (slice(g, -g),) * 3]
+    out2 = np.asarray(
+        make_boundaries_concat(params, interior, interior_only=True)
+    )
+    np.testing.assert_array_equal(out2, ref)
+
+
+def test_pallas_hydro_step_nonperiodic_matches_whole_array():
+    """The reflective-BC fused hydro step (kernel + concat fill around the
+    new interior — no whole-array fill/merge passes) tracks the
+    whole-array step over several steps."""
+    import ramsesgpu_tpu.pallas as pallas_pkg
+    from ramsesgpu_tpu.pallas.fused_hydro3d import (
+        hydro_pallas_supported,
+        make_pallas_hydro_step_fn,
+    )
+    from ramsesgpu_tpu.solvers.step import make_step_fn
+
+    config = ConfigMap(text=IMPLODE3D_INI.format(
+        nx=16, ny=16, nz=8, bxmin=1, bymax=1))
+    params = params_from_config(config)
+    assert hydro_pallas_supported(params)
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+
+    ref_step = make_step_fn(params)          # whole-array on CPU
+    pallas_pkg.INTERPRET = True
+    try:
+        kern_step = make_pallas_hydro_step_fn(params)
+        Ur = Uk = U0
+        t = jnp.asarray(0.0, U0.dtype)
+        for _ in range(3):
+            Ur, dtr = ref_step(Ur, t)
+            Uk, dtk = kern_step(Uk, t)
+            # different fusion contexts -> FMA-contraction ULPs on dt
+            assert abs(float(dtr) - float(dtk)) < 1e-6 * float(dtr)
+            t = t + dtr
+    finally:
+        pallas_pkg.INTERPRET = False
+    # interiors must track; the returned ghost frames differ by design
+    # (the whole-array step returns PRE-step ghosts + new interior, the
+    # fused step returns ghosts freshly filled from the new interior —
+    # both are refreshed before the next kernel, so trajectories match)
+    g = params.ghost_width
+    sl = (slice(None),) + (slice(g, -g),) * 3
+    np.testing.assert_allclose(
+        np.asarray(Uk)[sl], np.asarray(Ur)[sl], rtol=0, atol=1e-5)
+    # and the fused step's ghosts are exactly a fresh fill of its interior
+    np.testing.assert_array_equal(
+        np.asarray(Uk), np.asarray(make_boundaries(params, Uk)))
+
+
 @pytest.mark.parametrize("dims,solver", [
     ((32, 16, 16), "hllc"),
     ((16, 24, 8), "hll"),

@@ -132,6 +132,41 @@ def concat_fill_supported(params: RunParams) -> bool:
     )
 
 
+def ghost_band(
+    params: RunParams, mid: jnp.ndarray, axis: int, bc: BCT, is_max: bool
+) -> jnp.ndarray:
+    """The ``ghost_width``-wide ghost band adjacent to one side of ``mid``
+    (which carries NO ghost layers along ``axis``), per the simple BC types.
+    Bitwise-identical to the bands ``make_boundaries`` writes; shared by the
+    concat fill below and the packed non-periodic seam rebuild
+    (pallas/fused_hydro3d.make_pallas_hydro_nonperiodic_advance_n)."""
+    gw = params.ghost_width
+    n = mid.shape[axis]
+    if bc == BCT.BC_PERIODIC:
+        return _take(
+            mid, axis, slice(n - gw, n) if not is_max else slice(0, gw)
+        )
+    if bc == BCT.BC_NEUMANN:
+        edge = _take(
+            mid, axis, slice(0, 1) if not is_max else slice(n - 1, n)
+        )
+        return jnp.concatenate([edge] * gw, axis=axis)
+    if bc != BCT.BC_DIRICHLET:
+        raise ValueError(f"no concat ghost band for boundary type {bc!r}")
+    # BC_DIRICHLET: mirror with sign flip on the normal velocity
+    # (and face-B for MHD) — same formulas as _fill_side
+    nvel = _NORMAL_VEL[axis]
+    sign = jnp.ones((mid.shape[0],) + (1,) * (mid.ndim - 1), dtype=mid.dtype)
+    sign = sign.at[nvel].set(-1.0)
+    if params.mhd:
+        sign = sign.at[_NORMAL_B[axis]].set(-1.0)
+    src = _take(
+        mid, axis, slice(gw - 1, None, -1) if not is_max
+        else slice(n - 1, n - gw - 1, -1)
+    )
+    return sign * src
+
+
 def make_boundaries_concat(
     params: RunParams, U: jnp.ndarray, interior_only: bool = False
 ) -> jnp.ndarray:
@@ -164,34 +199,13 @@ def make_boundaries_concat(
             n = U.shape[axis] - 2 * gw
             mid = _take(U, axis, slice(gw, gw + n))
 
-        def band(bc, is_max):
-            if bc == BCT.BC_PERIODIC:
-                return _take(
-                    mid, axis, slice(n - gw, n) if not is_max
-                    else slice(0, gw)
-                )
-            if bc == BCT.BC_NEUMANN:
-                edge = _take(
-                    mid, axis, slice(0, 1) if not is_max
-                    else slice(n - 1, n)
-                )
-                return jnp.concatenate([edge] * gw, axis=axis)
-            # BC_DIRICHLET: mirror with sign flip on the normal velocity
-            # (and face-B for MHD) — same formulas as _fill_side
-            nvel = _NORMAL_VEL[axis]
-            sign = jnp.ones((U.shape[0],) + (1,) * (U.ndim - 1),
-                            dtype=U.dtype)
-            sign = sign.at[nvel].set(-1.0)
-            if params.mhd:
-                sign = sign.at[_NORMAL_B[axis]].set(-1.0)
-            src = _take(
-                mid, axis, slice(gw - 1, None, -1) if not is_max
-                else slice(n - 1, n - gw - 1, -1)
-            )
-            return sign * src
-
         U = jnp.concatenate(
-            [band(bmin, False), mid, band(bmax, True)], axis=axis
+            [
+                ghost_band(params, mid, axis, bmin, False),
+                mid,
+                ghost_band(params, mid, axis, bmax, True),
+            ],
+            axis=axis,
         )
     return U
 

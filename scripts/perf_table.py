@@ -50,7 +50,7 @@ ROWS = [
         "quick": {"nx": 128, "ny": 128},
     },
     {
-        "name": "hydro 3D (implode, HLLC)",
+        "name": "hydro 3D (implode, approx)",
         "ini": "data/implode3d.ini",
         "size": {"nx": 256, "ny": 256, "nz": 256},
         "quick": {"nx": 32, "ny": 32, "nz": 32},
@@ -60,7 +60,7 @@ ROWS = [
     {
         # the packed hydro kernel's row (reflective implode above runs the
         # whole-array fallback; the fused path needs fully periodic BCs)
-        "name": "hydro 3D periodic (blast, HLLC)",
+        "name": "hydro 3D periodic (blast, approx)",
         "ini": "data/implode3d.ini",
         "size": {"nx": 256, "ny": 256, "nz": 256},
         "quick": {"nx": 32, "ny": 32, "nz": 32},

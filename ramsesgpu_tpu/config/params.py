@@ -119,9 +119,12 @@ class RunParams:
     pallas_tiles: tuple[int, int] | None = None  # (bz, by) override
     # shearing box: fold the sheared-slab build, flux/emfY remap, border
     # corrections and kept-Bx CT into the strip kernel ([implementation]
-    # stripFused; needs lane-exact ny — pallas/shear_packed.py). Opt-in
-    # until hardware-validated (uses Mosaic dynamic lane rolls).
-    strip_fused: bool = False
+    # stripFused; needs lane-exact ny — pallas/shear_packed.py).
+    # None = auto: ON for dissipative shear runs (two strip passes per
+    # step there; the XLA strip glue measured 40.9 vs 26.1 ms/step for
+    # viscous-resistive MRI at 128x256x128 on the v5e, round 5), OFF for
+    # ideal MRI (measured a slight loss, 16.8 vs 16.4, round 4).
+    strip_fused: bool | None = None
     # sharded path: overlap the bulk halo exchange with the deep-interior
     # update ([implementation] haloOverlap; see parallel/overlap.py)
     halo_overlap: bool = False
@@ -313,7 +316,12 @@ def params_from_config(config: ConfigMap, **overrides) -> RunParams:
         pjet=config.get_float("jet", "pjet", 0.0),
         offset_jet=config.get_integer("jet", "offsetJet", 0),
         kernel=config.get_string("implementation", "kernel", "auto"),
-        strip_fused=config.get_bool("implementation", "stripFused", False),
+        strip_fused=(
+            None
+            if config.get_string("implementation", "stripFused", "auto")
+            .lower() in ("auto", "")
+            else config.get_bool("implementation", "stripFused", False)
+        ),
         fold_cfl=config.get_bool("implementation", "foldCfl", False),
         halo_overlap=config.get_bool("implementation", "haloOverlap", False),
         dtype=config.get_string("implementation", "dtype", "float32"),

@@ -858,9 +858,17 @@ def make_shear_packed_step(
 
     stratified = gravity_z is not None
     tiles = tiles or _pick_tiles(params)
+    # stripFused=auto (None): ON for dissipative runs — those pay the XLA
+    # strip glue twice per step (Godunov + dissipation sub-step) and the
+    # fused strip measured 26.1 vs 40.9 ms/step for viscous-resistive MRI
+    # at 128x256x128 (round 5, v5e); OFF for ideal MRI (16.8 vs 16.4,
+    # round 4: one strip pass doesn't amortize the fused launch).
+    use_strip_fused = params.strip_fused
+    if use_strip_fused is None:
+        use_strip_fused = params.nu > 0 or params.eta > 0
     fused_strip = fused_strip_d = None
     if (
-        params.strip_fused
+        use_strip_fused
         and not stratified
         and strip_fused_supported(params.replace(pallas_tiles=tiles))
     ):

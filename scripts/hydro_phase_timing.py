@@ -28,7 +28,8 @@ from ramsesgpu_tpu.utils.platform import honor_platform_env
 
 
 def _sync(x):
-    return float(jnp.sum(jnp.ravel(x)[:8]))
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.sum(jnp.ravel(leaf)[:8]))
 
 
 def _timeit(fn, *args, iters=10):

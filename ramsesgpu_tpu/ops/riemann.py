@@ -74,14 +74,28 @@ def riemann_approx(params: RunParams, ql, qr, xp=None):
     pold = pstar
     conv = xp.ones_like(pstar)
 
+    # Newton loop, flop-trimmed for the VPU (the fused hydro kernel is
+    # compute-bound on exactly this unroll — 45 vs 17 ms/step at 256^3
+    # approx vs HLLC): the loop-invariant 1/pl, 1/pr are hoisted, and
+    # each sqrt+divide pair collapses to one rsqrt + multiplies
+    # (w = w^2 * rsqrt(w^2), (p-pl)/w = (p-pl)*rsqrt(w^2)). Same
+    # two-shock Newton recurrence (riemann.h:64-89), same convergence
+    # mask semantics; rounding differs from the literal form at ULP
+    # level, as any refactoring of float expressions does.
+    inv_pl = 1.0 / pl
+    inv_pr = 1.0 / pr
     for _ in range(params.niter_riemann):
         active = conv > 1e-6
-        wwl = xp.sqrt(cl * (1.0 + gamma6 * (pold - pl) / pl))
-        wwr = xp.sqrt(cr * (1.0 + gamma6 * (pold - pr) / pr))
-        qgl = 2.0 * wwl * wwl * wwl / (wwl * wwl + cl)
-        qgr = 2.0 * wwr * wwr * wwr / (wwr * wwr + cr)
-        usl = ul - (pold - pl) / wwl
-        usr = ur + (pold - pr) / wwr
+        wwl2 = cl * (1.0 + gamma6 * (pold - pl) * inv_pl)
+        wwr2 = cr * (1.0 + gamma6 * (pold - pr) * inv_pr)
+        rwl = 1.0 / xp.sqrt(wwl2)
+        rwr = 1.0 / xp.sqrt(wwr2)
+        wwl = wwl2 * rwl
+        wwr = wwr2 * rwr
+        qgl = 2.0 * wwl2 * wwl / (wwl2 + cl)
+        qgr = 2.0 * wwr2 * wwr / (wwr2 + cr)
+        usl = ul - (pold - pl) * rwl
+        usr = ur + (pold - pr) * rwr
         delp = xp.maximum(qgr * qgl / (qgr + qgl) * (usl - usr), -pold)
         pnew = pold + delp
         cnew = xp.abs(delp / (pnew + smallpp))

@@ -284,6 +284,76 @@ def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
     return advance_n
 
 
+def make_pallas_hydro_bc_advance_n(params: RunParams) -> Callable:
+    """Padded-carry advance loop for NON-periodic (mixed simple-BC) 3D
+    hydro (pallas/packed_bc.py): the loop state stays in the lane-padded
+    ghosted layout, ghost lanes/bands are rebuilt IN-KERNEL from the
+    fresh update, and dt comes from the streaming CFL kernel — replacing
+    the per-step pad + concat-fill + XLA-reduction passes of the ghosted
+    step path (57.2 -> see PERF.md "hydro 3D (implode, approx)").
+    The reference's equivalent machinery is the make_boundary<BC,loc>
+    kernel set (src/hydro/make_boundary_base.h:33-40)."""
+    from ..solvers.boundary import make_boundaries_concat
+    from ..solvers.godunov import hydro_3d_interior_update
+    from ..solvers.timestep import compute_inv_dt_hydro
+    from ..ops.backend import BOX
+    from .packed_bc import (
+        make_packed_bc_step,
+        make_packed_cfl_hydro,
+        pack_bc_state,
+        packed_bc_supported,
+        padded_width,
+        unpack_bc_state,
+    )
+
+    g = params.ghost_width
+    tiles = params.pallas_tiles or _pick_tiles(params)
+    if not packed_bc_supported(params, tiles):
+        raise ValueError("configuration outside the packed-BC hydro loop")
+
+    def update(tile_params, U, dt, margin):
+        return hydro_3d_interior_update(
+            tile_params, U, dt, margin=margin, xp=BOX
+        )
+
+    fused = make_packed_bc_step(params, tiles, update)
+    cfl = make_packed_cfl_hydro(params, x_off=g, wx=padded_width(params))
+    t_end = params.t_end
+
+    def dt_of(S):
+        if cfl is not None:
+            return params.cfl / cfl(S)
+        return params.cfl / compute_inv_dt_hydro(
+            params, unpack_bc_state(params, S), ghost=0
+        )
+
+    @jax.jit
+    def advance_n(U, t, n_steps):
+        # ghosts must be valid on entry (the run loop fills them before
+        # the first chunk; every chunk returns them freshly filled)
+        S0 = pack_bc_state(params, U)
+
+        def cond(carry):
+            _, t_c, k = carry
+            in_time = (t_c < t_end) if t_end > 0 else True
+            return jnp.logical_and(k < n_steps, in_time)
+
+        def body(carry):
+            S, t_c, k = carry
+            dt = dt_of(S)
+            return (fused(S, dt), t_c + dt, k + 1)
+
+        S_f, t_f, k_f = jax.lax.while_loop(
+            cond, body, (S0, t, jnp.array(0, jnp.int32))
+        )
+        U_f = make_boundaries_concat(
+            params, unpack_bc_state(params, S_f), interior_only=True
+        )
+        return U_f, t_f, k_f
+
+    return advance_n
+
+
 def make_pallas_hydro_step_fn(params: RunParams) -> Callable:
     """(U, t) -> (U', dt) on the ghosted state, via the fused hydro kernel.
 

@@ -137,9 +137,9 @@ def ghost_band(
 ) -> jnp.ndarray:
     """The ``ghost_width``-wide ghost band adjacent to one side of ``mid``
     (which carries NO ghost layers along ``axis``), per the simple BC types.
-    Bitwise-identical to the bands ``make_boundaries`` writes; shared by the
-    concat fill below and the packed non-periodic seam rebuild
-    (pallas/fused_hydro3d.make_pallas_hydro_nonperiodic_advance_n)."""
+    Bitwise-identical to the bands ``make_boundaries`` writes; shared by
+    the concat fill below, and mirrored in-kernel by the padded-carry BC
+    loop (pallas/packed_bc.py band builders)."""
     gw = params.ghost_width
     n = mid.shape[axis]
     if bc == BCT.BC_PERIODIC:

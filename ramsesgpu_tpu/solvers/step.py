@@ -344,10 +344,16 @@ def make_advance_n(params: RunParams, config=None) -> Callable:
             from ..pallas.fused_hydro3d import (
                 hydro_packed_supported,
                 make_pallas_hydro_advance_n,
+                make_pallas_hydro_bc_advance_n,
             )
+            from ..pallas.packed_bc import packed_bc_supported
 
             if hydro_packed_supported(params):
                 return make_pallas_hydro_advance_n(params)
+            if packed_bc_supported(params):
+                # non-periodic walls: padded-carry loop with in-kernel
+                # ghost maintenance (pallas/packed_bc.py)
+                return make_pallas_hydro_bc_advance_n(params)
 
     step = make_step_fn(params, config)
     t_end = params.t_end

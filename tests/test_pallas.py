@@ -558,3 +558,88 @@ def test_zcarry_hydro_advance_n_matches_packed():
     np.testing.assert_allclose(
         np.asarray(U_z), np.asarray(U_p), rtol=0, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("bcs", [(1, 1), (2, 3)])
+def test_packed_bc_advance_matches_step(bcs):
+    """The padded-carry non-periodic hydro advance (pallas/packed_bc.py:
+    in-kernel ghost band maintenance + streaming CFL) tracks the
+    whole-array step loop over several steps, and its returned ghost
+    frame is exactly a fresh fill of the final interior."""
+    import ramsesgpu_tpu.pallas as pallas_pkg
+    from ramsesgpu_tpu.pallas.fused_hydro3d import (
+        make_pallas_hydro_bc_advance_n,
+    )
+    from ramsesgpu_tpu.pallas.packed_bc import packed_bc_supported
+    from ramsesgpu_tpu.solvers.step import make_step_fn
+
+    bxmin, bymax = bcs
+    config = ConfigMap(text=IMPLODE3D_INI.format(
+        nx=16, ny=16, nz=8, bxmin=bxmin, bymax=bymax))
+    params = params_from_config(config)
+    assert packed_bc_supported(params)
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+
+    ref_step = make_step_fn(params)          # whole-array on CPU
+    Ur = U0
+    t = jnp.asarray(0.0, U0.dtype)
+    for _ in range(3):
+        Ur, dtr = ref_step(Ur, t)
+        Ur = make_boundaries(params, Ur)
+        t = t + dtr
+
+    pallas_pkg.INTERPRET = True
+    try:
+        advance = make_pallas_hydro_bc_advance_n(params)
+        Uk, tk, k = advance(U0, jnp.asarray(0.0, U0.dtype),
+                            jnp.array(3, jnp.int32))
+    finally:
+        pallas_pkg.INTERPRET = False
+    assert int(k) == 3
+    assert abs(float(tk) - float(t)) < 1e-6 * max(float(t), 1e-30)
+    g = params.ghost_width
+    sl = (slice(None),) + (slice(g, -g),) * 3
+    np.testing.assert_allclose(
+        np.asarray(Uk)[sl], np.asarray(Ur)[sl], rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(Uk), np.asarray(make_boundaries(params, Uk)))
+
+
+def test_packed_cfl_hydro_bitwise():
+    """The streaming hydro CFL kernel == compute_inv_dt_hydro, on both
+    loop layouts (x-ghost-free packed and lane-padded BC)."""
+    from ramsesgpu_tpu.pallas.packed_bc import (
+        make_packed_cfl_hydro,
+        pack_bc_state,
+        padded_width,
+    )
+    from ramsesgpu_tpu.pallas.packed_io import pack_state
+    from ramsesgpu_tpu.solvers.timestep import compute_inv_dt_hydro
+
+    config = ConfigMap(text=IMPLODE3D_INI.format(
+        nx=16, ny=16, nz=8, bxmin=1, bymax=1))
+    params = params_from_config(config)
+    U = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    # non-trivial velocities so |u| terms matter
+    rng = np.random.default_rng(3)
+    U = U.at[1:4].add(
+        jnp.asarray(0.1 * rng.normal(size=U[1:4].shape).astype(np.float32))
+    )
+    U = make_boundaries(params, U)
+    g = params.ghost_width
+
+    want = float(compute_inv_dt_hydro(params, U))
+
+    S = pack_bc_state(params, U)
+    cfl_bc = make_packed_cfl_hydro(
+        params, x_off=g, wx=padded_width(params), interpret=True)
+    assert float(cfl_bc(S)) == want
+
+    # all-periodic packed layout
+    config2 = ConfigMap(text=HYDRO3D_INI.format(
+        nx=16, ny=16, nz=8, solver="hllc"))
+    params2 = params_from_config(config2)
+    U2 = make_boundaries(params2, jnp.asarray(init_problem(params2, config2)))
+    P = pack_state(params2, U2[:, g:-g, g:-g, g:-g])
+    cfl_p = make_packed_cfl_hydro(params2, interpret=True)
+    assert float(cfl_p(P)) == float(compute_inv_dt_hydro(params2, U2))

@@ -135,6 +135,14 @@ class RunParams:
     # path, and the strided seam pass costs more than the full streaming
     # CFL kernel's sequential re-read it replaces. Default off.
     fold_cfl: bool = False
+    # MHD trace: assemble the 18 face/edge state stacks as ONE fused
+    # concatenate that builders slice, instead of 18 separate stacks
+    # ([implementation] traceMerged). Each separate stack is a fusion
+    # root that XLA/Mosaic duplicates the shared half-step chain into —
+    # measured 12.2k flops/cell duplicated vs ~2.5k computed-once on the
+    # XLA cost model (scripts/trace_dup_probe.py). Hardware verdict
+    # decides the default.
+    trace_merged: bool = False
 
     # precision: "float32" (reference single) or "float64" (reference USE_DOUBLE)
     dtype: str = "float32"
@@ -323,6 +331,9 @@ def params_from_config(config: ConfigMap, **overrides) -> RunParams:
             else config.get_bool("implementation", "stripFused", False)
         ),
         fold_cfl=config.get_bool("implementation", "foldCfl", False),
+        trace_merged=config.get_bool(
+            "implementation", "traceMerged", False
+        ),
         halo_overlap=config.get_bool("implementation", "haloOverlap", False),
         dtype=config.get_string("implementation", "dtype", "float32"),
         compensated=config.get_bool("implementation", "compensated", False),

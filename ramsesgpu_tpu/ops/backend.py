@@ -53,6 +53,15 @@ class JnpBackend:
     shift_m = staticmethod(_shift_m)
 
     @staticmethod
+    def pin(a):
+        """Materialization point: stops XLA's algebraic simplifier from
+        folding/duplicating through ``a`` (slice-of-concat re-splitting,
+        fusion recompute into multiple roots)."""
+        import jax
+
+        return jax.lax.optimization_barrier(a)
+
+    @staticmethod
     def crop(a, z0, z1, y0, y1, x0, x1):
         """Window-coordinate crop (z/y/x ranges in the array's own frame)."""
         return a[..., z0:z1, y0:y1, x0:x1]
@@ -249,6 +258,12 @@ class BoxBackend:
     def stack(fields):
         vals, z0, y0 = _meet(tuple(fields))
         return BoxField(jnp.stack(vals), z0, y0)
+
+    @staticmethod
+    def pin(f):
+        import jax
+
+        return BoxField(jax.lax.optimization_barrier(f.value), f.oz, f.oy)
 
     # -- shifts: x rolls in-row; z/y translate the box --------------------- #
     @staticmethod

@@ -87,6 +87,7 @@ def trace_unsplit_mhd_3d_parts(
     dt,
     xpos: jnp.ndarray,
     xp=None,
+    merged=False,
 ):
     """Shared half-step core returning LAZY builders for the 15 face/edge
     state stacks. Consuming one stack at a time keeps peak VMEM liveness low
@@ -104,7 +105,7 @@ def trace_unsplit_mhd_3d_parts(
     local = trace_mhd3d_local_precursors(params, Q, bfx, bfy, xp=xp)
     return trace_mhd3d_state_parts(
         params, Q, bfx, bfy, bfz, xp.shift_p(bfz, _Z),
-        shared, shared_p, local, dt, xpos, xp=xp,
+        shared, shared_p, local, dt, xpos, xp=xp, merged=merged,
     )
 
 
@@ -121,12 +122,15 @@ def trace_mhd3d_state_parts(
     dt,
     xpos,
     xp=None,
+    merged=False,
 ):
     """In-plane half-step state assembly: everything downstream of the
     precursors touches only x/y neighbours of the current z plane.
     ``bfz_p`` is bfz at z+1; ``shared``/``shared_p`` are
     trace_mhd3d_shared_precursors at z and z+1; ``local`` is
-    trace_mhd3d_local_precursors at z."""
+    trace_mhd3d_local_precursors at z. ``merged`` assembles all 18
+    state stacks as one concatenate that the builders slice (see
+    RunParams.trace_merged)."""
     if xp is None:
         from .backend import JNP as xp
     smallr, smallp, gamma = params.smallr, params.smallp, params.gamma0
@@ -247,49 +251,81 @@ def trace_mhd3d_state_parts(
     BL2, BR2 = BL + sBL0, BR + sBR0
     CL2, CR2 = CL + sCL0, CR + sCR0
 
-    def state(rho, pres, uu, vv, ww, a_, b_, c_):
+    if merged:
+        (r2, u2, v2, w2, p2, A2, B2, C2, AL2, AR2, BL2, BR2, CL2, CR2,
+         drx, dpx, dux, dvx, dwx, dBx, dCx,
+         dry, dpy, duy, dvy, dwy, dAy, dCy,
+         drz, dpz, duz, dvz, dwz, dAz, dBz,
+         dALy, dALz, dARy, dARz, dBLx, dBLz, dBRx, dBRz,
+         dCLx, dCLy, dCRx, dCRy) = [
+            xp.pin(f) for f in (
+                r2, u2, v2, w2, p2, A2, B2, C2, AL2, AR2, BL2, BR2,
+                CL2, CR2,
+                drx, dpx, dux, dvx, dwx, dBx, dCx,
+                dry, dpy, duy, dvy, dwy, dAy, dCy,
+                drz, dpz, duz, dvz, dwz, dAz, dBz,
+                dALy, dALz, dARy, dARz, dBLx, dBLz, dBRx, dBRz,
+                dCLx, dCLy, dCRx, dCRy,
+            )
+        ]
+
+    def chans(rho, pres, uu, vv, ww, a_, b_, c_):
         rho = xp.maximum(smallr, rho)
         # note: the reference's 3D trace clamps pressure with smallp alone
         # (not smallp*rho), trace_mhd.h:1190 — matched here
         pres = xp.maximum(smallp, pres)
-        return xp.stack([rho, pres, uu, vv, ww, a_, b_, c_])
+        return (rho, pres, uu, vv, ww, a_, b_, c_)
 
-    # lazy builders — each call assembles one [8, ...] stack
-    return {
+    # lazy channel-tuple builders — each call assembles one state's 8
+    # channels (stacking happens below, per the ``merged`` mode)
+    builders = {
         # ---- face states ----
-        "qp_x": lambda: state(r2 - drx, p2 - dpx, u2 - dux, v2 - dvx, w2 - dwx, AL2, B2 - dBx, C2 - dCx),
-        "qm_x": lambda: state(r2 + drx, p2 + dpx, u2 + dux, v2 + dvx, w2 + dwx, AR2, B2 + dBx, C2 + dCx),
-        "qp_y": lambda: state(r2 - dry, p2 - dpy, u2 - duy, v2 - dvy, w2 - dwy, A2 - dAy, BL2, C2 - dCy),
-        "qm_y": lambda: state(r2 + dry, p2 + dpy, u2 + duy, v2 + dvy, w2 + dwy, A2 + dAy, BR2, C2 + dCy),
-        "qp_z": lambda: state(r2 - drz, p2 - dpz, u2 - duz, v2 - dvz, w2 - dwz, A2 - dAz, B2 - dBz, CL2),
-        "qm_z": lambda: state(r2 + drz, p2 + dpz, u2 + duz, v2 + dvz, w2 + dwz, A2 + dAz, B2 + dBz, CR2),
+        "qp_x": lambda: chans(r2 - drx, p2 - dpx, u2 - dux, v2 - dvx, w2 - dwx, AL2, B2 - dBx, C2 - dCx),
+        "qm_x": lambda: chans(r2 + drx, p2 + dpx, u2 + dux, v2 + dvx, w2 + dwx, AR2, B2 + dBx, C2 + dCx),
+        "qp_y": lambda: chans(r2 - dry, p2 - dpy, u2 - duy, v2 - dvy, w2 - dwy, A2 - dAy, BL2, C2 - dCy),
+        "qm_y": lambda: chans(r2 + dry, p2 + dpy, u2 + duy, v2 + dvy, w2 + dwy, A2 + dAy, BR2, C2 + dCy),
+        "qp_z": lambda: chans(r2 - drz, p2 - dpz, u2 - duz, v2 - dvz, w2 - dwz, A2 - dAz, B2 - dBz, CL2),
+        "qm_z": lambda: chans(r2 + drz, p2 + dpz, u2 + duz, v2 + dvz, w2 + dwz, A2 + dAz, B2 + dBz, CR2),
         # ---- edge (corner) states, X family: varies in (y, z) ----
-        "qRT_x": lambda: state(r2 + dry + drz, p2 + dpy + dpz, u2 + duy + duz, v2 + dvy + dvz,
+        "qRT_x": lambda: chans(r2 + dry + drz, p2 + dpy + dpz, u2 + duy + duz, v2 + dvy + dvz,
                                w2 + dwy + dwz, A2 + dAy + dAz, BR2 + dBRz, CR2 + dCRy),
-        "qRB_x": lambda: state(r2 + dry - drz, p2 + dpy - dpz, u2 + duy - duz, v2 + dvy - dvz,
+        "qRB_x": lambda: chans(r2 + dry - drz, p2 + dpy - dpz, u2 + duy - duz, v2 + dvy - dvz,
                                w2 + dwy - dwz, A2 + dAy - dAz, BR2 - dBRz, CL2 + dCLy),
-        "qLT_x": lambda: state(r2 - dry + drz, p2 - dpy + dpz, u2 - duy + duz, v2 - dvy + dvz,
+        "qLT_x": lambda: chans(r2 - dry + drz, p2 - dpy + dpz, u2 - duy + duz, v2 - dvy + dvz,
                                w2 - dwy + dwz, A2 - dAy + dAz, BL2 + dBLz, CR2 - dCRy),
-        "qLB_x": lambda: state(r2 - dry - drz, p2 - dpy - dpz, u2 - duy - duz, v2 - dvy - dvz,
+        "qLB_x": lambda: chans(r2 - dry - drz, p2 - dpy - dpz, u2 - duy - duz, v2 - dvy - dvz,
                                w2 - dwy - dwz, A2 - dAy - dAz, BL2 - dBLz, CL2 - dCLy),
         # ---- Y family: varies in (x, z) ----
-        "qRT_y": lambda: state(r2 + drx + drz, p2 + dpx + dpz, u2 + dux + duz, v2 + dvx + dvz,
+        "qRT_y": lambda: chans(r2 + drx + drz, p2 + dpx + dpz, u2 + dux + duz, v2 + dvx + dvz,
                                w2 + dwx + dwz, AR2 + dARz, B2 + dBx + dBz, CR2 + dCRx),
-        "qRB_y": lambda: state(r2 + drx - drz, p2 + dpx - dpz, u2 + dux - duz, v2 + dvx - dvz,
+        "qRB_y": lambda: chans(r2 + drx - drz, p2 + dpx - dpz, u2 + dux - duz, v2 + dvx - dvz,
                                w2 + dwx - dwz, AR2 - dARz, B2 + dBx - dBz, CL2 + dCLx),
-        "qLT_y": lambda: state(r2 - drx + drz, p2 - dpx + dpz, u2 - dux + duz, v2 - dvx + dvz,
+        "qLT_y": lambda: chans(r2 - drx + drz, p2 - dpx + dpz, u2 - dux + duz, v2 - dvx + dvz,
                                w2 - dwx + dwz, AL2 + dALz, B2 - dBx + dBz, CR2 - dCRx),
-        "qLB_y": lambda: state(r2 - drx - drz, p2 - dpx - dpz, u2 - dux - duz, v2 - dvx - dvz,
+        "qLB_y": lambda: chans(r2 - drx - drz, p2 - dpx - dpz, u2 - dux - duz, v2 - dvx - dvz,
                                w2 - dwx - dwz, AL2 - dALz, B2 - dBx - dBz, CL2 - dCLx),
         # ---- Z family: varies in (x, y) ----
-        "qRT_z": lambda: state(r2 + drx + dry, p2 + dpx + dpy, u2 + dux + duy, v2 + dvx + dvy,
+        "qRT_z": lambda: chans(r2 + drx + dry, p2 + dpx + dpy, u2 + dux + duy, v2 + dvx + dvy,
                                w2 + dwx + dwy, AR2 + dARy, BR2 + dBRx, C2 + dCx + dCy),
-        "qRB_z": lambda: state(r2 + drx - dry, p2 + dpx - dpy, u2 + dux - duy, v2 + dvx - dvy,
+        "qRB_z": lambda: chans(r2 + drx - dry, p2 + dpx - dpy, u2 + dux - duy, v2 + dvx - dvy,
                                w2 + dwx - dwy, AR2 - dARy, BL2 + dBLx, C2 + dCx - dCy),
-        "qLT_z": lambda: state(r2 - drx + dry, p2 - dpx + dpy, u2 - dux + duy, v2 - dvx + dvy,
+        "qLT_z": lambda: chans(r2 - drx + dry, p2 - dpx + dpy, u2 - dux + duy, v2 - dvx + dvy,
                                w2 - dwx + dwy, AL2 + dALy, BR2 - dBRx, C2 - dCx + dCy),
-        "qLB_z": lambda: state(r2 - drx - dry, p2 - dpx - dpy, u2 - dux - duy, v2 - dvx - dvy,
+        "qLB_z": lambda: chans(r2 - drx - dry, p2 - dpx - dpy, u2 - dux - duy, v2 - dvx - dvy,
                                w2 - dwx - dwy, AL2 - dALy, BL2 - dBLx, C2 - dCx - dCy),
+    }
+
+    # one [8, ...] stack per state; each stack is its own fusion root,
+    # into which the compiler DUPLICATES the shared half-step chain
+    # above (18x on the XLA cost model: 12.2k counted flops/cell vs
+    # ~2.5k computed once — scripts/trace_dup_probe.py). ``merged``
+    # pins every shared field with an optimization barrier first, so
+    # the chain is materialized once and the stacks only add slopes.
+    # (A single 144-channel concatenate was tried instead and rejected:
+    # the stacks' boxes differ by +-1 row/plane per consumption shift,
+    # and the global meet loses extent some flux/EMF consumers need.)
+    return {
+        k: (lambda f=v: xp.stack(list(f()))) for k, v in builders.items()
     }
 
 

@@ -514,6 +514,7 @@ def mhd_3d_interior_update_staged(
     P = trace_mhd3d_state_parts(
         params, Qs, bfs[IA], bfs[IB], bfs[IC], bfz_p,
         shared, shared_p, local, dt, xpos, xp=xp,
+        merged=params.trace_merged,
     )
     if gravity is not None:
         # half-dt kick on the traced states, exactly _mhd_3d_fluxes_emfs

@@ -592,6 +592,94 @@ def stage_strat_flagship():
     }
 
 
+def _bc_setup(n):
+    import jax
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.config.configmap import ConfigMap
+    from ramsesgpu_tpu.config.params import params_from_config
+    from ramsesgpu_tpu.problems import init_problem
+    from ramsesgpu_tpu.solvers.boundary import make_boundaries
+
+    config = ConfigMap(str(REPO / "data" / "implode3d.ini"))
+    for k in ("nx", "ny", "nz"):
+        config.set_integer("mesh", k, n)
+    params = params_from_config(config)
+    U = jax.jit(lambda u: make_boundaries(params, u))(
+        jnp.asarray(init_problem(params, config))
+    )
+    return config, params, U
+
+
+def stage_bc_small():
+    """HARDWARE compile + Mosaic-miscompile check of the padded-carry
+    non-periodic hydro loop (pallas/packed_bc.py: in-kernel ghost-band
+    rebuild + streaming hydro CFL) at implode 64^3: the jitted advance on
+    the chip vs the same advance in interpret mode, 3 steps. Whole-array
+    parity is the CPU tests' job (tests/test_pallas.py::
+    test_packed_bc_advance_matches_step)."""
+    import jax.numpy as jnp
+
+    import ramsesgpu_tpu.pallas as pallas_pkg
+    from ramsesgpu_tpu.pallas.fused_hydro3d import (
+        make_pallas_hydro_bc_advance_n,
+    )
+    from ramsesgpu_tpu.pallas.packed_bc import packed_bc_supported
+
+    _config, params, U0 = _bc_setup(64)
+    assert packed_bc_supported(params)
+    adv_hw = make_pallas_hydro_bc_advance_n(params)
+    pallas_pkg.INTERPRET = True
+    try:
+        adv_in = make_pallas_hydro_bc_advance_n(params)
+    finally:
+        pallas_pkg.INTERPRET = False
+    t = jnp.asarray(0.0, U0.dtype)
+    n = jnp.array(3, jnp.int32)
+    print("  packed-BC advance: Mosaic compile + 3 steps...", flush=True)
+    Uh, th, kh = adv_hw(U0, t, n)
+    _sync(Uh)
+    Ui, ti, ki = adv_in(U0, t, n)
+    err = float(jnp.max(jnp.abs(Uh - Ui)))
+    t_rel = abs(float(th) - float(ti)) / max(abs(float(ti)), 1e-30)
+    return {"max_abs_err_3steps": err, "t_rel": t_rel,
+            "steps": int(kh),
+            "ok": bool(err < 1e-5 and t_rel < 1e-6 and int(kh) == 3)}
+
+
+def stage_bc_flagship():
+    """Implode 256^3 (approx solver, 6 reflecting walls) through
+    make_advance_n's auto routing — the candidate replacement for the
+    57.2 ms/step ghosted-path PERF row. Guards finiteness + routing."""
+    import jax.numpy as jnp
+
+    from ramsesgpu_tpu.pallas.fused_hydro3d import hydro_packed_supported
+    from ramsesgpu_tpu.pallas.packed_bc import packed_bc_supported
+    from ramsesgpu_tpu.solvers.step import make_advance_n
+
+    config, params, U = _bc_setup(256)
+    assert packed_bc_supported(params) and not hydro_packed_supported(
+        params
+    )
+    adv = make_advance_n(params.replace(kernel="pallas"), config)
+    t = jnp.asarray(0.0, U.dtype)
+    U1, t1, k1 = adv(U, t, jnp.array(2, jnp.int32))
+    _sync(U1)
+    n_iter = 10
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        U2, t2, k2 = adv(U, t, jnp.array(n_iter, jnp.int32))
+        _sync(U2)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "ms_per_step": best / n_iter * 1e3,
+        "cells_per_s": 256 ** 3 * n_iter / best,
+        "finite": bool(jnp.all(jnp.isfinite(U2))),
+        "ok": bool(jnp.all(jnp.isfinite(U2)) and int(k2) == n_iter),
+    }
+
+
 STAGES = [
     ("probe", stage_probe, 300),
     ("zc_min", stage_zc_min, 900),
@@ -607,6 +695,8 @@ STAGES = [
     ("shear_flagship_fused", stage_shear_flagship_fused, 2400),
     ("strat_small", stage_strat_small, 1800),
     ("strat_flagship", stage_strat_flagship, 2400),
+    ("bc_small", stage_bc_small, 1500),
+    ("bc_flagship", stage_bc_flagship, 2400),
 ]
 
 

@@ -53,6 +53,12 @@ class JnpBackend:
     shift_m = staticmethod(_shift_m)
 
     @staticmethod
+    def rsqrt(a):
+        import jax
+
+        return jax.lax.rsqrt(a)
+
+    @staticmethod
     def pin(a):
         """Materialization point: stops XLA's algebraic simplifier from
         folding/duplicating through ``a`` (slice-of-concat re-splitting,
@@ -210,6 +216,12 @@ class BoxBackend:
         return BoxField(jnp.sqrt(f.value), f.oz, f.oy)
 
     @staticmethod
+    def rsqrt(f):
+        import jax
+
+        return BoxField(jax.lax.rsqrt(f.value), f.oz, f.oy)
+
+    @staticmethod
     def abs(f):
         return BoxField(jnp.abs(f.value), f.oz, f.oy)
 
@@ -261,9 +273,11 @@ class BoxBackend:
 
     @staticmethod
     def pin(f):
-        import jax
-
-        return BoxField(jax.lax.optimization_barrier(f.value), f.oz, f.oy)
+        # no-op: Pallas TPU has no optimization_barrier lowering, and
+        # Mosaic lowers the kernel jaxpr eqn-by-eqn without XLA's
+        # fusion-duplication pass — there is nothing to pin against
+        # (measured: scripts/trace_merged_bench.py, round 5)
+        return f
 
     # -- shifts: x rolls in-row; z/y translate the box --------------------- #
     @staticmethod

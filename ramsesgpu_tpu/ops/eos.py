@@ -70,9 +70,10 @@ def constoprim_mhd(params: RunParams, U: jnp.ndarray, dt, xp=None):
     x_axis, y_axis, z_axis = -1, -2, -3
 
     rho = xp.maximum(U[ID], params.smallr)
-    u = U[IU] / rho
-    v = U[IV] / rho
-    w = U[IW] / rho
+    inv_rho = 1.0 / rho
+    u = U[IU] * inv_rho
+    v = U[IV] * inv_rho
+    w = U[IW] * inv_rho
 
     bx = 0.5 * (U[IA] + xp.shift_p(U[IA], x_axis))
     by = 0.5 * (U[IB] + xp.shift_p(U[IB], y_axis if params.dim == 3 else -2))
@@ -88,9 +89,9 @@ def constoprim_mhd(params: RunParams, U: jnp.ndarray, dt, xp=None):
         p = rho * params.c_iso * params.c_iso
         c = xp.full_like(rho, params.c_iso)
     else:
-        eint = (U[IP] - emag) / rho - eken
+        eint = (U[IP] - emag) * inv_rho - eken
         p = xp.maximum((params.gamma0 - 1.0) * rho * eint, rho * params.smallp)
-        c = xp.sqrt(params.gamma0 * p / rho)
+        c = xp.sqrt(params.gamma0 * p * inv_rho)
 
     if params.omega0 > 0:
         dvx = 2.0 * params.omega0 * v

@@ -19,17 +19,36 @@ from ..config.params import RunParams
 from ..core.constants import IA, IB, IC, ID, IP, IU, IV, IW, MagneticRiemannSolver, RiemannSolver
 
 
+def _fast_speed_precursors(params: RunParams, d, p, a, b, c, xp=None):
+    """The bn-independent part of the fast-speed formula: (d2, cb, inv_d)
+    with cb = c2/d. One state evaluated against several normal directions
+    (the 2D corner solvers probe x and y) shares these."""
+    if xp is None:
+        from .backend import JNP as xp
+    b2 = a * a + b * b + c * c
+    inv_d = 1.0 / d
+    c2 = params.gamma0 * p * inv_d
+    d2 = 0.5 * (b2 * inv_d + c2)
+    return d2, c2 * inv_d, inv_d
+
+
+def _fast_speed_from_precursors(pre, bn, xp=None):
+    if xp is None:
+        from .backend import JNP as xp
+    d2, cb, _ = pre
+    return xp.sqrt(d2 + xp.sqrt(xp.maximum(d2 * d2 - cb * (bn * bn), 0.0)))
+
+
 def _fast_speed_components(params: RunParams, d, p, a, b, c, bn=None, xp=None):
     """Fast magnetosonic speed from explicit components; ``bn`` defaults to
-    ``a`` (mhd_utils.h:30-52)."""
+    ``a`` (mhd_utils.h:30-52). One division (hoisted 1/d) instead of the
+    literal three — same formula, ULP-level rounding differences only."""
     if xp is None:
         from .backend import JNP as xp
     if bn is None:
         bn = a
-    b2 = a * a + b * b + c * c
-    c2 = params.gamma0 * p / d
-    d2 = 0.5 * (b2 / d + c2)
-    return xp.sqrt(d2 + xp.sqrt(xp.maximum(d2 * d2 - c2 * bn * bn / d, 0.0)))
+    pre = _fast_speed_precursors(params, d, p, a, b, c, xp=xp)
+    return _fast_speed_from_precursors(pre, bn, xp=xp)
 
 
 def _fast_speed(params: RunParams, q, bn, xp=None):
@@ -144,26 +163,36 @@ def riemann_hlld(params: RunParams, ql, qr, xp=None):
     rcl = rl * (ul - sl)
     rcr = rr * (sr - ur)
 
-    ustar = (rcr * ur + rcl * ul + (ptotl - ptotr)) / (rcr + rcl)
-    ptotstar = (rcr * ptotl + rcl * ptotr + rcl * rcr * (ul - ur)) / (rcr + rcl)
+    # shared reciprocals throughout this solver: the VPU's divide rides
+    # the slow (transcendental) pipe, and the literal per-expression form
+    # costs ~26 divides per face interface; hoisting repeated
+    # denominators cuts that to ~8 at ULP-level rounding differences
+    inv_rc = 1.0 / (rcr + rcl)
+    ustar = (rcr * ur + rcl * ul + (ptotl - ptotr)) * inv_rc
+    ptotstar = (rcr * ptotl + rcl * ptotr + rcl * rcr * (ul - ur)) * inv_rc
 
     def star(r_, u_, v_, w_, b_, c_, etot_, ptot_, vdotb_, s_):
-        rstar = r_ * (s_ - u_) / (s_ - ustar)
+        inv_su = 1.0 / (s_ - ustar)
+        rstar = r_ * (s_ - u_) * inv_su
         estar = r_ * (s_ - u_) * (s_ - ustar) - a * a
         el = r_ * (s_ - u_) * (s_ - u_) - a * a
         degenerate = xp.logical_and(a * a > 0, xp.abs(estar / (a * a + 1e-300) - 1.0) <= 1e-8)
         # avoid 0/0 in the masked-out branch
         estar_safe = xp.where(estar == 0.0, 1.0, estar)
-        vstar = xp.where(degenerate, v_, v_ - a * b_ * (ustar - u_) / estar_safe)
-        bstar = xp.where(degenerate, b_, b_ * el / estar_safe)
-        wstar = xp.where(degenerate, w_, w_ - a * c_ * (ustar - u_) / estar_safe)
-        cstar = xp.where(degenerate, c_, c_ * el / estar_safe)
+        inv_estar = 1.0 / estar_safe
+        k = a * (ustar - u_) * inv_estar
+        el_ratio = el * inv_estar
+        vstar = xp.where(degenerate, v_, v_ - b_ * k)
+        bstar = xp.where(degenerate, b_, b_ * el_ratio)
+        wstar = xp.where(degenerate, w_, w_ - c_ * k)
+        cstar = xp.where(degenerate, c_, c_ * el_ratio)
         vdotbstar = ustar * a + vstar * bstar + wstar * cstar
         etotstar = (
             (s_ - u_) * etot_ - ptot_ * u_ + ptotstar * ustar + a * (vdotb_ - vdotbstar)
-        ) / (s_ - ustar)
-        sqrtr = xp.sqrt(rstar)
-        calfven = xp.abs(a) / sqrtr
+        ) * inv_su
+        inv_sqrtr = xp.rsqrt(rstar)
+        sqrtr = rstar * inv_sqrtr
+        calfven = xp.abs(a) * inv_sqrtr
         return rstar, vstar, wstar, bstar, cstar, vdotbstar, etotstar, sqrtr, calfven
 
     (rstarl, vstarl, wstarl, bstarl, cstarl, vdotbstarl, etotstarl, sqrl, calfl) = star(
@@ -175,11 +204,11 @@ def riemann_hlld(params: RunParams, ql, qr, xp=None):
     sal = ustar - calfl
     sar = ustar + calfr
 
-    denom = sqrl + sqrr
-    vss = (sqrl * vstarl + sqrr * vstarr + sgnm * (bstarr - bstarl)) / denom
-    wss = (sqrl * wstarl + sqrr * wstarr + sgnm * (cstarr - cstarl)) / denom
-    bss = (sqrl * bstarr + sqrr * bstarl + sgnm * sqrl * sqrr * (vstarr - vstarl)) / denom
-    css = (sqrl * cstarr + sqrr * cstarl + sgnm * sqrl * sqrr * (wstarr - wstarl)) / denom
+    inv_denom = 1.0 / (sqrl + sqrr)
+    vss = (sqrl * vstarl + sqrr * vstarr + sgnm * (bstarr - bstarl)) * inv_denom
+    wss = (sqrl * wstarl + sqrr * wstarr + sgnm * (cstarr - cstarl)) * inv_denom
+    bss = (sqrl * bstarr + sqrr * bstarl + sgnm * sqrl * sqrr * (vstarr - vstarl)) * inv_denom
+    css = (sqrl * cstarr + sqrr * cstarl + sgnm * sqrl * sqrr * (wstarr - wstarl)) * inv_denom
     vdotbss = ustar * a + vss * bss + wss * css
     etotssl = etotstarl - sgnm * sqrl * (vdotbstarl - vdotbss)
     etotssr = etotstarr + sgnm * sqrr * (vdotbstarr - vdotbss)
@@ -260,11 +289,24 @@ def mag_riemann2d_hlld(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR
         from .backend import JNP as xp
     smallc = params.smallc
 
-    def speeds(q, bn_idx):
-        return _fast_speed(params, q, q[bn_idx], xp=xp)
+    # each corner state's fast speed is probed along BOTH in-plane
+    # normals; the bn-independent precursors (1/d, c2, d2) are shared
+    def pre(q):
+        d = q[ID]
+        p = d * params.c_iso**2 if params.c_iso > 0 else q[IP]
+        return _fast_speed_precursors(
+            params, d, p, q[IA], q[IB], q[IC], xp=xp
+        )
 
-    cfx = [speeds(q, IA) for q in (qLL, qLR, qRL, qRR)]
-    cfy = [speeds(q, IB) for q in (qLL, qLR, qRL, qRR)]
+    pres = [pre(q) for q in (qLL, qLR, qRL, qRR)]
+    cfx = [
+        _fast_speed_from_precursors(pr, q[IA], xp=xp)
+        for pr, q in zip(pres, (qLL, qLR, qRL, qRR))
+    ]
+    cfy = [
+        _fast_speed_from_precursors(pr, q[IB], xp=xp)
+        for pr, q in zip(pres, (qLL, qLR, qRL, qRR))
+    ]
 
     ulo, uhi = _minmax4(xp, qLL[IU], qLR[IU], qRL[IU], qRR[IU])
     vlo, vhi = _minmax4(xp, qLL[IV], qLR[IV], qRL[IV], qRR[IV])
@@ -302,11 +344,15 @@ def mag_riemann2d_hlld(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR
     ) / (rcLLy + rcLRy + rcRLy + rcRRy)
 
     def star(r, u, v, a_, b_, Sx, Sy):
-        rstarx = r * (Sx - u) / (Sx - ustar)
-        Bstar = b_ * (Sx - u) / (Sx - ustar)
-        rstary = r * (Sy - v) / (Sy - vstar)
-        Astar = a_ * (Sy - v) / (Sy - vstar)
-        rstar = rstarx * (Sy - v) / (Sy - vstar)
+        # the two jump ratios are each consumed 2-3 times; computing
+        # them once cuts 5 divides to 2 per corner (ULP-equivalent)
+        ratio_x = (Sx - u) / (Sx - ustar)
+        ratio_y = (Sy - v) / (Sy - vstar)
+        rstarx = r * ratio_x
+        Bstar = b_ * ratio_x
+        rstary = r * ratio_y
+        Astar = a_ * ratio_y
+        rstar = rstarx * ratio_y
         Estarx = ustar * Bstar - v * a_
         Estary = u * b_ - vstar * Astar
         Estar = ustar * Bstar - vstar * Astar
@@ -328,25 +374,29 @@ def mag_riemann2d_hlld(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR
     def max5(a0, a1, a2, a3, a4):
         return xp.maximum(xp.maximum(xp.maximum(a0, a1), xp.maximum(a2, a3)), a4)
 
-    sq = xp.sqrt
+    # |B|/sqrt(rho) as |B|*rsqrt(rho): one slow-pipe op instead of a
+    # sqrt AND a divide per term (16 of each per corner otherwise);
+    # the four shared 1/sqrt(rs**) center densities computed once
+    rq = xp.rsqrt
+    rqLL, rqLR, rqRL, rqRR = rq(rsLL), rq(rsLR), rq(rsRL), rq(rsRR)
     calfvenL = max5(
-        xp.abs(aLR) / sq(rsLRx), xp.abs(AstarLR) / sq(rsLR),
-        xp.abs(aLL) / sq(rsLLx), xp.abs(AstarLL) / sq(rsLL),
+        xp.abs(aLR) * rq(rsLRx), xp.abs(AstarLR) * rqLR,
+        xp.abs(aLL) * rq(rsLLx), xp.abs(AstarLL) * rqLL,
         xp.full_like(aLL, smallc),
     )
     calfvenR = max5(
-        xp.abs(aRR) / sq(rsRRx), xp.abs(AstarRR) / sq(rsRR),
-        xp.abs(aRL) / sq(rsRLx), xp.abs(AstarRL) / sq(rsRL),
+        xp.abs(aRR) * rq(rsRRx), xp.abs(AstarRR) * rqRR,
+        xp.abs(aRL) * rq(rsRLx), xp.abs(AstarRL) * rqRL,
         xp.full_like(aLL, smallc),
     )
     calfvenB = max5(
-        xp.abs(bLL) / sq(rsLLy), xp.abs(BstarLL) / sq(rsLL),
-        xp.abs(bRL) / sq(rsRLy), xp.abs(BstarRL) / sq(rsRL),
+        xp.abs(bLL) * rq(rsLLy), xp.abs(BstarLL) * rqLL,
+        xp.abs(bRL) * rq(rsRLy), xp.abs(BstarRL) * rqRL,
         xp.full_like(aLL, smallc),
     )
     calfvenT = max5(
-        xp.abs(bLR) / sq(rsLRy), xp.abs(BstarLR) / sq(rsLR),
-        xp.abs(bRR) / sq(rsRRy), xp.abs(BstarRR) / sq(rsRR),
+        xp.abs(bLR) * rq(rsLRy), xp.abs(BstarLR) * rqLR,
+        xp.abs(bRR) * rq(rsRRy), xp.abs(BstarRR) * rqRR,
         xp.full_like(aLL, smallc),
     )
 
@@ -355,26 +405,29 @@ def mag_riemann2d_hlld(params: RunParams, qLL, qRL, qLR, qRR, eLL, eRL, eLR, eRR
     SAB = xp.minimum(vstar - calfvenB, 0.0)
     SAT = xp.maximum(vstar + calfvenT, 0.0)
 
-    AstarT = (SAR * AstarRR - SAL * AstarLR) / (SAR - SAL)
-    AstarB = (SAR * AstarRL - SAL * AstarLL) / (SAR - SAL)
-    BstarR = (SAT * BstarRR - SAB * BstarRL) / (SAT - SAB)
-    BstarL = (SAT * BstarLR - SAB * BstarLL) / (SAT - SAB)
+    # the two Alfven-fan widths divide eleven expressions below
+    inv_dsx = 1.0 / (SAR - SAL)
+    inv_dsy = 1.0 / (SAT - SAB)
+    AstarT = (SAR * AstarRR - SAL * AstarLR) * inv_dsx
+    AstarB = (SAR * AstarRL - SAL * AstarLL) * inv_dsx
+    BstarR = (SAT * BstarRR - SAB * BstarRL) * inv_dsy
+    BstarL = (SAT * BstarLR - SAB * BstarLL) * inv_dsy
 
     # central (subsonic in both directions) HLLD EMF
     E_center = (
         (SAL * SAB * EstarRR - SAL * SAT * EstarRL - SAR * SAB * EstarLR + SAR * SAT * EstarLL)
-        / (SAR - SAL) / (SAT - SAB)
-        - SAT * SAB / (SAT - SAB) * (AstarT - AstarB)
-        + SAR * SAL / (SAR - SAL) * (BstarR - BstarL)
+        * inv_dsx * inv_dsy
+        - SAT * SAB * inv_dsy * (AstarT - AstarB)
+        + SAR * SAL * inv_dsx * (BstarR - BstarL)
     )
 
     # supersonic-in-y branches collapse to 1D HLL problems in x (and vice versa)
-    E_B = (SAR * EstarLLx - SAL * EstarRLx + SAR * SAL * (bRL - bLL)) / (SAR - SAL)
+    E_B = (SAR * EstarLLx - SAL * EstarRLx + SAR * SAL * (bRL - bLL)) * inv_dsx
     E_B = xp.where(SL > 0, eLL, xp.where(SR < 0, eRL, E_B))
-    E_T = (SAR * EstarLRx - SAL * EstarRRx + SAR * SAL * (bRR - bLR)) / (SAR - SAL)
+    E_T = (SAR * EstarLRx - SAL * EstarRRx + SAR * SAL * (bRR - bLR)) * inv_dsx
     E_T = xp.where(SL > 0, eLR, xp.where(SR < 0, eRR, E_T))
-    E_L = (SAT * EstarLLy - SAB * EstarLRy - SAT * SAB * (aLR - aLL)) / (SAT - SAB)
-    E_R = (SAT * EstarRLy - SAB * EstarRRy - SAT * SAB * (aRR - aRL)) / (SAT - SAB)
+    E_L = (SAT * EstarLLy - SAB * EstarLRy - SAT * SAB * (aLR - aLL)) * inv_dsy
+    E_R = (SAT * EstarRLy - SAB * EstarRRy - SAT * SAB * (aRR - aRL)) * inv_dsy
 
     E = xp.where(
         SB > 0,

@@ -194,22 +194,24 @@ def trace_mhd3d_state_parts(
     dBy = 0.5 * (BR - BL)
     dCz = 0.5 * (CR - CL)
 
-    # ---- source terms (trace_mhd.h:1127-1155) ----
+    # ---- source terms (trace_mhd.h:1127-1155; the nine /r share one
+    # hoisted reciprocal — ULP-level rounding differences only) ----
+    inv_r = 1.0 / r
     sr0 = (-u * drx - dux * r) * dtdx + (-v * dry - dvy * r) * dtdy + (-w * drz - dwz * r) * dtdz
     su0 = (
-        (-u * dux - (dpx + B * dBx + C * dCx) / r) * dtdx
-        + (-v * duy + B * dAy / r) * dtdy
-        + (-w * duz + C * dAz / r) * dtdz
+        (-u * dux - (dpx + B * dBx + C * dCx) * inv_r) * dtdx
+        + (-v * duy + B * dAy * inv_r) * dtdy
+        + (-w * duz + C * dAz * inv_r) * dtdz
     )
     sv0 = (
-        (-u * dvx + A * dBx / r) * dtdx
-        + (-v * dvy - (dpy + A * dAy + C * dCy) / r) * dtdy
-        + (-w * dvz + C * dBz / r) * dtdz
+        (-u * dvx + A * dBx * inv_r) * dtdx
+        + (-v * dvy - (dpy + A * dAy + C * dCy) * inv_r) * dtdy
+        + (-w * dvz + C * dBz * inv_r) * dtdz
     )
     sw0 = (
-        (-u * dwx + A * dCx / r) * dtdx
-        + (-v * dwy + B * dCy / r) * dtdy
-        + (-w * dwz - (dpz + A * dAz + B * dBz) / r) * dtdz
+        (-u * dwx + A * dCx * inv_r) * dtdx
+        + (-v * dwy + B * dCy * inv_r) * dtdy
+        + (-w * dwz - (dpz + A * dAz + B * dBz) * inv_r) * dtdz
     )
     sp0 = (
         (-u * dpx - dux * gamma * p) * dtdx

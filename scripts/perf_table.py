@@ -348,7 +348,8 @@ def main() -> int:
         for case, cols in accuracy.items():
             lines.append(
                 f"| {case} | " + " | ".join(
-                    f"{cols.get(k, float('nan')):.3e}" for k in keys) + " |"
+                    f"{cols[k]:.3e}" if k in cols else "—"
+                    for k in keys) + " |"
             )
     Path(args.out).write_text("\n".join(lines) + "\n")
     Path(args.out).with_suffix(".json").write_text(json.dumps({

@@ -34,9 +34,10 @@ def constoprim_hydro(params: RunParams, U, xp=None):
     if xp is None:
         from .backend import JNP as xp
     rho = xp.maximum(U[ID], params.smallr)
-    velocities = [U[IU] / rho, U[IV] / rho]
+    inv_rho = 1.0 / rho
+    velocities = [U[IU] * inv_rho, U[IV] * inv_rho]
     if params.dim == 3:
-        velocities.append(U[IW] / rho)
+        velocities.append(U[IW] * inv_rho)
 
     eken = 0.5 * sum(v * v for v in velocities)
 
@@ -44,9 +45,9 @@ def constoprim_hydro(params: RunParams, U, xp=None):
         p = rho * params.c_iso * params.c_iso
         c = xp.full_like(rho, params.c_iso)
     else:
-        eint = U[IP] / rho - eken
+        eint = U[IP] * inv_rho - eken
         p = xp.maximum((params.gamma0 - 1.0) * rho * eint, rho * params.smallp)
-        c = xp.sqrt(params.gamma0 * p / rho)
+        c = xp.sqrt(params.gamma0 * p * inv_rho)
 
     Q = xp.stack([rho, p, *velocities])
     return Q, c

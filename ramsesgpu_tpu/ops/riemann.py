@@ -88,8 +88,8 @@ def riemann_approx(params: RunParams, ql, qr, xp=None):
         active = conv > 1e-6
         wwl2 = cl * (1.0 + gamma6 * (pold - pl) * inv_pl)
         wwr2 = cr * (1.0 + gamma6 * (pold - pr) * inv_pr)
-        rwl = 1.0 / xp.sqrt(wwl2)
-        rwr = 1.0 / xp.sqrt(wwr2)
+        rwl = xp.rsqrt(wwl2)
+        rwr = xp.rsqrt(wwr2)
         wwl = wwl2 * rwl
         wwr = wwr2 * rwr
         qgl = 2.0 * wwl2 * wwl / (wwl2 + cl)
@@ -103,10 +103,14 @@ def riemann_approx(params: RunParams, ql, qr, xp=None):
         conv = xp.where(active, cnew, conv)
 
     pstar = pold
-    wl = xp.sqrt(cl * (1.0 + gamma6 * (pstar - pl) / pl))
-    wr = xp.sqrt(cr * (1.0 + gamma6 * (pstar - pr) / pr))
+    wwl2_f = cl * (1.0 + gamma6 * (pstar - pl) * inv_pl)
+    wwr2_f = cr * (1.0 + gamma6 * (pstar - pr) * inv_pr)
+    rwl_f = xp.rsqrt(wwl2_f)
+    rwr_f = xp.rsqrt(wwr2_f)
+    wl = wwl2_f * rwl_f
+    wr = wwr2_f * rwr_f
 
-    ustar = 0.5 * (ul + (pl - pstar) / wl + ur - (pr - pstar) / wr)
+    ustar = 0.5 * (ul + (pl - pstar) * rwl_f + ur - (pr - pstar) * rwr_f)
     sgnm = xp.where(ustar >= 0.0, 1.0, -1.0).astype(ustar.dtype)
     left_going = sgnm > 0.0
 
@@ -114,14 +118,18 @@ def riemann_approx(params: RunParams, ql, qr, xp=None):
     uo = xp.where(left_going, ul, ur)
     po = xp.where(left_going, pl, pr)
     wo = xp.where(left_going, wl, wr)
+    inv_wo = xp.where(left_going, rwl_f, rwr_f)
 
-    co = xp.maximum(smallc, xp.sqrt(xp.abs(gamma * po / ro)))
-    rstar = xp.maximum(ro / (1.0 + ro * (po - pstar) / (wo * wo)), smallr)
+    inv_ro = 1.0 / ro
+    co = xp.maximum(smallc, xp.sqrt(xp.abs(gamma * po * inv_ro)))
+    rstar = xp.maximum(
+        ro / (1.0 + ro * (po - pstar) * (inv_wo * inv_wo)), smallr
+    )
     cstar = xp.maximum(smallc, xp.sqrt(xp.abs(gamma * pstar / rstar)))
 
     spout = co - sgnm * uo
     spin = cstar - sgnm * ustar
-    ushock = wo / ro - sgnm * uo
+    ushock = wo * inv_ro - sgnm * uo
     spin = xp.where(pstar >= po, ushock, spin)
     spout = xp.where(pstar >= po, ushock, spout)
 
@@ -222,13 +230,17 @@ def riemann_hllc(params: RunParams, ql, qr, xp=None):
     rcl = rl * (ul - SL)
     rcr = rr * (SR - ur)
 
-    ustar = (rcr * ur + rcl * ul + (pl - pr)) / (rcr + rcl)
-    ptotstar = (rcr * pl + rcl * pr + rcl * rcr * (ul - ur)) / (rcr + rcl)
+    # shared reciprocals (see riemann_mhd.riemann_hlld): 6 divides -> 3
+    inv_rc = 1.0 / (rcr + rcl)
+    ustar = (rcr * ur + rcl * ul + (pl - pr)) * inv_rc
+    ptotstar = (rcr * pl + rcl * pr + rcl * rcr * (ul - ur)) * inv_rc
 
-    rstarl = rl * (SL - ul) / (SL - ustar)
-    etotstarl = ((SL - ul) * etotl - pl * ul + ptotstar * ustar) / (SL - ustar)
-    rstarr = rr * (SR - ur) / (SR - ustar)
-    etotstarr = ((SR - ur) * etotr - pr * ur + ptotstar * ustar) / (SR - ustar)
+    inv_sl = 1.0 / (SL - ustar)
+    inv_sr = 1.0 / (SR - ustar)
+    rstarl = rl * (SL - ul) * inv_sl
+    etotstarl = ((SL - ul) * etotl - pl * ul + ptotstar * ustar) * inv_sl
+    rstarr = rr * (SR - ur) * inv_sr
+    etotstarr = ((SR - ur) * etotr - pr * ur + ptotstar * ustar) * inv_sr
 
     # sample the fan: SL>0 -> left; ustar>0 -> left star; SR>0 -> right star; else right
     def sample(l, lstar, rstar_, r_):

@@ -51,11 +51,12 @@ def trace_unsplit_hydro(
     drx, dpx, dux, dvx = hx[ID], hx[IP], hx[IU], hx[IV]
     dry, dpy, duy, dvy = hy[ID], hy[IP], hy[IU], hy[IV]
 
+    inv_r = 1.0 / r
     if params.dim == 2:
         # source terms incl. transverse derivatives (trace.h:365-372)
         sr0 = (-u * drx - dux * r) * dtdx + (-v * dry - dvy * r) * dtdy
-        su0 = (-u * dux - dpx / r) * dtdx + (-v * duy) * dtdy
-        sv0 = (-u * dvx) * dtdx + (-v * dvy - dpy / r) * dtdy
+        su0 = (-u * dux - dpx * inv_r) * dtdx + (-v * duy) * dtdy
+        sv0 = (-u * dvx) * dtdx + (-v * dvy - dpy * inv_r) * dtdy
         sp0 = (-u * dpx - dux * gamma * p) * dtdx + (-v * dpy - dvy * gamma * p) * dtdy
 
         r2, u2, v2, p2 = r + sr0, u + su0, v + sv0, p + sp0
@@ -80,9 +81,9 @@ def trace_unsplit_hydro(
     drz, dpz, duz, dvz, dwz = hz[ID], hz[IP], hz[IU], hz[IV], hz[IW]
 
     sr0 = (-u * drx - dux * r) * dtdx + (-v * dry - dvy * r) * dtdy + (-w * drz - dwz * r) * dtdz
-    su0 = (-u * dux - dpx / r) * dtdx + (-v * duy) * dtdy + (-w * duz) * dtdz
-    sv0 = (-u * dvx) * dtdx + (-v * dvy - dpy / r) * dtdy + (-w * dvz) * dtdz
-    sw0 = (-u * dwx) * dtdx + (-v * dwy) * dtdy + (-w * dwz - dpz / r) * dtdz
+    su0 = (-u * dux - dpx * inv_r) * dtdx + (-v * duy) * dtdy + (-w * duz) * dtdz
+    sv0 = (-u * dvx) * dtdx + (-v * dvy - dpy * inv_r) * dtdy + (-w * dvz) * dtdz
+    sw0 = (-u * dwx) * dtdx + (-v * dwy) * dtdy + (-w * dwz - dpz * inv_r) * dtdz
     sp0 = (
         (-u * dpx - dux * gamma * p) * dtdx
         + (-v * dpy - dvy * gamma * p) * dtdy

@@ -201,10 +201,16 @@ def make_fused_hydro_packed_io(
     )
 
 
-def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
+def make_pallas_hydro_advance_n(
+    params: RunParams, packed_form: bool = False
+) -> Callable:
     """Packed-state advance loop for fully-periodic 3D hydro — the hydro
     twin of fused_mhd3d.make_pallas_advance_n (hydro's inv-dt pass reads no
-    ghosts at all, so dt comes straight off slices of the packed state)."""
+    ghosts at all, so dt comes straight off slices of the packed state).
+
+    ``packed_form=True`` returns ``(pack, advance_packed, unpack)`` so
+    chunked drivers can carry the packed state across chunk boundaries
+    (see fused_mhd3d.make_pallas_advance_n and step.make_packed_advance_chain)."""
     from .packed_io import YB, pack_state
     from ..solvers.timestep import compute_inv_dt_hydro
 
@@ -233,10 +239,7 @@ def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
         interior = P[:, g : g + params.nz, YB : YB + ny, :]
         return params.cfl / compute_inv_dt_hydro(params, interior, ghost=0)
 
-    @jax.jit
-    def advance_n(U, t, n_steps):
-        P0 = pack_state(params, U[:, g:-g, g:-g, g:-g])
-
+    def advance_packed(P0, t, n_steps):
         if zcarry:
             inv0 = compute_inv_dt_hydro(
                 params, P0[:, g : g + params.nz, YB : YB + ny, :], ghost=0
@@ -256,11 +259,7 @@ def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
             P_f, _, t_f, k_f = jax.lax.while_loop(
                 cond_z, body_z, (P0, inv0, t, jnp.array(0, jnp.int32))
             )
-            U_f = jnp.pad(
-                P_f[:, g:-g, YB : YB + ny, :], ((0, 0),) + ((g, g),) * 3,
-                mode="wrap",
-            )
-            return U_f, t_f, k_f
+            return P_f, t_f, k_f
 
         def cond(carry):
             _, t_c, k = carry
@@ -272,14 +271,30 @@ def make_pallas_hydro_advance_n(params: RunParams) -> Callable:
             dt = dt_of(P)
             return (fused(P, dt), t_c + dt, k + 1)
 
-        P_f, t_f, k_f = jax.lax.while_loop(
+        return jax.lax.while_loop(
             cond, body, (P0, t, jnp.array(0, jnp.int32))
         )
-        U_f = jnp.pad(
+
+    def unpack(P_f):
+        return jnp.pad(
             P_f[:, g:-g, YB : YB + ny, :], ((0, 0),) + ((g, g),) * 3,
             mode="wrap",
         )
-        return U_f, t_f, k_f
+
+    if packed_form:
+        pack_j = jax.jit(
+            lambda U: pack_state(params, U[:, g:-g, g:-g, g:-g]),
+            donate_argnums=0,
+        )
+        adv_j = jax.jit(advance_packed, donate_argnums=0)
+        return pack_j, adv_j, jax.jit(unpack)
+
+    @jax.jit
+    def advance_n(U, t, n_steps):
+        P_f, t_f, k_f = advance_packed(
+            pack_state(params, U[:, g:-g, g:-g, g:-g]), t, n_steps
+        )
+        return unpack(P_f), t_f, k_f
 
     return advance_n
 

@@ -376,6 +376,49 @@ def make_advance_n(params: RunParams, config=None) -> Callable:
     return advance_n
 
 
+def make_packed_advance_chain(params: RunParams, config=None):
+    """``(pack, advance_packed, unpack)`` carrying the kernel's packed state
+    across chunk boundaries, or None when this configuration has no packed
+    loop (then use make_advance_n).
+
+    Chunked drivers (bench.py, scripts/perf_table.py, long Run intervals)
+    that call ``advance_n(U_ghosted, t, chunk)`` repeatedly pay the
+    ghosted<->packed conversion (two full-state pad/slice passes, ~1 ms/step
+    at 10-step chunks on 256^3) on EVERY chunk; chaining
+    ``advance_packed(P, t, chunk)`` (donates P) pays it once per run —
+    the steady state a production run with one long interval sees.
+    Gating mirrors make_advance_n's packed selection exactly."""
+    if not (
+        params.dim == 3
+        and params.kernel in ("auto", "pallas", "zcarry")
+        and not uses_shear(params)
+        and make_gravity_field(params, config) is None
+    ):
+        return None
+    backend_ok = params.kernel in ("pallas", "zcarry") or (
+        jax.default_backend() == "tpu"
+    )
+    if not backend_ok:
+        return None
+    if params.mhd:
+        from ..pallas.fused_mhd3d import (
+            make_pallas_advance_n,
+            pallas_packed_supported,
+        )
+
+        if pallas_packed_supported(params):
+            return make_pallas_advance_n(params, packed_form=True)
+    elif params.nu == 0.0:
+        from ..pallas.fused_hydro3d import (
+            hydro_packed_supported,
+            make_pallas_hydro_advance_n,
+        )
+
+        if hydro_packed_supported(params):
+            return make_pallas_hydro_advance_n(params, packed_form=True)
+    return None
+
+
 @functools.lru_cache(maxsize=32)
 def cached_advance_n(params: RunParams) -> Callable:
     """Per-configuration cache so repeated Run objects share compilations."""

@@ -38,7 +38,11 @@ sys.path.insert(0, str(REPO))
 from ramsesgpu_tpu.config.configmap import ConfigMap  # noqa: E402
 from ramsesgpu_tpu.config.params import params_from_config  # noqa: E402
 from ramsesgpu_tpu.problems import init_problem  # noqa: E402
-from ramsesgpu_tpu.solvers.step import make_advance_n, uses_shear  # noqa: E402
+from ramsesgpu_tpu.solvers.step import (  # noqa: E402
+    make_advance_n,
+    make_packed_advance_chain,
+    uses_shear,
+)
 
 # (name, ini file, overrides, extra notes)
 # sizes follow BASELINE.md / STATUS.md conventions; --quick shrinks them
@@ -178,21 +182,30 @@ def bench_row(row, quick: bool, n_iter: int):
             )(U)
         else:
             U = jax.jit(lambda u, p=params: make_boundaries(p, u))(U)
-        advance = make_advance_n(params, config)
+        # chain the packed form across chunks when the workload has one
+        # (solvers/step.make_packed_advance_chain): the ghosted<->packed
+        # conversion then happens once instead of per 10-step chunk — the
+        # steady state of a production run with one long output interval
+        chain = make_packed_advance_chain(params, config)
+        if chain is not None:
+            pack, advance, _unpack = chain
+            U = pack(U)  # donates; thread the state through every chunk
+        else:
+            advance = make_advance_n(params, config)
         t = jnp.asarray(0.0, U.dtype)
 
         # two warmup chunks (first post-compile execution through the
         # device tunnel is ~10x slow); value-forcing sync via a
         # device->host scalar (block_until_ready is unreliable here)
         for _ in range(2):
-            U_w, t_w, k = advance(U, t, jnp.array(2, jnp.int32))
-            float(jnp.sum(t_w))
+            U, t, k = advance(U, t, jnp.array(2, jnp.int32))
+            float(jnp.sum(t))
 
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            U2, t2, k = advance(U, t, jnp.array(n_iter, jnp.int32))
-            checksum = float(jnp.sum(U2[0]))
+            U, t, k = advance(U, t, jnp.array(n_iter, jnp.int32))
+            checksum = float(jnp.sum(U[0]))
             best = min(best, time.perf_counter() - t0)
         if int(k) != n_iter:
             raise RuntimeError(f"{row['name']}: advanced {int(k)}/{n_iter}")

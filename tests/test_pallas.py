@@ -560,6 +560,47 @@ def test_zcarry_hydro_advance_n_matches_packed():
     )
 
 
+def test_hydro_packed_form_advance_matches_standard():
+    """The hydro packed-form chain (pack/advance_packed/unpack,
+    make_pallas_hydro_advance_n(packed_form=True) — chunked drivers carry
+    the packed state across chunk boundaries, solvers/step.
+    make_packed_advance_chain) is bitwise the ghosted-contract advance_n,
+    including when split across two chained chunks."""
+    from ramsesgpu_tpu.pallas.fused_hydro3d import (
+        hydro_packed_supported,
+        make_pallas_hydro_advance_n,
+    )
+
+    nx, ny, nz = 128, 16, 16
+    config = ConfigMap(
+        text=HYDRO3D_INI.format(nx=nx, ny=ny, nz=nz, solver="hllc")
+    )
+    params = params_from_config(config).replace(pallas_tiles=(8, 8))
+    assert hydro_packed_supported(params)
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    t0 = jnp.asarray(0.0, U0.dtype)
+
+    import ramsesgpu_tpu.pallas as pk
+
+    pk.INTERPRET = True
+    try:
+        adv = make_pallas_hydro_advance_n(params)
+        U1, t1, k1 = adv(U0, t0, jnp.asarray(3, jnp.int32))
+        pack, advp, unpack = make_pallas_hydro_advance_n(
+            params, packed_form=True
+        )
+        # two chained chunks (1 + 2 steps): the chunk boundary must be
+        # invisible to the numerics
+        P, t2, ka = advp(pack(U0.copy()), t0, jnp.asarray(1, jnp.int32))
+        P, t2, kb = advp(P, t2, jnp.asarray(2, jnp.int32))
+        U2 = unpack(P)
+    finally:
+        pk.INTERPRET = False
+    assert int(k1) == 3 and int(ka) + int(kb) == 3
+    assert float(t1) == float(t2)
+    np.testing.assert_array_equal(np.asarray(U1), np.asarray(U2))
+
+
 @pytest.mark.parametrize("bcs", [(1, 1), (2, 3)])
 def test_packed_bc_advance_matches_step(bcs):
     """The padded-carry non-periodic hydro advance (pallas/packed_bc.py:

@@ -299,7 +299,9 @@ def make_pallas_hydro_advance_n(
     return advance_n
 
 
-def make_pallas_hydro_bc_advance_n(params: RunParams) -> Callable:
+def make_pallas_hydro_bc_advance_n(
+    params: RunParams, packed_form: bool = False
+) -> Callable:
     """Padded-carry advance loop for NON-periodic (mixed simple-BC) 3D
     hydro (pallas/packed_bc.py): the loop state stays in the lane-padded
     ghosted layout, ghost lanes/bands are rebuilt IN-KERNEL from the
@@ -307,7 +309,12 @@ def make_pallas_hydro_bc_advance_n(params: RunParams) -> Callable:
     the per-step pad + concat-fill + XLA-reduction passes of the ghosted
     step path (57.2 -> see PERF.md "hydro 3D (implode, approx)").
     The reference's equivalent machinery is the make_boundary<BC,loc>
-    kernel set (src/hydro/make_boundary_base.h:33-40)."""
+    kernel set (src/hydro/make_boundary_base.h:33-40).
+
+    ``packed_form=True`` returns ``(pack, advance_packed, unpack)`` for
+    chunk-chained drivers (solvers/step.make_packed_advance_chain); the
+    in-kernel ghost maintenance keeps the carried state's frame valid
+    across chunk boundaries, so chaining is exact."""
     from ..solvers.boundary import make_boundaries_concat
     from ..solvers.godunov import hydro_3d_interior_update
     from ..solvers.timestep import compute_inv_dt_hydro
@@ -342,12 +349,7 @@ def make_pallas_hydro_bc_advance_n(params: RunParams) -> Callable:
             params, unpack_bc_state(params, S), ghost=0
         )
 
-    @jax.jit
-    def advance_n(U, t, n_steps):
-        # ghosts must be valid on entry (the run loop fills them before
-        # the first chunk; every chunk returns them freshly filled)
-        S0 = pack_bc_state(params, U)
-
+    def advance_packed(S0, t, n_steps):
         def cond(carry):
             _, t_c, k = carry
             in_time = (t_c < t_end) if t_end > 0 else True
@@ -358,13 +360,32 @@ def make_pallas_hydro_bc_advance_n(params: RunParams) -> Callable:
             dt = dt_of(S)
             return (fused(S, dt), t_c + dt, k + 1)
 
-        S_f, t_f, k_f = jax.lax.while_loop(
+        return jax.lax.while_loop(
             cond, body, (S0, t, jnp.array(0, jnp.int32))
         )
-        U_f = make_boundaries_concat(
+
+    def unpack(S_f):
+        return make_boundaries_concat(
             params, unpack_bc_state(params, S_f), interior_only=True
         )
-        return U_f, t_f, k_f
+
+    if packed_form:
+        # ghosts must be valid on entry (Run fills them before the first
+        # chunk; the kernel keeps them valid from then on)
+        pack_j = jax.jit(
+            lambda U: pack_bc_state(params, U), donate_argnums=0
+        )
+        adv_j = jax.jit(advance_packed, donate_argnums=0)
+        return pack_j, adv_j, jax.jit(unpack)
+
+    @jax.jit
+    def advance_n(U, t, n_steps):
+        # ghosts must be valid on entry (the run loop fills them before
+        # the first chunk; every chunk returns them freshly filled)
+        S_f, t_f, k_f = advance_packed(
+            pack_bc_state(params, U), t, n_steps
+        )
+        return unpack(S_f), t_f, k_f
 
     return advance_n
 

@@ -412,10 +412,14 @@ def make_packed_advance_chain(params: RunParams, config=None):
         from ..pallas.fused_hydro3d import (
             hydro_packed_supported,
             make_pallas_hydro_advance_n,
+            make_pallas_hydro_bc_advance_n,
         )
+        from ..pallas.packed_bc import packed_bc_supported
 
         if hydro_packed_supported(params):
             return make_pallas_hydro_advance_n(params, packed_form=True)
+        if packed_bc_supported(params):
+            return make_pallas_hydro_bc_advance_n(params, packed_form=True)
     return None
 
 

@@ -646,6 +646,39 @@ def test_packed_bc_advance_matches_step(bcs):
         np.asarray(Uk), np.asarray(make_boundaries(params, Uk)))
 
 
+def test_packed_bc_form_chained_chunks_match():
+    """The packed-BC chain (make_pallas_hydro_bc_advance_n(packed_form=
+    True)) split across two chained chunks is bitwise one 3-step chunk of
+    the ghosted-contract advance — the in-kernel ghost maintenance keeps
+    the carried frame valid across the chunk boundary."""
+    import ramsesgpu_tpu.pallas as pallas_pkg
+    from ramsesgpu_tpu.pallas.fused_hydro3d import (
+        make_pallas_hydro_bc_advance_n,
+    )
+
+    config = ConfigMap(text=IMPLODE3D_INI.format(
+        nx=16, ny=16, nz=8, bxmin=2, bymax=3))
+    params = params_from_config(config)
+    U0 = make_boundaries(params, jnp.asarray(init_problem(params, config)))
+    t0 = jnp.asarray(0.0, U0.dtype)
+
+    pallas_pkg.INTERPRET = True
+    try:
+        advance = make_pallas_hydro_bc_advance_n(params)
+        U1, t1, k1 = advance(U0, t0, jnp.array(3, jnp.int32))
+        pack, advp, unpack = make_pallas_hydro_bc_advance_n(
+            params, packed_form=True
+        )
+        S, t2, ka = advp(pack(U0.copy()), t0, jnp.array(1, jnp.int32))
+        S, t2, kb = advp(S, t2, jnp.array(2, jnp.int32))
+        U2 = unpack(S)
+    finally:
+        pallas_pkg.INTERPRET = False
+    assert int(k1) == 3 and int(ka) + int(kb) == 3
+    assert float(t1) == float(t2)
+    np.testing.assert_array_equal(np.asarray(U1), np.asarray(U2))
+
+
 def test_packed_cfl_hydro_bitwise():
     """The streaming hydro CFL kernel == compute_inv_dt_hydro, on both
     loop layouts (x-ghost-free packed and lane-padded BC)."""

@@ -1268,10 +1268,17 @@ def make_shear_packed_step_fn(
 
 def make_pallas_shear_advance_n(
     params: RunParams, interpret: bool = False, gravity_z=None,
+    packed_form: bool = False,
 ) -> Callable:
     """Jitted ``advance_n(U, t, n_steps) -> (U, t, k)`` carrying the packed
     shear state across the whole chunk (ghosted in/out, like
-    solvers/step.make_advance_n)."""
+    solvers/step.make_advance_n).
+
+    ``packed_form=True`` returns ``(pack, advance_packed, unpack)`` for
+    chunk-chained drivers (solvers/step.make_packed_advance_chain). The
+    carried state is the ``(P, kept)`` pair; NOTE unpack here takes
+    ``(state, t)`` — the sheared ghost reconstruction needs the final
+    time."""
     step_p = make_shear_packed_step(
         params, tiles=params.pallas_tiles, interpret=interpret,
         gravity_z=gravity_z,
@@ -1279,9 +1286,8 @@ def make_pallas_shear_advance_n(
     strat = gravity_z is not None
     t_end = params.t_end
 
-    @jax.jit
-    def advance_n(U, t, n_steps):
-        P0, kept0 = pack_shear(params, U, stratified=strat)
+    def advance_packed(S0, t, n_steps):
+        P0, kept0 = S0
 
         def cond(carry):
             _, _, t_c, k = carry
@@ -1296,6 +1302,24 @@ def make_pallas_shear_advance_n(
         P_f, kept_f, t_f, k_f = jax.lax.while_loop(
             cond, body, (P0, kept0, t, jnp.array(0, jnp.int32))
         )
-        return unpack_shear(params, P_f, kept_f, t_f), t_f, k_f
+        return (P_f, kept_f), t_f, k_f
+
+    if packed_form:
+        pack_j = jax.jit(
+            lambda U: pack_shear(params, U, stratified=strat),
+            donate_argnums=0,
+        )
+        adv_j = jax.jit(advance_packed, donate_argnums=0)
+        unpack_j = jax.jit(
+            lambda S, t: unpack_shear(params, S[0], S[1], t)
+        )
+        return pack_j, adv_j, unpack_j
+
+    @jax.jit
+    def advance_n(U, t, n_steps):
+        S_f, t_f, k_f = advance_packed(
+            pack_shear(params, U, stratified=strat), t, n_steps
+        )
+        return unpack_shear(params, S_f[0], S_f[1], t_f), t_f, k_f
 
     return advance_n

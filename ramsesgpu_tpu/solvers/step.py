@@ -387,18 +387,38 @@ def make_packed_advance_chain(params: RunParams, config=None):
     at 10-step chunks on 256^3) on EVERY chunk; chaining
     ``advance_packed(P, t, chunk)`` (donates P) pays it once per run —
     the steady state a production run with one long interval sees.
-    Gating mirrors make_advance_n's packed selection exactly."""
-    if not (
-        params.dim == 3
-        and params.kernel in ("auto", "pallas", "zcarry")
-        and not uses_shear(params)
-        and make_gravity_field(params, config) is None
-    ):
+    Gating mirrors make_advance_n's packed selection exactly. NOTE: for
+    shear workloads the carried state is a ``(P, kept)`` pair and unpack
+    takes ``(state, t)`` (the sheared ghost reconstruction needs the final
+    time); timed drivers that never unpack can treat the state opaquely
+    (``state[0]`` is an array for checksums either way)."""
+    if params.dim != 3 or params.kernel not in ("auto", "pallas", "zcarry"):
         return None
     backend_ok = params.kernel in ("pallas", "zcarry") or (
         jax.default_backend() == "tpu"
     )
     if not backend_ok:
+        return None
+    if params.mhd and uses_shear(params):
+        from ..pallas.shear_packed import (
+            make_pallas_shear_advance_n,
+            shear_packed_supported,
+        )
+
+        gravity = make_gravity_field(params, config)
+        if gravity is None:
+            if shear_packed_supported(params):
+                return make_pallas_shear_advance_n(params, packed_form=True)
+            return None
+        gz_profile = _mri_gz_profile(params, config, gravity)
+        if gz_profile is not None and shear_packed_supported(
+            params, stratified=True
+        ):
+            return make_pallas_shear_advance_n(
+                params, gravity_z=gz_profile, packed_form=True
+            )
+        return None
+    if uses_shear(params) or make_gravity_field(params, config) is not None:
         return None
     if params.mhd:
         from ..pallas.fused_mhd3d import (

@@ -189,6 +189,36 @@ def test_shear_packed_advance_n_matches_step_loop():
     )
 
 
+def test_shear_packed_form_chained_chunks_match():
+    """The shear packed-form chain (make_pallas_shear_advance_n(
+    packed_form=True), solvers/step.make_packed_advance_chain) split
+    across two chained chunks is bitwise the ghosted-contract advance —
+    the (P, kept) carry makes the chunk boundary invisible; unpack takes
+    (state, t)."""
+    from ramsesgpu_tpu.pallas.shear_packed import (
+        make_pallas_shear_advance_n,
+    )
+
+    nx, ny, nz = 128, 16, 8
+    config = ConfigMap(text=MRI_INI.format(nx=nx, ny=ny, nz=nz))
+    params = params_from_config(config).replace(pallas_tiles=(4, 8))
+    U0 = jnp.asarray(init_problem(params, config))
+    U0 = make_all_boundaries_shear(params, U0, 0.0)
+    t0 = jnp.asarray(0.0, U0.dtype)
+
+    advance = make_pallas_shear_advance_n(params, interpret=True)
+    U1, t1, k1 = advance(U0, t0, 3)
+    pack, advp, unpack = make_pallas_shear_advance_n(
+        params, interpret=True, packed_form=True
+    )
+    S, t2, ka = advp(pack(U0.copy()), t0, 1)
+    S, t2, kb = advp(S, t2, 2)
+    U2 = unpack(S, t2)
+    assert int(k1) == 3 and int(ka) + int(kb) == 3
+    assert float(t1) == float(t2)
+    np.testing.assert_array_equal(np.asarray(U1), np.asarray(U2))
+
+
 def test_shear_packed_dissipative_matches_whole_array():
     """Viscous-resistive MRI on the packed layout: Godunov phase + packed
     dissipation kernel + dissipative border strips, incl. the resistive CT

@@ -88,6 +88,7 @@ class Run:
         # HydroRunGodunov.cpp:3884)
         self.U = jax.jit(lambda u: make_boundaries(self.params, u))(self.U)
 
+        self._chain = None
         self._forced = self.params.problem in (
             "turbulence",
             "turbulence-Ornstein-Uhlenbeck",
@@ -114,12 +115,26 @@ class Run:
                     self._fstate = load_ou_forcing(fpath)
         else:
             self._advance_n = make_advance_n(self.params, config)
+            # chunk-chained packed loop (step.make_packed_advance_chain):
+            # pack once at start(), advance packed across output intervals,
+            # unpack only when a host-facing consumer needs ghosted state.
+            # DistributedRun resets this to None (its advance is sharded).
+            from .step import make_packed_advance_chain
+
+            self._chain = make_packed_advance_chain(self.params, config)
+        self._S = None  # packed carry while start() is chained
 
     # ------------------------------------------------------------------ #
     def _host_ghosted(self):
         """State as a ghosted array for host-facing consumers (output,
         history, numerics guard). DistributedRun overrides this to gather
-        its interior-only sharded state."""
+        its interior-only sharded state. While start() runs chained, this
+        unpacks the packed carry on demand (the carry itself is untouched)."""
+        if self._S is not None:
+            leaf = jax.tree_util.tree_leaves(self._S)[0]
+            return self._chain[2](
+                self._S, jnp.asarray(self.t, leaf.dtype)
+            )
         return self.U
 
     def output(self) -> None:
@@ -224,6 +239,12 @@ class Run:
         wall = Timer()
         wall.start()
 
+        if self._chain is not None and not self._forced:
+            # enter the packed carry: self.U is donated to pack; every
+            # host-facing consumer goes through _host_ghosted() from here
+            self._S = self._chain[0](self.U)
+            self.U = None
+
         while self.n_step < n_stepmax and (p.t_end <= 0 or self.t < p.t_end):
             if do_output and n_output > 0 and self.n_step % n_output == 0:
                 self.output()
@@ -236,6 +257,10 @@ class Run:
             if self._forced:
                 self.U, self._fstate, t_device, k = self._advance_forced(
                     self.U, self._fstate, t_device, jnp.array(chunk, jnp.int32)
+                )
+            elif self._S is not None:
+                self._S, t_device, k = self._chain[1](
+                    self._S, t_device, jnp.array(chunk, jnp.int32)
                 )
             else:
                 self.U, t_device, k = self._advance_n(
@@ -274,6 +299,10 @@ class Run:
                     while self._next_hist_time <= self.t:
                         self._next_hist_time += self.dt_hist
 
+        if self._S is not None:
+            # leave the packed carry: restore the ghosted-state contract
+            self.U = self._host_ghosted()
+            self._S = None
         self.U.block_until_ready()
         wall.stop()
 

@@ -75,6 +75,7 @@ class DistributedRun(Run):
         # super() built a ghosted single-device state; shard its interior
         self.U = shard_global_state(self.params, self.mesh, self.U)
         self._advance_n = make_sharded_advance_n(self.params, self.mesh, config)
+        self._chain = None  # sharded advance has its own packed layout
         self._fill_fn = jax.jit(lambda u: make_boundaries(self.params, u))
 
         if self.params.halo_overlap:

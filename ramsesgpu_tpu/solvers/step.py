@@ -387,11 +387,11 @@ def make_packed_advance_chain(params: RunParams, config=None):
     at 10-step chunks on 256^3) on EVERY chunk; chaining
     ``advance_packed(P, t, chunk)`` (donates P) pays it once per run —
     the steady state a production run with one long interval sees.
-    Gating mirrors make_advance_n's packed selection exactly. NOTE: for
-    shear workloads the carried state is a ``(P, kept)`` pair and unpack
-    takes ``(state, t)`` (the sheared ghost reconstruction needs the final
-    time); timed drivers that never unpack can treat the state opaquely
-    (``state[0]`` is an array for checksums either way)."""
+    Gating mirrors make_advance_n's packed selection exactly. The carried
+    state is opaque (an array, or a ``(P, kept)`` pair for shear runs —
+    ``state[0]`` is an array for checksums either way); ``unpack(state, t)``
+    uniformly takes the current time (the sheared ghost reconstruction
+    needs it; non-shear unpacks ignore it)."""
     if params.dim != 3 or params.kernel not in ("auto", "pallas", "zcarry"):
         return None
     backend_ok = params.kernel in ("pallas", "zcarry") or (
@@ -420,6 +420,11 @@ def make_packed_advance_chain(params: RunParams, config=None):
         return None
     if uses_shear(params) or make_gravity_field(params, config) is not None:
         return None
+    def _tless(triple):
+        # uniform unpack(state, t) signature (non-shear unpacks ignore t)
+        pack, adv, unpack = triple
+        return pack, adv, lambda S, t: unpack(S)
+
     if params.mhd:
         from ..pallas.fused_mhd3d import (
             make_pallas_advance_n,
@@ -427,7 +432,7 @@ def make_packed_advance_chain(params: RunParams, config=None):
         )
 
         if pallas_packed_supported(params):
-            return make_pallas_advance_n(params, packed_form=True)
+            return _tless(make_pallas_advance_n(params, packed_form=True))
     elif params.nu == 0.0:
         from ..pallas.fused_hydro3d import (
             hydro_packed_supported,
@@ -437,9 +442,13 @@ def make_packed_advance_chain(params: RunParams, config=None):
         from ..pallas.packed_bc import packed_bc_supported
 
         if hydro_packed_supported(params):
-            return make_pallas_hydro_advance_n(params, packed_form=True)
+            return _tless(
+                make_pallas_hydro_advance_n(params, packed_form=True)
+            )
         if packed_bc_supported(params):
-            return make_pallas_hydro_bc_advance_n(params, packed_form=True)
+            return _tless(
+                make_pallas_hydro_bc_advance_n(params, packed_form=True)
+            )
     return None
 
 

@@ -679,6 +679,37 @@ def test_packed_bc_form_chained_chunks_match():
     np.testing.assert_array_equal(np.asarray(U1), np.asarray(U2))
 
 
+def test_run_chained_carry_matches_unchained():
+    """Run.start() with the packed chain engaged (pack once, advance
+    packed across output intervals, unpack on demand) is bitwise the
+    unchained chunked drive, including a mid-run _host_ghosted() read."""
+    import ramsesgpu_tpu.pallas as pallas_pkg
+    from ramsesgpu_tpu.solvers.run import Run
+
+    def build():
+        config = ConfigMap(text=IMPLODE3D_INI.format(
+            nx=16, ny=16, nz=8, bxmin=2, bymax=3))
+        config.set_string("implementation", "kernel", "pallas")
+        config.set_integer("run", "noutput", -1)
+        config.set_integer("run", "nstepmax", 4)
+        return config
+
+    pallas_pkg.INTERPRET = True
+    try:
+        r1 = Run(build())
+        assert r1._chain is not None
+        r1.start(max_steps=4, do_output=False)
+
+        r2 = Run(build())
+        r2._chain = None  # force the per-chunk ghosted contract
+        r2.start(max_steps=4, do_output=False)
+    finally:
+        pallas_pkg.INTERPRET = False
+    assert r1.n_step == r2.n_step == 4
+    assert r1.t == r2.t
+    np.testing.assert_array_equal(np.asarray(r1.U), np.asarray(r2.U))
+
+
 def test_packed_cfl_hydro_bitwise():
     """The streaming hydro CFL kernel == compute_inv_dt_hydro, on both
     loop layouts (x-ghost-free packed and lane-padded BC)."""

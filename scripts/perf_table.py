@@ -186,13 +186,14 @@ def bench_row(row, quick: bool, n_iter: int):
         # (solvers/step.make_packed_advance_chain): the ghosted<->packed
         # conversion then happens once instead of per 10-step chunk — the
         # steady state of a production run with one long output interval
+        dtype = U.dtype
         chain = make_packed_advance_chain(params, config)
         if chain is not None:
             pack, advance, _unpack = chain
-            U = pack(U)  # donates; thread the state through every chunk
+            U = pack(U)  # donates; thread the (opaque) state through chunks
         else:
             advance = make_advance_n(params, config)
-        t = jnp.asarray(0.0, U.dtype)
+        t = jnp.asarray(0.0, dtype)
 
         # two warmup chunks (first post-compile execution through the
         # device tunnel is ~10x slow); value-forcing sync via a

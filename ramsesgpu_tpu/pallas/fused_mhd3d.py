@@ -42,8 +42,23 @@ def _pick_tiles(params: RunParams) -> tuple[int, int]:
     128-aligned, and full rows keep the stencil's x-halo free. by must be a
     multiple of 8 (output sublane tiling). Preference order measured on
     v5e at 256^3 (8,16) = 2.6e8 cells/s; smaller fallbacks for small grids
-    or VMEM pressure."""
+    or VMEM pressure.
+
+    VMEM pressure scales with the ghosted window volume (bz+2m)(by+2m)nx
+    (m=5, the stencil-chain margin): 256^3 at (8,32) fits the 128 MiB
+    program cap, 512^3 at (8,32) measured 189.6M (OOM) while (8,8) fits
+    (PERF_CAPABILITY.json round 4) — so larger-nx grids downshift to the
+    first tile at or under the 256^3/(8,32) anchor volume."""
+    m = 5
+    budget = (8 + 2 * m) * (32 + 2 * m) * 256  # the known-good anchor
     for bz, by in ((8, 32), (8, 16), (8, 8), (4, 8), (2, 8), (1, 8)):
+        if (
+            params.nz % bz == 0
+            and params.ny % by == 0
+            and (bz + 2 * m) * (by + 2 * m) * params.nx <= budget
+        ):
+            return bz, by
+    for bz, by in ((4, 8), (2, 8), (1, 8)):
         if params.nz % bz == 0 and params.ny % by == 0:
             return bz, by
     return 1, params.ny
